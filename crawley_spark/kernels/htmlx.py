@@ -1,0 +1,226 @@
+"""HTML link extraction kernel.
+
+Reproduces the reference's SAX-tokenizer walk
+(``/root/reference/internal/links/html.go``) on top of Python's
+``html.parser`` token stream:
+
+* per-tag attribute dispatch incl. the stateful ``key`` switching for
+  video/audio/picture/source (html.go:119-170)
+* inline <script>/<style> text routing to the JS/CSS scanners when the
+  preceding start tag set the corresponding flag (html.go:61-69) — flags
+  persist across end tags and reset on the next text token, bug-compatibly
+* brute-mode comment scanning (html.go:79-117)
+
+Emitted links are canonicalized via ``clean_url`` (links/clean.go) exactly as
+``extractTag`` does; comment-mode URLs bypass canonicalization (html.go:112).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .clean import clean_url, handle_static
+from .cssx import extract_css
+from .gourl import GoURL, URLError, parse as gourl_parse
+from .jsx import extract_js
+
+KEY_SRC = "src"
+KEY_SRCS = "srcset"
+KEY_HREF = "href"
+KEY_DATA = "data"
+KEY_ACTION = "action"
+
+_COMMENT_CUTSET = "<(')>\""
+
+
+def extract_comment(s: str, handle) -> None:
+    """html.go:79-117 — word-split comment text, find http(s):// prefix
+    case-insensitively, cut at any of ``<(')>"``, keep if parseable with a
+    non-empty host; emitted with original case, uncanonicalized."""
+    for word in s.split():
+        low = word.lower()
+        pos = low.find("http://")
+        if pos == -1:
+            pos = low.find("https://")
+        if pos == -1:
+            continue
+        end = -1
+        for i, c in enumerate(low[pos:]):
+            if c in _COMMENT_CUTSET:
+                end = i
+                break
+        buf = word[: pos + end] if end > -1 else word
+        uri = buf[pos:].strip()
+        if not uri:
+            continue
+        try:
+            u = gourl_parse(uri)
+        except URLError:
+            continue
+        if u.host != "":
+            handle("a", uri)
+
+
+def _extract_tag(base: GoURL, attrs, key: str) -> str:
+    """html.go:178-192 — first attribute matching key that cleans OK."""
+    for k, v in attrs:
+        if k == key:
+            res, ok = clean_url(base, v or "")
+            if ok:
+                return res
+    return ""
+
+
+def extract_token(base: GoURL, tag: str, attrs, key: str, handle) -> tuple[bool, bool, str]:
+    """html.go:119-170 — per-tag attribute dispatch. Returns (js, css,
+    new_key); calls handle(tag, url) for non-empty extractions."""
+    js = css = False
+    uri = ""
+    poster = ""
+    if tag in ("a", "link"):
+        uri = _extract_tag(base, attrs, KEY_HREF)
+    elif tag in ("img", "image", "iframe", "track"):
+        uri = _extract_tag(base, attrs, KEY_SRC)
+    elif tag == "script":
+        uri = _extract_tag(base, attrs, KEY_SRC)
+        js = uri == ""
+    elif tag == "style":
+        css = True
+    elif tag == "form":
+        uri = _extract_tag(base, attrs, KEY_ACTION)
+    elif tag == "object":
+        uri = _extract_tag(base, attrs, KEY_DATA)
+    elif tag == "video":
+        poster = _extract_tag(base, attrs, KEY_POSTER)
+        key = KEY_SRC
+        uri = _extract_tag(base, attrs, KEY_SRC)
+    elif tag == "audio":
+        key = KEY_SRC
+        uri = _extract_tag(base, attrs, KEY_SRC)
+    elif tag == "picture":
+        key = KEY_SRCS
+    elif tag == "source":
+        uri = _extract_tag(base, attrs, key)
+    if uri != "":
+        handle(tag, uri)
+    if poster != "":
+        handle(tag, poster)
+    return js, css, key
+
+
+KEY_POSTER = "poster"
+
+
+class _Tokenizer(HTMLParser):
+    """Bridges html.parser events to the reference's token switch
+    (html.go:51-76). convert_charrefs=False so script/style text arrives as
+    single raw-text runs (cdata mode), matching x/net/html raw-text tokens."""
+
+    def __init__(self, base: GoURL, params):
+        super().__init__(convert_charrefs=False)
+        self.base = base
+        self.p = params
+        self.key = KEY_SRC
+        self.is_js = False
+        self.is_css = False
+
+    # start / self-closing tags
+    def _tag(self, tag, attrs):
+        if self.p.filter(tag):
+            self.is_js, self.is_css, self.key = extract_token(
+                self.base, tag, attrs, self.key, self.p.handle_html
+            )
+
+    def handle_starttag(self, tag, attrs):
+        self._tag(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        self._tag(tag, attrs)
+
+    # text tokens
+    def handle_data(self, data):
+        if self.p.scan_js and self.is_js:
+            extract_js(data, self.p.handle_static)
+        elif self.p.scan_css and self.is_css:
+            extract_css(data, self.p.handle_static)
+        self.is_js = False
+        self.is_css = False
+
+    def handle_entityref(self, name):
+        self.is_js = False
+        self.is_css = False
+
+    def handle_charref(self, name):
+        self.is_js = False
+        self.is_css = False
+
+    def handle_comment(self, data):
+        if self.p.brute:
+            extract_comment(data, self.p.handle_html)
+
+
+class HTMLParams:
+    """html.go:30-37 — extraction config + callbacks."""
+
+    __slots__ = ("filter", "handle_html", "handle_static", "brute", "scan_js", "scan_css")
+
+    def __init__(self, filter=None, handle_html=None, handle_static=None, brute=False, scan_js=False, scan_css=False):
+        self.filter = filter or (lambda tag: True)
+        self.handle_html = handle_html or (lambda tag, s: None)
+        self.handle_static = handle_static or (lambda s: None)
+        self.brute = brute
+        self.scan_js = scan_js
+        self.scan_css = scan_css
+
+
+def extract_html(body: str, base: GoURL, params: HTMLParams) -> None:
+    """html.go:43-77 — walk the token stream, dispatching per token class."""
+    tok = _Tokenizer(base, params)
+    try:
+        tok.feed(body)
+        tok.close()
+    except Exception:
+        # x/net/html never raises; it returns ErrorToken and extraction stops
+        return
+
+
+def extract_text(body: str) -> str:
+    """Visible-text extraction for the corpus invariant (input_hint:
+    byte-identical extracted text per url): all text tokens outside
+    script/style raw text, entity-decoded, concatenated in document order."""
+    import html as _html
+
+    chunks: list[str] = []
+
+    class _T(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip > 0:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if self.skip == 0:
+                chunks.append(data)
+
+        def handle_entityref(self, name):
+            if self.skip == 0:
+                chunks.append(_html.unescape(f"&{name};"))
+
+        def handle_charref(self, name):
+            if self.skip == 0:
+                chunks.append(_html.unescape(f"&#{name};"))
+
+    t = _T()
+    try:
+        t.feed(body)
+        t.close()
+    except Exception:
+        pass
+    return "".join(chunks)
