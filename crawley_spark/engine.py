@@ -1,0 +1,307 @@
+"""The iterative crawl engine — crawley's BFS loop as per-iteration DataFrame
+dataflow (SURVEY.md §3.4 lifecycle):
+
+    gate → schedule → fetch-join → extract (Arrow UDF) → dedup → emit →
+    enqueue → checkpoint
+
+The driver holds only O(#runs + #partitions) state (offsets, quotas); all
+per-URL work is executor-side. Every iteration commits frontier / seen /
+results / metrics snapshots through CrawlState, so a killed job resumes
+exactly (north_rule).
+
+Crawl-order parity: emission seq and frontier ranks are materialized with an
+explicit range-partitioned order index (plans/ordering.py) following
+(parent_rank, in-page ord) — the canonical workers=1 FIFO order of the
+reference driver loop (crawler.go:119-135). Never rely on partition order.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+from .functions.extract_udf import CANDIDATES_SCHEMA, build_extract_candidates
+from .interp import Page, seed_robots
+from .kernels import gourl, robotsx
+from .kernels.extract import classify_candidate
+from .kernels.paths import can_parse, url_seen_key
+from .operators.politeness import salt_hot_hosts, schedule
+from .operators.seen import anti_join_seen, first_occurrence
+from .plans.ordering import advance_offsets, assign_order_index
+from .sources.pages import normalize_pages
+from .sources.state import (
+    FRONTIER_SCHEMA,
+    METRICS_SCHEMA,
+    RESULTS_SCHEMA,
+    SEEN_SCHEMA,
+    CrawlState,
+    with_bucket,
+)
+
+
+@dataclass
+class CrawlReport:
+    state: CrawlState
+    runs: dict
+    iterations: int
+
+    def results(self, run_id: str | None = None) -> DataFrame:
+        df = self.state.results()
+        if run_id is not None:
+            df = df.filter(F.col("run_id") == run_id)
+        return df.orderBy("run_id", "seq")
+
+    def result_urls(self, run_id: str) -> list:
+        return [r["url"] for r in self.results(run_id).collect()]
+
+    def seen(self, run_id: str | None = None) -> DataFrame:
+        df = self.state.seen()
+        if run_id is not None:
+            df = df.filter(F.col("run_id") == run_id)
+        return df
+
+    def metrics(self) -> DataFrame:
+        return self.state.metrics()
+
+
+def _normalize_runs(seeds, config) -> dict:
+    """→ {run_id: (seed, validated_config)}"""
+    if isinstance(seeds, str):
+        seeds = {"run0": seeds}
+    elif isinstance(seeds, (list, tuple)):
+        seeds = {f"run{i}": s for i, s in enumerate(seeds)}
+    config = config or CrawlConfig()
+    runs = {}
+    for run_id, seed in seeds.items():
+        cfg = config[run_id] if isinstance(config, dict) else config
+        runs[run_id] = (seed, cfg.validated())
+    return runs
+
+
+def _collect_robots(spark, pages_n, runs) -> dict:
+    """Fetch + parse robots.txt for every robots-enabled run (F3). One tiny
+    filtered collect over the corpus — #runs rows."""
+    targets = {}
+    for run_id, (seed, cfg) in runs.items():
+        base = gourl.parse(seed)
+        if cfg.robots_policy != "ignore":
+            targets.setdefault(robotsx.robots_url(base.scheme, base.host), []).append(run_id)
+    robots_pages = {}
+    if targets:
+        rows = pages_n.filter(F.col("url").isin(list(targets))).collect()
+        for r in rows:
+            body = bytes(r["html"]).decode("utf-8", "surrogateescape") if r["html"] is not None else None
+            robots_pages[r["url"]] = Page(
+                body=body, status=r["status"] if r["status"] is not None else 200,
+                content_type=r["content_type"],
+            )
+    out = {}
+    for run_id, (seed, cfg) in runs.items():
+        base = gourl.parse(seed)
+        rules, injections = seed_robots(robots_pages, base, cfg)
+        out[run_id] = (rules, injections)
+    return out
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds,
+    config: CrawlConfig | dict | None = None,
+    *,
+    checkpoint_dir: str | None = None,
+    politeness_budget_ms: int | None = None,
+    max_iterations: int = 10_000,
+    resume: bool = False,
+    salt_k: int = 0,
+) -> CrawlReport:
+    """Run a depth-bounded BFS crawl of ``pages`` from ``seeds``.
+
+    politeness_budget_ms: per-iteration per-host time budget; with a run's
+    delay_ms > 0 this caps fetches per host per iteration at
+    budget/delay (reference Q2 semantics, batch-shaped). None = no deferral
+    (the reference never defers; parity runs use None).
+    """
+    runs = _normalize_runs(seeds, config)
+    pages_n = normalize_pages(pages)
+    state = CrawlState(spark, checkpoint_dir)
+
+    quotas = {}
+    for run_id, (seed, cfg) in runs.items():
+        if politeness_budget_ms is not None and cfg.delay_ms > 0:
+            quotas[run_id] = max(1, politeness_budget_ms // cfg.delay_ms)
+        else:
+            quotas[run_id] = None
+
+    if resume and state.load_manifest():
+        start_iter = state.manifest["iteration"] + 1
+        rank_offsets = dict(state.manifest["rank_offsets"])
+        seq_offsets = dict(state.manifest["seq_offsets"])
+        if state.manifest["done"]:
+            return CrawlReport(state, runs, state.manifest["iteration"])
+        frontier_rows_known = None  # unknown → count once below
+    else:
+        rank_offsets, seq_offsets, frontier_rows_known = _bootstrap(spark, state, pages_n, runs)
+        start_iter = 1
+
+    cfgs = {r: cfg for r, (seed, cfg) in runs.items()}
+    seeds_map = {r: seed for r, (seed, cfg) in runs.items()}
+    # robots rules are static after init; recompute from the corpus (cheap,
+    # deterministic) rather than serializing them into the manifest
+    robots_rules = {r: v[0] for r, v in _collect_robots(spark, pages_n, runs).items()}
+    extract_fn = build_extract_candidates(cfgs, seeds_map, robots_rules)
+
+    iteration = start_iter - 1
+    frontier_rows = (
+        frontier_rows_known
+        if frontier_rows_known is not None
+        else state.frontier(iteration).count()
+    )
+
+    while frontier_rows > 0 and iteration < max_iterations:
+        iteration += 1
+        t0 = time.monotonic()
+        frontier = state.frontier(iteration - 1)
+
+        # 1. politeness schedule (Q2)
+        now, deferred = schedule(frontier, quotas)
+
+        # 2. fetch join (F1) — canParse-gated rows only reach the corpus scan
+        fetchable = now.filter(F.col("can_fetch"))
+        if salt_k:
+            fetchable = salt_hot_hosts(fetchable, salt_k)
+        fetched = fetchable.join(pages_n, on="url", how="left")
+
+        # 3. extract + classify (X1-X6, N1-N3, P1-P10) — one Arrow stage
+        candidates = fetched.select(
+            "run_id", "rank", "url", "html", "content_type"
+        ).mapInPandas(extract_fn, CANDIDATES_SCHEMA)
+        candidates = candidates.persist()
+
+        # 4. dedup (D2 in-wave, D1 vs seen)
+        new_cands = anti_join_seen(
+            first_occurrence(candidates), state.seen(upto=iteration - 1)
+        ).persist()
+
+        # 5. emit (P4, S1): canonical order → dense seq
+        emitted, emit_counts = assign_order_index(
+            new_cands.filter(F.col("emit_ok")), ["parent_rank", "ord"], "seq", seq_offsets
+        )
+        state.write(
+            "results",
+            iteration,
+            emitted.select(
+                "run_id", "seq", F.col("uri").alias("url"), F.lit(iteration).alias("iter")
+            ),
+        )
+        seq_offsets = advance_offsets(seq_offsets, emit_counts)
+
+        # 6. enqueue (P1/P3/N3): next frontier = new crawlables + deferred
+        enq, enq_counts = assign_order_index(
+            new_cands.filter(F.col("enqueue_ok")), ["parent_rank", "ord"], "rank", rank_offsets
+        )
+        rank_offsets = advance_offsets(rank_offsets, enq_counts)
+        next_frontier = enq.select("run_id", "rank", F.col("uri").alias("url"), "host", "can_fetch")
+        next_frontier = next_frontier.unionByName(
+            deferred.select("run_id", "rank", "url", "host", "can_fetch")
+        )
+        state.write("frontier", iteration, next_frontier)
+
+        # 7. seen ∪= every new candidate (crawler.go:127 adds all, not just
+        #    the emitted/enqueued ones)
+        state.write(
+            "seen",
+            iteration,
+            with_bucket(new_cands.select("run_id", "url_key", F.col("uri").alias("url"))),
+        )
+
+        # 8. metrics + per-partition lineage (S2)
+        deferred_n = 0 if all(q is None for q in quotas.values()) else deferred.count()
+        lineage = [
+            (iteration, "lineage_partition_candidates", str(r["src_pid"]), r["count"])
+            for r in candidates.groupBy("src_pid").count().collect()
+        ]
+        cand_n = sum(c for _, _, _, c in lineage)
+        metric_rows = lineage + [
+            (iteration, "frontier_in", "", frontier_rows),
+            (iteration, "candidates", "", cand_n),
+            (iteration, "emitted", "", sum(emit_counts.values())),
+            (iteration, "enqueued", "", sum(enq_counts.values())),
+            (iteration, "deferred", "", deferred_n),
+            (iteration, "wall_ms", "", int((time.monotonic() - t0) * 1000)),
+        ]
+        state.write("metrics", iteration, spark.createDataFrame(metric_rows, METRICS_SCHEMA))
+
+        frontier_rows = sum(enq_counts.values()) + deferred_n
+        state.commit(iteration, rank_offsets, seq_offsets, done=frontier_rows == 0)
+        candidates.unpersist()
+        new_cands.unpersist()
+
+    if frontier_rows > 0:
+        state.commit(iteration, rank_offsets, seq_offsets, done=False)
+    return CrawlReport(state, runs, iteration)
+
+
+def _bootstrap(spark, state: CrawlState, pages_n, runs):
+    """Iteration 0, driver-side (tiny, O(#runs + robots rules)): pre-seed the
+    seen set with the raw seed strings (crawler.go:97-98), fetch + parse
+    robots, process the robots link/sitemap injections through the canonical
+    candidate pipeline (crawler.go:246-263), and lay down frontier₀."""
+    robots_by_run = _collect_robots(spark, pages_n, runs)
+
+    results_rows, seen_rows, frontier_rows = [], [], []
+    rank_offsets, seq_offsets = {}, {}
+    for run_id, (seed, cfg) in runs.items():
+        base = gourl.parse(seed)  # raises on bad seed like Run()
+        seen_keys = {url_seen_key(seed)}
+        seen_rows.append((run_id, url_seen_key(seed), seed))
+        rules, injections = robots_by_run[run_id]
+        rank = 0
+        seed_can_fetch = can_parse(base.path) if cfg.no_head else True
+        frontier_rows.append((run_id, rank, seed, base.host, seed_can_fetch))
+        rank += 1
+        seq = 0
+        for tag, uri in injections:
+            key = url_seen_key(uri)
+            if key in seen_keys:
+                continue
+            seen_keys.add(key)
+            seen_rows.append((run_id, key, uri))
+            c = classify_candidate(cfg, rules, base, tag, uri)
+            if c.enqueue_ok:
+                frontier_rows.append((run_id, rank, uri, c.host, c.can_fetch))
+                rank += 1
+            if c.emit_ok:
+                results_rows.append((run_id, seq, uri, 0))
+                seq += 1
+        rank_offsets[run_id] = rank
+        seq_offsets[run_id] = seq
+
+    state.write(
+        "results",
+        0,
+        spark.createDataFrame(results_rows, RESULTS_SCHEMA),
+    )
+    state.write(
+        "seen",
+        0,
+        with_bucket(
+            spark.createDataFrame(
+                seen_rows, "run_id string, url_key string, url string"
+            )
+        ),
+    )
+    state.write("frontier", 0, spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA))
+    state.write(
+        "metrics",
+        0,
+        spark.createDataFrame(
+            [(0, "bootstrap_frontier", "", len(frontier_rows))], METRICS_SCHEMA
+        ),
+    )
+    state.commit(0, rank_offsets, seq_offsets, done=len(frontier_rows) == 0)
+    return rank_offsets, seq_offsets, len(frontier_rows)

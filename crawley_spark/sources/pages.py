@@ -1,0 +1,53 @@
+"""Pages-corpus source (F1).
+
+The corpus contract is BASELINE.json input_hint: a table of Common-Crawl-style
+pages ``(url string, warc_ts timestamp, html binary, text string, lang
+string)``; the engine additionally honors optional ``content_type`` and
+``status`` columns so fixture scenarios ported from the reference's httptest
+servers (which set real headers / status codes) stay expressible.
+
+``normalize_pages`` projects exactly the columns the fetch join needs —
+column pruning happens here, so a parquet scan reads only (url, html[,
+content_type, status]), never text/lang (verified by `.explain` in
+tests/test_engine_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def normalize_pages(pages: DataFrame) -> DataFrame:
+    """Project to the fetch-join schema (url, html, content_type, status)."""
+    cols = [F.col("url"), F.col("html").cast("binary").alias("html")]
+    if "content_type" in pages.columns:
+        cols.append(F.col("content_type"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("content_type"))
+    if "status" in pages.columns:
+        cols.append(F.col("status").cast("int").alias("status"))
+    else:
+        cols.append(F.lit(None).cast("int").alias("status"))
+    return pages.select(*cols)
+
+
+def dedup_latest_snapshot(pages: DataFrame) -> DataFrame:
+    """Common-Crawl corpora carry one row per (url, warc_ts) capture; the
+    fetch join needs url-unique pages. Keep the latest capture. Run once at
+    corpus-prep time, not per iteration."""
+    if "warc_ts" not in pages.columns:
+        return pages.dropDuplicates(["url"])
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return pages.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,130 @@
+"""Spark engine ≡ pure-Python reference interpreter, byte-exact.
+
+For every ported scenario (tests/scenarios.py) and a larger synthetic site,
+the engine's emitted-URL *sequence* (ordered by seq) and final URL-seen *set*
+must equal the interpreter's (SURVEY.md §3.4 canonical workers=1 FIFO order).
+"""
+
+import pytest
+
+from crawley_spark import interp
+from crawley_spark.engine import crawl as spark_crawl
+from crawley_spark.config import CrawlConfig
+from crawley_spark.interp import Page
+
+from .conftest import pages_to_df
+from .scenarios import SCENARIOS
+
+
+def run_both(spark, pages, seed, cfg, **kw):
+    want = interp.crawl(pages, seed, cfg)
+    report = spark_crawl(spark, pages_to_df(spark, pages), seed, cfg, **kw)
+    got_results = report.result_urls("run0")
+    got_seen = {r["url_key"]: r["url"] for r in report.seen("run0").collect()}
+    report.state.cleanup()
+    return want, got_results, got_seen
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_scenario_parity(spark, name):
+    pages, seed, cfg = SCENARIOS[name]
+    want, got_results, got_seen = run_both(spark, pages, seed, cfg)
+    assert got_results == want.results, f"{name}: emission order mismatch"
+    assert got_seen == want.seen, f"{name}: seen set mismatch"
+
+
+def synth_site(n_hosts=3, pages_per_host=12, links_per_page=5):
+    """Deterministic multi-host site with cross links, resources, js/css."""
+    pages = {}
+    hosts = [f"http://h{i}.example" for i in range(n_hosts)]
+    for hi, h in enumerate(hosts):
+        for p in range(pages_per_host):
+            links = []
+            for k in range(links_per_page):
+                tgt = (p * 7 + k * 3 + hi) % pages_per_host
+                href = f"/p{tgt}" if k % 2 == 0 else f"{hosts[(hi + k) % n_hosts]}/p{tgt}"
+                links.append(f'<a href="{href}">l{k}</a>')
+            links.append(f'<img src="/img{p}.png"/>')
+            links.append(f'<script src="/s{p % 3}.js"></script>')
+            body = f"<html><body>page {h}/p{p} {' '.join(links)}</body></html>"
+            pages[f"{h}/p{p}"] = Page(body=body, content_type="text/html")
+        pages[h] = Page(
+            body=f'<html><a href="/p0">root</a><a href="/p1">n</a></html>',
+            content_type="text/html",
+        )
+        for j in range(3):
+            pages[f"{h}/s{j}.js"] = Page(
+                body=f'var a = "/api/{j}"; var b = "http://h{j}.example/deep";',
+                content_type="application/javascript",
+            )
+    return pages
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        CrawlConfig(depth=2, no_head=True),
+        CrawlConfig(depth=-1, no_head=True, scan_js=True),
+        CrawlConfig(depth=3, no_head=True, dirs_policy="hide"),
+    ],
+    ids=["depth2", "unlimited_js", "hide"],
+)
+def test_synth_site_parity(spark, cfg):
+    pages = synth_site()
+    want, got_results, got_seen = run_both(spark, pages, "http://h0.example", cfg)
+    assert got_results == want.results
+    assert got_seen == want.seen
+
+
+def test_multi_run(spark):
+    pages = synth_site()
+    seeds = {"a": "http://h0.example", "b": "http://h1.example/p3"}
+    cfg = CrawlConfig(depth=2, no_head=True)
+    report = spark_crawl(spark, pages_to_df(spark, pages), seeds, cfg)
+    for run_id, seed in seeds.items():
+        want = interp.crawl(pages, seed, cfg)
+        assert report.result_urls(run_id) == want.results, run_id
+        got_seen = {r["url_key"]: r["url"] for r in report.seen(run_id).collect()}
+        assert got_seen == want.seen, run_id
+    report.state.cleanup()
+
+
+def test_politeness_deferral_preserves_sets(spark):
+    """Quota-based deferral must not change the URL-seen set or the emitted
+    URL *set* (order may shift — documented divergence, operators/politeness)."""
+    pages = synth_site()
+    cfg = CrawlConfig(depth=-1, no_head=True, delay_ms=100)
+    want = interp.crawl(pages, "http://h0.example", cfg)
+    report = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg, politeness_budget_ms=300
+    )
+    assert set(report.result_urls("run0")) == set(want.results)
+    got_seen = {r["url_key"] for r in report.seen("run0").collect()}
+    assert got_seen == set(want.seen)
+    # deferral actually happened (some iteration deferred > 0)
+    deferred = {
+        r["iter"]: r["value"]
+        for r in report.metrics().filter("metric = 'deferred'").collect()
+    }
+    assert any(v > 0 for v in deferred.values())
+    report.state.cleanup()
+
+
+def test_resume_mid_crawl(spark, tmp_path):
+    """Kill after iteration k, resume from checkpoint → identical output."""
+    pages = synth_site()
+    cfg = CrawlConfig(depth=-1, no_head=True)
+    want = interp.crawl(pages, "http://h0.example", cfg)
+    ck = str(tmp_path / "ck")
+    partial = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg,
+        checkpoint_dir=ck, max_iterations=2,
+    )
+    assert partial.iterations == 2
+    resumed = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg,
+        checkpoint_dir=ck, resume=True,
+    )
+    assert resumed.result_urls("run0") == want.results
+    got_seen = {r["url_key"]: r["url"] for r in resumed.seen("run0").collect()}
+    assert got_seen == want.seen
