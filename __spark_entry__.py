@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: a real depth-bounded BFS crawl (the full engine) over
+              a corpus derived from the sf0.001 ``documents`` table.
+``queries`` — one entry per implemented operator from SURVEY.md §2 plus the
+              training-data pipeline operators; each callable takes
+              (spark, sf_dir) and returns a DataFrame.
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents. Crawl-engine queries
+              derive a deterministic URL table from ``documents`` with
+              SQL-portable expressions so both engines compute the same
+              inputs; genuinely non-SQL-expressible ops (the iterative BFS
+              crawl, MinHash/SimHash/ANN, media decode) omit the oracle and
+              get the driver's rows-only check.
+
+Column names/types are aligned on both sides (aggregates cast to BIGINT; no
+float columns in oracle-checked outputs).
 """
 
 from __future__ import annotations
@@ -12,27 +21,532 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared derivation: a deterministic URL table from `documents`
+# ---------------------------------------------------------------------------
+
+_URLS_SQL = """
+    SELECT
+        doc_id,
+        text,
+        n_chars,
+        'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+        CASE CAST(doc_id % 6 AS INTEGER)
+            WHEN 0 THEN '/'
+            WHEN 1 THEN '/a/p' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN '/a/b/p' || CAST(doc_id AS VARCHAR) || '.html'
+            WHEN 3 THEN '/img/p' || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN 4 THEN '/js/p' || CAST(doc_id AS VARCHAR) || '.js'
+            ELSE '/s' || CAST(doc_id AS VARCHAR) || '/sitemap.xml'
+        END AS path,
+        CASE CAST(doc_id % 6 AS INTEGER)
+            WHEN 2 THEN '.html' WHEN 3 THEN '.png' WHEN 4 THEN '.js'
+            WHEN 5 THEN '.xml' ELSE ''
+        END AS ext
+    FROM documents
+"""
+
+
+def _with_url(inner: str) -> str:
+    return (
+        "WITH urls_base AS (" + inner + "), "
+        "urls AS (SELECT *, 'http://' || host || path AS url FROM urls_base) "
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    kind = (did % 6).cast("int")
+    ids = did.cast("string")
+    path = (
+        F.when(kind == 0, F.lit("/"))
+        .when(kind == 1, F.concat(F.lit("/a/p"), ids))
+        .when(kind == 2, F.concat(F.lit("/a/b/p"), ids, F.lit(".html")))
+        .when(kind == 3, F.concat(F.lit("/img/p"), ids, F.lit(".png")))
+        .when(kind == 4, F.concat(F.lit("/js/p"), ids, F.lit(".js")))
+        .otherwise(F.concat(F.lit("/s"), ids, F.lit("/sitemap.xml")))
+    )
+    ext = (
+        F.when(kind == 2, F.lit(".html"))
+        .when(kind == 3, F.lit(".png"))
+        .when(kind == 4, F.lit(".js"))
+        .when(kind == 5, F.lit(".xml"))
+        .otherwise(F.lit(""))
+    )
+    host = F.concat(F.lit("h"), (did % 7).cast("string"), F.lit(".test"))
+    return d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        host.alias("host"),
+        path.alias("path"),
+        ext.alias("ext"),
+    ).withColumn("url", F.concat(F.lit("http://"), F.col("host"), F.col("path")))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_fetch_join(spark, sf_dir):
+    """F1 — frontier ⋈ pages left join; misses are 404-equivalents."""
+    urls = _urls(spark, sf_dir)
+    pages = urls.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("url").alias("p_url"), F.lit(1).alias("hit")
+    )
+    j = urls.join(pages, urls.url == pages.p_url, "left")
+    return j.groupBy("host").agg(
+        F.count("hit").alias("n_fetched"),
+        (F.count("*") - F.count("hit")).alias("n_missing"),
+    )
+
+
+def _q_seen_antijoin(spark, sf_dir):
+    """D1 — candidates anti-join the seen set."""
+    urls = _urls(spark, sf_dir)
+    seen = urls.filter(F.col("doc_id") % 4 == 0).select("url")
+    new = urls.join(seen, "url", "left_anti")
+    return new.groupBy("host").agg(
+        F.count("*").alias("n_new"), F.min("doc_id").alias("min_id")
+    )
+
+
+def _q_wave_dedup(spark, sf_dir):
+    """D2 — in-wave first-occurrence dedup by canonical order."""
+    from pyspark.sql import Window
+
+    urls = _urls(spark, sf_dir).withColumn("key", F.col("doc_id") % 50)
+    w = Window.partitionBy("key").orderBy("doc_id")
+    return (
+        urls.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "doc_id", "url")
+    )
+
+
+def _q_politeness(spark, sf_dir):
+    """Q2 — per-host fetch slots; quota 3 per iteration."""
+    from pyspark.sql import Window
+
+    urls = _urls(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    sched = urls.withColumn("slot", F.row_number().over(w)).filter(F.col("slot") <= 3)
+    return sched.groupBy("host").agg(
+        F.count("*").alias("n_scheduled"), F.sum("doc_id").cast("long").alias("sum_ids")
+    )
+
+
+def _q_depth_gate(spark, sf_dir):
+    """P1 — path depth = non-empty segment count; gate at depth <= 2."""
+    urls = _urls(spark, sf_dir)
+    depth = F.size(F.filter(F.split(F.col("path"), "/"), lambda x: x != F.lit(""))).cast("long")
+    return (
+        urls.withColumn("depth", depth)
+        .groupBy("depth")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.when(F.col("depth") <= 2, 1).otherwise(0)).cast("long").alias("n_crawlable"),
+        )
+    )
+
+
+def _q_dirs_policy(spark, sf_dir):
+    """P4 — resource vs directory classification per dirs policy."""
+    urls = _urls(spark, sf_dir)
+    is_res = F.col("ext") != ""
+    return urls.groupBy("host").agg(
+        F.count("*").alias("n_show"),
+        F.sum(F.when(is_res, 1).otherwise(0)).cast("long").alias("n_hide_policy"),
+        F.sum(F.when(~is_res, 1).otherwise(0)).cast("long").alias("n_only_policy"),
+    )
+
+
+def _q_ignore_filter(spark, sf_dir):
+    """P3 — substring ignore list drops candidates from crawling."""
+    urls = _urls(spark, sf_dir)
+    ignored = F.col("url").contains("img") | F.col("url").contains("/s")
+    return urls.groupBy("host").agg(
+        F.sum(F.when(~ignored, 1).otherwise(0)).cast("long").alias("n_crawl"),
+        F.sum(F.when(ignored, 1).otherwise(0)).cast("long").alias("n_ignored"),
+    )
+
+
+def _q_sitemap_detect(spark, sf_dir):
+    """P8 — sitemap suffix detector."""
+    urls = _urls(spark, sf_dir)
+    sm = urls.filter(F.col("url").endswith("sitemap.xml"))
+    return sm.groupBy("host").agg(
+        F.count("*").alias("n_sitemaps"), F.min("doc_id").alias("min_id")
+    )
+
+
+def _q_bfs_waves(spark, sf_dir):
+    """D3/BFS — two-wave frontier expansion over a derived edge set
+    (iterative joins ≡ recursive CTE in the oracle)."""
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 3 + 7) % n).alias("dst")
+    )
+    w0 = d.filter(F.col("doc_id") < 5).select(F.col("doc_id").alias("node"))
+    w1 = (
+        w0.join(edges, w0.node == edges.src)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    w2 = (
+        w1.join(edges, w1.node == edges.src)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    waves = (
+        w0.withColumn("wave", F.lit(0))
+        .unionByName(w1.withColumn("wave", F.lit(1)))
+        .unionByName(w2.withColumn("wave", F.lit(2)))
+    )
+    return waves.groupBy("node").agg(F.min("wave").cast("int").alias("wave"))
+
+
+def _q_url_seen_key(spark, sf_dir):
+    """N2 — dedup key = lowercased URL."""
+    urls = _urls(spark, sf_dir)
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("url"))).otherwise(F.col("url"))
+    u = urls.withColumn("mixed", mixed)
+    return u.groupBy("host").agg(
+        F.countDistinct("mixed").alias("n_raw"),
+        F.countDistinct(F.lower(F.col("mixed"))).alias("n_keys"),
+    )
+
+
+def _q_host_agg(spark, sf_dir):
+    """S2 — per-host metrics aggregation."""
+    urls = _urls(spark, sf_dir)
+    return urls.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """exact dedup — every text duplicated once via a shifted union."""
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    dup = d.select((F.col("doc_id") + n).alias("doc_id"), "text")
+    cand = d.select("doc_id", "text").unionByName(dup)
+    return (
+        cand.select(F.col("doc_id"), F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    from crawley_spark.operators.textstats import token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def _q_quality(spark, sf_dir):
+    from crawley_spark.operators.textstats import quality_stats
+
+    return quality_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from crawley_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from crawley_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+# -- rows-only (non-SQL-expressible) --
+
+
+def _q_crawl_bfs(spark, sf_dir):
+    """The flagship: the full iterative crawl engine over a corpus derived
+    from `documents` (host roots as seeds, depth 1)."""
+    from crawley_spark.config import CrawlConfig
+    from crawley_spark.corpus import corpus_from_documents
+    from crawley_spark.engine import crawl
+
+    docs = _docs(spark, sf_dir)
+    pages = corpus_from_documents(docs)
+    report = crawl(
+        spark,
+        pages,
+        {"h0": "http://h0.test", "h1": "http://h1.test"},
+        CrawlConfig(depth=1, no_head=True),
+    )
+    return report.results()
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    from crawley_spark.operators.dedup import near_duplicates_minhash
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    # plant near-duplicates: copies with a small suffix appended
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"), F.concat(F.col("text"), F.lit(" tail")).alias("text")
+    )
+    cand = d.select("doc_id", "text").unionByName(dup)
+    pairs = near_duplicates_minhash(cand, threshold=0.5)
+    return pairs.select("doc_a", "doc_b")
+
+
+def _q_simhash(spark, sf_dir):
+    from crawley_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from crawley_spark.operators.dedup import ngram_jaccard
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pairs = d.select(F.col("doc_id").alias("doc_a")).crossJoin(
+        d.select(F.col("doc_id").alias("doc_b"))
+    ).filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") - F.col("doc_a") == 1))
+    j = ngram_jaccard(d, pairs)
+    return j.select("doc_a", "doc_b", (F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"))
+
+
+def _q_ann_brute(spark, sf_dir):
+    from crawley_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from crawley_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def _q_media_features(spark, sf_dir):
+    from crawley_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=128)
+    return extract_features(media, decode="fake").select("media_id", "kind", "n_bytes")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "fetch_join": _q_fetch_join,
+        "seen_antijoin": _q_seen_antijoin,
+        "wave_dedup": _q_wave_dedup,
+        "politeness_slots": _q_politeness,
+        "depth_gate": _q_depth_gate,
+        "dirs_policy": _q_dirs_policy,
+        "ignore_filter": _q_ignore_filter,
+        "sitemap_detect": _q_sitemap_detect,
+        "bfs_waves": _q_bfs_waves,
+        "url_seen_key": _q_url_seen_key,
+        "host_agg": _q_host_agg,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "quality_stats": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "crawl_bfs": _q_crawl_bfs,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_brute": _q_ann_brute,
+        "ann_lsh": _q_ann_lsh,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    U = _with_url(_URLS_SQL)
+    return {
+        "fetch_join": U
+        + """
+        , pages AS (SELECT url AS p_url, 1 AS hit FROM urls WHERE doc_id % 3 <> 0)
+        SELECT host,
+               CAST(COUNT(hit) AS BIGINT) AS n_fetched,
+               CAST(COUNT(*) - COUNT(hit) AS BIGINT) AS n_missing
+        FROM urls u LEFT JOIN pages p ON u.url = p.p_url
+        GROUP BY host
+        """,
+        "seen_antijoin": U
+        + """
+        , seen AS (SELECT url FROM urls WHERE doc_id % 4 = 0)
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_new, MIN(doc_id) AS min_id
+        FROM urls u ANTI JOIN seen s ON u.url = s.url
+        GROUP BY host
+        """,
+        "wave_dedup": U
+        + """
+        SELECT key, doc_id, url FROM (
+            SELECT doc_id % 50 AS key, doc_id, url,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn
+            FROM urls
+        ) WHERE rn = 1
+        """,
+        "politeness_slots": U
+        + """
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_scheduled,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM (
+            SELECT host, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS slot
+            FROM urls
+        ) WHERE slot <= 3
+        GROUP BY host
+        """,
+        "depth_gate": U
+        + """
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(SUM(CASE WHEN depth <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crawlable
+        FROM (
+            SELECT CAST(length(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS depth
+            FROM urls
+        )
+        GROUP BY depth
+        """,
+        "dirs_policy": U
+        + """
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_show,
+               CAST(SUM(CASE WHEN ext <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_hide_policy,
+               CAST(SUM(CASE WHEN ext = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_only_policy
+        FROM urls GROUP BY host
+        """,
+        "ignore_filter": U
+        + """
+        SELECT host,
+               CAST(SUM(CASE WHEN NOT ign THEN 1 ELSE 0 END) AS BIGINT) AS n_crawl,
+               CAST(SUM(CASE WHEN ign THEN 1 ELSE 0 END) AS BIGINT) AS n_ignored
+        FROM (
+            SELECT host,
+                   (position('img' IN url) > 0 OR position('/s' IN url) > 0) AS ign
+            FROM urls
+        )
+        GROUP BY host
+        """,
+        "sitemap_detect": U
+        + """
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_sitemaps, MIN(doc_id) AS min_id
+        FROM urls WHERE url LIKE '%sitemap.xml' GROUP BY host
+        """,
+        "bfs_waves": """
+        WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT n FROM n) AS dst FROM documents),
+        w0 AS (SELECT doc_id AS node FROM documents WHERE doc_id < 5),
+        w1 AS (SELECT DISTINCT dst AS node FROM edges JOIN w0 ON w0.node = edges.src),
+        w2 AS (SELECT DISTINCT dst AS node FROM edges JOIN w1 ON w1.node = edges.src),
+        waves AS (
+            SELECT node, 0 AS wave FROM w0
+            UNION ALL SELECT node, 1 FROM w1
+            UNION ALL SELECT node, 2 FROM w2
+        )
+        SELECT node, CAST(MIN(wave) AS INTEGER) AS wave FROM waves GROUP BY node
+        """,
+        "url_seen_key": U
+        + """
+        SELECT host,
+               CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_raw,
+               CAST(COUNT(DISTINCT lower(mixed)) AS BIGINT) AS n_keys
+        FROM (
+            SELECT host, CASE WHEN doc_id % 2 = 0 THEN upper(url) ELSE url END AS mixed
+            FROM urls
+        )
+        GROUP BY host
+        """,
+        "host_agg": U
+        + """
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MAX(doc_id) AS max_id
+        FROM urls GROUP BY host
+        """,
+        "dedup_exact": """
+        WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        cand AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + (SELECT n FROM n), text FROM documents
+        )
+        SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM cand GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "token_count": """
+        SELECT doc_id,
+               CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+        "quality_stats": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods,
+               CAST(length(text) - length(replace(text, ',', '')) AS BIGINT) AS n_commas,
+               CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
+        FROM documents
+        """,
+        "lang_id": """
+        WITH scored AS (
+            SELECT doc_id,
+                CAST((length(t) - length(replace(t, ' der ', ''))) / 5
+                   + (length(t) - length(replace(t, ' und ', ''))) / 5
+                   + (length(t) - length(replace(t, ' die ', ''))) / 5 AS BIGINT) AS score_de,
+                CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+                   + (length(t) - length(replace(t, ' and ', ''))) / 5
+                   + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+                CAST((length(t) - length(replace(t, ' el ', ''))) / 4
+                   + (length(t) - length(replace(t, ' y ', ''))) / 3
+                   + (length(t) - length(replace(t, ' de la ', ''))) / 7 AS BIGINT) AS score_es,
+                CAST((length(t) - length(replace(t, ' le ', ''))) / 4
+                   + (length(t) - length(replace(t, ' et ', ''))) / 4
+                   + (length(t) - length(replace(t, ' les ', ''))) / 5 AS BIGINT) AS score_fr
+            FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               greatest(score_de, score_en, score_es, score_fr) AS best_score
+        FROM scored
+        """,
+        "fingerprint": r"""
+        SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents
+        """,
+        # crawl_bfs / minhash_dedup / simhash / ngram_jaccard / ann_* /
+        # media_features: no SQL oracle (iterative engine / hash-UDF /
+        # non-deterministic-in-SQL float ranking) → driver rows-only check
+    }

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode=\"fake\"`` produces deterministic features from the bytes (so the
+Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
+tested); ``decode=\"real\"`` raises NotImplementedError where a PIL/ffmpeg
+call would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                kind = kinds[i % 3]
+                payload = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=64).digest() * (
+                    1 + i % 4
+                )
+                rows.append(
+                    (
+                        i,
+                        kind,
+                        payload,
+                        {
+                            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                            "width": 64 + i % 512 if kind != "audio" else None,
+                            "height": 64 + (i * 7) % 512 if kind != "audio" else None,
+                            "duration_ms": (i * 137) % 60000 if kind != "image" else None,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Decode + feature-extract per media row (Arrow-batched). ``fake`` =
+    deterministic bytes-hash features; ``real`` = the codec call site
+    (NotImplementedError in this container)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                data = bytes(payload) if payload is not None else b""
+                if decode == "real":
+                    raise NotImplementedError(
+                        "media codecs unavailable in this container; "
+                        "plug PIL/soundfile/ffmpeg here"
+                    )
+                digest = hashlib.blake2b(data, digest_size=FEATURE_DIM * 4).digest()
+                feat = (
+                    np.frombuffer(digest, dtype=np.uint32).astype(np.float32)
+                    / np.float32(2**32)
+                )
+                rows.append((int(mid), kind, len(data), [float(x) for x in feat]))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes", "feature"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(fn, FEATURES_SCHEMA)

@@ -1,0 +1,85 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All hot-path logic is pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen-friendly, no Python in the loop. Each operator
+has a DuckDB-oracle-checkable equivalent in __spark_entry__.oracle_sql
+(integer/string outputs only — no float hashing hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count (space-split, empty tokens dropped)."""
+    return F.size(F.filter(F.split(text, " "), lambda x: x != F.lit(""))).cast("long")
+
+
+def occurrences(text: Column, sub: str) -> Column:
+    """Occurrence count of a literal substring via the length/replace trick
+    (portable to ANSI SQL)."""
+    return ((F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))) / len(sub)).cast(
+        "long"
+    )
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc integer quality signals: chars, tokens, sentence-ish marks,
+    commas, digits-proxy. Downstream filters compose on these."""
+    t = F.col(text_col)
+    return df.select(
+        F.col("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        occurrences(t, ".").alias("n_periods"),
+        occurrences(t, ",").alias("n_commas"),
+        occurrences(t, " the ").alias("n_the"),
+    )
+
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " de la "],
+}
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    s = F.lit(0).cast("long")
+    for m in _LANG_MARKERS[lang]:
+        s = s + occurrences(text, m)
+    return s
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker counts,
+    'und' (undetermined) when all scores are zero. Deterministic tie-break by
+    language code order."""
+    t = F.lower(F.col(text_col))
+    scored = df.select(
+        F.col("doc_id"),
+        *[lang_score(t, lang).alias(f"score_{lang}") for lang in sorted(_LANG_MARKERS)],
+    )
+    langs = sorted(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Exact-dedup key robust to spacing/case."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(F.col("doc_id"), F.md5(norm).alias("fp"))
