@@ -1,0 +1,137 @@
+"""Benchmark harness.
+
+Default mode: runs the headline operator queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) plus a synthetic-corpus crawl on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "crawl": {...frontier throughput details...}}
+
+--crawl-only --cores N: run just the crawl at a given parallelism and print
+its JSON (used by tools/scaling_bench.py for the N-vs-4N efficiency run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "fetch_join",
+    "seen_antijoin",
+    "wave_dedup",
+    "politeness_slots",
+    "bfs_waves",
+    "dedup_exact",
+    "token_count",
+    "lang_id",
+    "fingerprint",
+    "simhash",
+    "minhash_dedup",
+    "ann_brute",
+    "ann_lsh",
+]
+
+CRAWL_PAGES_PER_DOC = 4  # corpus pages per documents row at the bench sf
+
+
+def run_crawl(spark, n_pages: int, seed_hosts: int = 2):
+    """Synthetic-corpus crawl; returns throughput stats."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.config import CrawlConfig
+    from crawley_spark.corpus import synth_corpus
+    from crawley_spark.engine import crawl
+
+    pages = synth_corpus(spark, n_pages=n_pages, n_hosts=20)
+    # materialize the corpus so generation cost is excluded from crawl time
+    pages = pages.persist()
+    n_corpus = pages.count()
+    seeds = {f"h{i}": f"http://h{i}.test" for i in range(seed_hosts)}
+    t0 = time.monotonic()
+    report = crawl(spark, pages, seeds, CrawlConfig(depth=-1, no_head=True))
+    wall = time.monotonic() - t0
+    m = {
+        r["metric"]: r["value"]
+        for r in report.metrics().groupBy("metric").sum("value").collect()
+        for r in [{"metric": r["metric"], "value": r["sum(value)"]}]
+    }
+    frontier_urls = int(m.get("frontier_in", 0)) + int(m.get("bootstrap_frontier", 0))
+    candidates = int(m.get("candidates", 0))
+    emitted = int(m.get("emitted", 0))
+    pages.unpersist()
+    stats = {
+        "corpus_pages": n_corpus,
+        "iterations": report.iterations,
+        "frontier_urls": frontier_urls,
+        "candidates": candidates,
+        "emitted": emitted,
+        "wall_sec": round(wall, 2),
+        "frontier_urls_per_sec": round(frontier_urls / wall, 1),
+        "candidates_per_sec": round(candidates / wall, 1),
+    }
+    report.state.cleanup()
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--crawl-pages", type=int, default=0)
+    args = ap.parse_args()
+
+    from crawley_spark.session import get_spark
+
+    spark = get_spark("crawley-bench", cores=args.cores, shuffle_partitions=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        f"select count(*) from '{args.sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    n_pages = args.crawl_pages or max(4000, n_docs * CRAWL_PAGES_PER_DOC)
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if args.crawl_only:
+        stats = run_crawl(spark, n_pages)
+        print(json.dumps({"cores": args.cores, "sf": sf, **stats}))
+        return
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings = {}
+    total0 = time.monotonic()
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, args.sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    crawl_stats = run_crawl(spark, n_pages)
+    timings["crawl_bfs_synth"] = crawl_stats["wall_sec"]
+    total = time.monotonic() - total0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_crawl_total",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl": crawl_stats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

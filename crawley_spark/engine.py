@@ -18,6 +18,7 @@ reference driver loop (crawler.go:119-135). Never rely on partition order.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,7 +32,7 @@ from .kernels.extract import classify_candidate
 from .kernels.paths import can_parse, url_seen_key
 from .operators.politeness import salt_hot_hosts, schedule
 from .operators.seen import anti_join_seen, first_occurrence
-from .plans.ordering import advance_offsets, assign_order_index
+from .plans.ordering import advance_offsets, assign_flagged_indexes
 from .sources.pages import normalize_pages
 from .sources.state import (
     FRONTIER_SCHEMA,
@@ -185,45 +186,60 @@ def crawl(
         # 4. dedup (D2 in-wave, D1 vs seen)
         new_cands = anti_join_seen(
             first_occurrence(candidates), state.seen(upto=iteration - 1)
-        ).persist()
+        )
 
-        # 5. emit (P4, S1): canonical order → dense seq
-        emitted, emit_counts = assign_order_index(
-            new_cands.filter(F.col("emit_ok")), ["parent_rank", "ord"], "seq", seq_offsets
+        # 5+6. one canonical-order pass assigns BOTH the emission seq and the
+        # next-frontier rank (dense per flag); the localCheckpoint inside
+        # materializes the deduped wave exactly once
+        indexed, idx_counts = assign_flagged_indexes(
+            new_cands,
+            ["parent_rank", "ord"],
+            ["emit_ok", "enqueue_ok"],
+            {"emit_ok": seq_offsets, "enqueue_ok": rank_offsets},
         )
-        state.write(
-            "results",
-            iteration,
-            emitted.select(
-                "run_id", "seq", F.col("uri").alias("url"), F.lit(iteration).alias("iter")
-            ),
-        )
+        emit_counts = idx_counts["emit_ok"]
+        enq_counts = idx_counts["enqueue_ok"]
         seq_offsets = advance_offsets(seq_offsets, emit_counts)
-
-        # 6. enqueue (P1/P3/N3): next frontier = new crawlables + deferred
-        enq, enq_counts = assign_order_index(
-            new_cands.filter(F.col("enqueue_ok")), ["parent_rank", "ord"], "rank", rank_offsets
-        )
         rank_offsets = advance_offsets(rank_offsets, enq_counts)
-        next_frontier = enq.select("run_id", "rank", F.col("uri").alias("url"), "host", "can_fetch")
-        next_frontier = next_frontier.unionByName(
-            deferred.select("run_id", "rank", "url", "host", "can_fetch")
-        )
-        state.write("frontier", iteration, next_frontier)
 
-        # 7. seen ∪= every new candidate (crawler.go:127 adds all, not just
-        #    the emitted/enqueued ones)
-        state.write(
-            "seen",
-            iteration,
-            with_bucket(new_cands.select("run_id", "url_key", F.col("uri").alias("url"))),
+        results_df = indexed.filter(F.col("emit_ok")).select(
+            "run_id",
+            F.col("idx_emit_ok").alias("seq"),
+            F.col("uri").alias("url"),
+            F.lit(iteration).alias("iter"),
         )
+        next_frontier = indexed.filter(F.col("enqueue_ok")).select(
+            "run_id",
+            F.col("idx_enqueue_ok").alias("rank"),
+            F.col("uri").alias("url"),
+            "host",
+            "can_fetch",
+        ).unionByName(deferred.select("run_id", "rank", "url", "host", "can_fetch"))
+        seen_df = with_bucket(indexed.select("run_id", "url_key", F.col("uri").alias("url")))
 
-        # 8. metrics + per-partition lineage (S2)
-        deferred_n = 0 if all(q is None for q in quotas.values()) else deferred.count()
+        # 7+8. independent actions run concurrently on driver threads: three
+        # table writes + lineage collect + deferred count (the wave is
+        # already materialized by the index pass, so these only re-read it)
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futs = [
+                pool.submit(state.write, "results", iteration, results_df),
+                pool.submit(state.write, "frontier", iteration, next_frontier),
+                pool.submit(state.write, "seen", iteration, seen_df),
+            ]
+            lineage_fut = pool.submit(
+                lambda: candidates.groupBy("src_pid").count().collect()
+            )
+            deferred_fut = pool.submit(
+                lambda: 0 if all(q is None for q in quotas.values()) else deferred.count()
+            )
+            for f in futs:
+                f.result()
+            lineage_rows = lineage_fut.result()
+            deferred_n = deferred_fut.result()
+
         lineage = [
             (iteration, "lineage_partition_candidates", str(r["src_pid"]), r["count"])
-            for r in candidates.groupBy("src_pid").count().collect()
+            for r in lineage_rows
         ]
         cand_n = sum(c for _, _, _, c in lineage)
         metric_rows = lineage + [
@@ -239,7 +255,6 @@ def crawl(
         frontier_rows = sum(enq_counts.values()) + deferred_n
         state.commit(iteration, rank_offsets, seq_offsets, done=frontier_rows == 0)
         candidates.unpersist()
-        new_cands.unpersist()
 
     if frontier_rows > 0:
         state.commit(iteration, rank_offsets, seq_offsets, done=False)

@@ -87,3 +87,74 @@ def advance_offsets(offsets: dict, run_counts: dict) -> dict:
     for run, cnt in run_counts.items():
         out[run] = out.get(run, 0) + cnt
     return out
+
+
+def assign_flagged_indexes(
+    df: DataFrame,
+    order_cols: list,
+    flags: list,
+    offsets_by_flag: dict,
+    run_col: str = "run_id",
+):
+    """One range-sort pass assigning several per-run dense indexes at once:
+    for each boolean column ``flag`` in ``flags``, rows where the flag holds
+    get ``idx_<flag>`` = offsets_by_flag[flag][run] + (0-based position among
+    flagged rows in canonical order). Null elsewhere.
+
+    This replaces one full sort+counts pass per index (emit seq, frontier
+    rank) with a single pass: range-partition + in-partition sort, one counts
+    job, running-sum windows for the in-partition positions.
+
+    Returns (indexed_df, {flag: {run: count}}).
+    """
+    spark = df.sparkSession
+    n = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    keys = [run_col] + list(order_cols)
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=False)
+    aggs = [
+        F.sum(F.when(F.col(fl), 1).otherwise(0)).alias(f"_n_{fl}") for fl in flags
+    ]
+    counts = ranged.groupBy("_pid", run_col).agg(*aggs).collect()
+    counts = sorted(counts, key=lambda r: r["_pid"])
+    run_counts = {fl: {} for fl in flags}
+    offset_entries = {fl: [] for fl in flags}
+    nxt = {fl: {} for fl in flags}
+    for row in counts:
+        run = row[run_col]
+        for fl in flags:
+            base = nxt[fl].setdefault(run, offsets_by_flag[fl].get(run, 0))
+            offset_entries[fl].append(((row["_pid"], run), base))
+            nxt[fl][run] = base + row[f"_n_{fl}"]
+    for fl in flags:
+        run_counts[fl] = {
+            run: nxt[fl][run] - offsets_by_flag[fl].get(run, 0) for run in nxt[fl]
+        }
+    w = (
+        Window.partitionBy("_pid", run_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    mkey = F.concat_ws("\x00", F.col("_pid").cast("string"), F.col(run_col))
+    for fl in flags:
+        map_args = []
+        for (pid, run), off in offset_entries[fl]:
+            map_args.append(F.concat_ws("\x00", F.lit(str(pid)), F.lit(run)))
+            map_args.append(F.lit(off))
+        if not map_args:
+            out = out.withColumn(f"idx_{fl}", F.lit(None).cast("long"))
+            continue
+        omap = F.create_map(*map_args)
+        running = F.sum(F.when(F.col(fl), 1).otherwise(0)).over(w)
+        out = out.withColumn(
+            f"idx_{fl}",
+            F.when(
+                F.col(fl), (F.element_at(omap, mkey) + running - 1).cast("long")
+            ),
+        )
+    return out.drop("_pid"), run_counts
