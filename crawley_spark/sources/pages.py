@@ -43,6 +43,25 @@ def normalize_pages(pages: DataFrame) -> DataFrame:
     return pages.select(*cols)
 
 
+def prepare_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """One-time corpus preparation for iterative crawling: hash-partition and
+    sort by ``url`` and persist. Every per-iteration fetch join then reuses
+    the corpus partitioning/ordering (no exchange, no re-sort on the pages
+    side of the sort-merge join — only the small frontier side shuffles).
+
+    Production equivalent: an Iceberg table bucketed on url — the scan
+    reports the same partitioning and this step disappears entirely.
+    """
+    spark = pages.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        normalize_pages(pages)
+        .repartition(n, F.col("url"))
+        .sortWithinPartitions("url")
+        .persist()
+    )
+
+
 def dedup_latest_snapshot(pages: DataFrame) -> DataFrame:
     """Common-Crawl corpora carry one row per (url, warc_ts) capture; the
     fetch join needs url-unique pages. Keep the latest capture. Run once at

@@ -117,6 +117,26 @@ class CrawlState:
     def write(self, table: str, iteration: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._dir(table, iteration))
 
+    def write_local(self, table: str, iteration: int, rows: list, schema: T.StructType) -> None:
+        """Driver-local rows → parquet via pyarrow directly (no Spark job —
+        a local createDataFrame costs one Python-worker round-trip per
+        default-parallelism partition, ~4s/write at local[32]). Used for the
+        tiny driver-side tables: metrics and the iteration-0 bootstrap."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {"string": pa.string(), "long": pa.int64(), "integer": pa.int32(), "boolean": pa.bool_()}
+        pa_schema = pa.schema([(f.name, _PA[f.dataType.typeName()]) for f in schema.fields])
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table_arr = pa.table(
+            {f.name: pa.array(list(c), type=_PA[f.dataType.typeName()]) for f, c in zip(schema.fields, cols)}
+        )
+        d = self._dir(table, iteration)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table_arr, os.path.join(d, "part-00000.parquet"))
+        with open(os.path.join(d, "_SUCCESS"), "w"):
+            pass
+
     def _read_upto(self, table: str, schema: T.StructType, upto: int) -> DataFrame:
         dirs = [
             self._dir(table, i)
