@@ -31,11 +31,13 @@ from .kernels import gourl, robotsx
 from .kernels.extract import classify_candidate
 from .kernels.paths import can_parse, url_seen_key
 from .kernels.xxh import spark_xxhash64
+from .operators import bloom as bloomf
 from .operators.politeness import salt_hot_hosts, schedule
 from .operators.seen import anti_join_seen, first_occurrence
 from .plans.ordering import advance_offsets, assign_flagged_indexes
 from .sources.pages import normalize_pages
 from .sources.state import (
+    BLOOM_STATE_SCHEMA,
     FRONTIER_SCHEMA,
     METRICS_SCHEMA,
     RESULTS_SCHEMA,
@@ -121,6 +123,7 @@ def crawl(
     max_iterations: int = 10_000,
     resume: bool = False,
     salt_k: int = 0,
+    bloom_prefilter: bool = True,
 ) -> CrawlReport:
     """Run a depth-bounded BFS crawl of ``pages`` from ``seeds``.
 
@@ -179,6 +182,19 @@ def crawl(
 
     debug_timing = _os.environ.get("CRAWLEY_DEBUG_TIMING") == "1"
 
+    # Bloom shards (north_rule): definitely-new candidates skip the exact
+    # anti-join. Invariant: blooms ⊇ seen (bootstrap + every committed
+    # iteration wrote its shard deltas before the manifest commit).
+    bloom_merged: dict = {}
+    bloom_bc = None
+    if bloom_prefilter:
+        shard_rows = [
+            (r["bucket"], bytes(r["bitmap"]))
+            for r in state._read_upto("blooms", BLOOM_STATE_SCHEMA, iteration).collect()
+        ]
+        bloom_merged = bloomf.merge_bitmaps(shard_rows)
+        bloom_bc = spark.sparkContext.broadcast(bloom_merged)
+
     while frontier_rows > 0 and iteration < max_iterations:
         iteration += 1
         t0 = time.monotonic()
@@ -199,10 +215,24 @@ def crawl(
         ).mapInPandas(extract_fn, CANDIDATES_SCHEMA)
         candidates = candidates.persist()
 
-        # 4. dedup (D2 in-wave, D1 vs seen)
-        new_cands = anti_join_seen(
-            first_occurrence(candidates), state.seen(upto=iteration - 1)
-        )
+        # 4. dedup (D2 in-wave, D1 vs seen): first-occurrence window, then
+        # Bloom prefilter — definitely-new rows skip the exact anti-join
+        firsts = first_occurrence(candidates)
+        flags = ["emit_ok", "enqueue_ok"]
+        offs = {"emit_ok": seq_offsets, "enqueue_ok": rank_offsets}
+        if bloom_prefilter:
+            firsts = bloomf.prefilter(
+                bloomf.with_bloom_hashes(with_bucket(firsts)), bloom_bc
+            )
+            maybe = firsts.filter(F.col("_maybe_seen"))
+            fresh = firsts.filter(~F.col("_maybe_seen"))
+            new_cands = fresh.unionByName(
+                anti_join_seen(maybe, state.seen(upto=iteration - 1))
+            )
+            flags = flags + ["_maybe_seen"]  # free per-run counts via the index pass
+            offs = dict(offs, _maybe_seen={})
+        else:
+            new_cands = anti_join_seen(firsts, state.seen(upto=iteration - 1))
 
         # 5+6. one canonical-order pass assigns BOTH the emission seq and the
         # next-frontier rank (dense per flag); the localCheckpoint inside
@@ -211,8 +241,8 @@ def crawl(
         indexed, idx_counts = assign_flagged_indexes(
             new_cands,
             ["parent_rank", "ord"],
-            ["emit_ok", "enqueue_ok"],
-            {"emit_ok": seq_offsets, "enqueue_ok": rank_offsets},
+            flags,
+            offs,
             num_partitions=parts_for(est_cands),
         )
         t_index = time.monotonic() - t0
@@ -238,14 +268,19 @@ def crawl(
         ).unionByName(deferred.select("run_id", "rank", "url", "host", "can_fetch")).coalesce(
             parts_for(enq_n)
         )
-        seen_df = with_bucket(
-            indexed.select("run_id", "url_key", F.col("uri").alias("url"))
-        ).coalesce(parts_for(emit_n + enq_n))
+        if bloom_prefilter:
+            seen_df = indexed.select(
+                "run_id", "url_key", F.col("uri").alias("url"), "bucket"
+            ).coalesce(parts_for(emit_n + enq_n))
+        else:
+            seen_df = with_bucket(
+                indexed.select("run_id", "url_key", F.col("uri").alias("url"))
+            ).coalesce(parts_for(emit_n + enq_n))
 
         # 7+8. independent actions run concurrently on driver threads: three
         # table writes + lineage collect + deferred count (the wave is
         # already materialized by the index pass, so these only re-read it)
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
                 pool.submit(state.write, "results", iteration, results_df),
                 pool.submit(state.write, "frontier", iteration, next_frontier),
@@ -257,10 +292,23 @@ def crawl(
             deferred_fut = pool.submit(
                 lambda: 0 if all(q is None for q in quotas.values()) else deferred.count()
             )
+            bloom_fut = None
+            if bloom_prefilter:
+                bloom_fut = pool.submit(
+                    lambda: bloomf.build_shards(indexed).collect()
+                )
             for f in futs:
                 f.result()
             lineage_rows = lineage_fut.result()
             deferred_n = deferred_fut.result()
+            if bloom_fut is not None:
+                new_shards = [(r["bucket"], bytes(r["bitmap"])) for r in bloom_fut.result()]
+                state.write_local_binary("blooms", iteration, new_shards)
+                bloom_merged = bloomf.merge_bitmaps(
+                    [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
+                )
+                old_bc, bloom_bc = bloom_bc, spark.sparkContext.broadcast(bloom_merged)
+                old_bc.destroy()
         if debug_timing:
             print(
                 f"[iter {iteration}] frontier={frontier_rows} "
@@ -275,6 +323,7 @@ def crawl(
         cand_n = sum(c for _, _, _, c in lineage)
         metric_rows = lineage + [
             (iteration, "frontier_in", "", frontier_rows),
+            (iteration, "bloom_false_positives", "", sum(idx_counts.get("_maybe_seen", {}).values())),
             (iteration, "candidates", "", cand_n),
             (iteration, "emitted", "", sum(emit_counts.values())),
             (iteration, "enqueued", "", sum(enq_counts.values())),
@@ -343,6 +392,11 @@ def _bootstrap(spark, state: CrawlState, pages_n, runs):
         SEEN_SCHEMA,
     )
     state.write_local("frontier", 0, frontier_rows, FRONTIER_SCHEMA)
+    from .operators.bloom import build_shards_local
+
+    state.write_local_binary(
+        "blooms", 0, build_shards_local([(r, k) for r, k, _ in seen_rows])
+    )
     state.write_local(
         "metrics", 0, [(0, "bootstrap_frontier", "", len(frontier_rows))], METRICS_SCHEMA
     )

@@ -7,6 +7,8 @@ Ports ``cleanURL`` (/root/reference/internal/links/clean.go:7-33),
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from . import gourl
 from .gourl import GoURL, URLError
 
@@ -14,7 +16,7 @@ JS_SCHEME = "javascript"
 DOUBLE_DASH = "//"
 
 
-def clean_url(base: GoURL, link: str) -> tuple[str, bool]:
+def _clean_url_uncached(base: GoURL, link: str) -> tuple[str, bool]:
     """clean.go:7-33 — parse, resolve hostless links against base, reject
     javascript:, inherit scheme, default path to '/', strip fragment."""
     try:
@@ -35,6 +37,32 @@ def clean_url(base: GoURL, link: str) -> tuple[str, bool]:
     u.fragment = ""
     u.raw_fragment = ""
     return u.string(), True
+
+
+@lru_cache(maxsize=131072)
+def _clean_url_scheme_host(scheme: str, host: str, link: str) -> tuple[str, bool]:
+    """Memoized path for links whose resolution depends only on the base's
+    scheme(+host): root-relative ('/x' → merge ignores the base path, RFC
+    3986 §5.2.3) and host-full links ('scheme://…', '//host/…' — only the
+    scheme can be inherited). Hit rate is high: the same nav/footer links
+    repeat across every page of a site."""
+    b = GoURL()
+    b.scheme = scheme
+    b.host = host
+    return _clean_url_uncached(b, link)
+
+
+import re as _re
+
+_SCHEME_ABS = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def clean_url(base: GoURL, link: str) -> tuple[str, bool]:
+    if link.startswith("/") or _SCHEME_ABS.match(link):
+        # '/x' (root-relative: merge ignores base path), '//host/x'
+        # (scheme-relative) and 'scheme://…' — base path never involved
+        return _clean_url_scheme_host(base.scheme, base.host, link)
+    return _clean_url_uncached(base, link)
 
 
 def resolve_ref(base: str, uri: str) -> tuple[str, bool]:

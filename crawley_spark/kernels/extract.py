@@ -11,6 +11,7 @@ the distributed orchestration (ordering, dedup, iteration) independently.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from . import gourl
 from .clean import handle_static
@@ -102,6 +103,16 @@ class Candidate:
     emit_ok: bool
 
 
+@lru_cache(maxsize=65536)
+def _parse_ro(uri: str):
+    """Memoized parse for READ-ONLY use (candidate URLs repeat heavily
+    across pages). Callers must never mutate the returned GoURL."""
+    try:
+        return gourl.parse(uri)
+    except URLError:
+        return None
+
+
 def classify_candidate(cfg, robots, base: GoURL, tag: str, uri: str) -> Candidate:
     """Driver-loop per-candidate decisions: crawl class (crawler.go:275-296),
     ignore filter (265-273), tryEnqueue predicates (172-194), tryHandle
@@ -116,10 +127,7 @@ def classify_candidate(cfg, robots, base: GoURL, tag: str, uri: str) -> Candidat
     can_fetch = True
     host = ""
     if fetch_cls and not ignored:
-        try:
-            u = gourl.parse(uri)
-        except URLError:
-            u = None
+        u = _parse_ro(uri)
         if u is not None and (
             can_crawl(base, u, cfg.depth, cfg.subdomains)
             and not robots.forbidden(u.path)

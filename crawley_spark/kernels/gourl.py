@@ -67,6 +67,22 @@ def _should_escape(c: str, mode: int) -> bool:
     return True
 
 
+# -- fast paths: per-mode byte regexes (C-speed scans of the common case) --
+import re as _re
+
+_NEEDS_ESCAPE_RE: dict = {}
+_CTL_RE = _re.compile(r"[\x00-\x1f\x7f]")
+
+
+def _needs_escape_re(mode: int):
+    pat = _NEEDS_ESCAPE_RE.get(mode)
+    if pat is None:
+        chars = [chr(b) for b in range(0x80) if _should_escape(chr(b), mode)]
+        pat = _re.compile("[^\x00-\x7f]|[" + _re.escape("".join(chars)) + "]")
+        _NEEDS_ESCAPE_RE[mode] = pat
+    return pat
+
+
 def unescape(s: str, mode: int) -> str:
     """Mirrors net/url unescape: validates %XX sequences, decodes them."""
     i, n = 0, len(s)
@@ -108,9 +124,9 @@ def unescape(s: str, mode: int) -> str:
 
 
 def escape(s: str, mode: int) -> str:
-    bs = s.encode("utf-8", "surrogateescape")
-    if not any(_should_escape(chr(b), mode) for b in bs):
+    if not _needs_escape_re(mode).search(s):
         return s
+    bs = s.encode("utf-8", "surrogateescape")
     out = []
     for b in bs:
         c = chr(b)
@@ -122,7 +138,7 @@ def escape(s: str, mode: int) -> str:
 
 
 def _contains_ctl_byte(s: str) -> bool:
-    return any(ord(c) < 0x20 or ord(c) == 0x7F for c in s)
+    return _CTL_RE.search(s) is not None
 
 
 def _get_scheme(rawurl: str):

@@ -73,6 +73,13 @@ METRICS_SCHEMA = T.StructType(
     ]
 )
 
+BLOOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("bitmap", T.BinaryType()),
+    ]
+)
+
 
 def with_bucket(df: DataFrame, col: str = "url_key") -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(SEEN_BUCKETS)).cast("int"))
@@ -134,6 +141,23 @@ class CrawlState:
         d = self._dir(table, iteration)
         os.makedirs(d, exist_ok=True)
         pq.write_table(table_arr, os.path.join(d, "part-00000.parquet"))
+        with open(os.path.join(d, "_SUCCESS"), "w"):
+            pass
+
+    def write_local_binary(self, table: str, iteration: int, shards: list) -> None:
+        """[(bucket:int, bitmap:bytes)] → parquet (Bloom shard deltas)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "bucket": pa.array([b for b, _ in shards], type=pa.int32()),
+                "bitmap": pa.array([m for _, m in shards], type=pa.binary()),
+            }
+        )
+        d = self._dir(table, iteration)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, "part-00000.parquet"))
         with open(os.path.join(d, "_SUCCESS"), "w"):
             pass
 

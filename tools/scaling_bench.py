@@ -46,7 +46,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--pages", type=int, default=240_000)
-    ap.add_argument("--pairs", default="8:32,2:8")
+    ap.add_argument("--pairs", default="8:32")
+    ap.add_argument("--out", default="BENCH.md")
     args = ap.parse_args()
 
     results = {}
@@ -100,7 +101,7 @@ def main():
         "isolates engine-level scaling from that host artifact.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, args.out), "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
 
