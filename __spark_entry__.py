@@ -354,6 +354,20 @@ def _q_media_features(spark, sf_dir):
     return extract_features(media, decode="fake").select("media_id", "kind", "n_bytes")
 
 
+def _q_text_invariant(spark, sf_dir):
+    """input_hint invariant: byte-identical extracted text per url. Returns
+    one summary row (n_pages, n_mismatch) — n_mismatch must be 0."""
+    from crawley_spark.corpus import corpus_from_documents
+    from crawley_spark.operators.text_extract import verify_text_invariant
+
+    pages = corpus_from_documents(_docs(spark, sf_dir))
+    mismatches = verify_text_invariant(pages).count()
+    total = pages.count()
+    return spark.createDataFrame(
+        [(total, mismatches)], "n_pages long, n_mismatch long"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -384,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
+        "text_invariant": _q_text_invariant,
     }
 
 
