@@ -124,6 +124,10 @@ def is_css(v: str, n: str) -> bool:
     return web_ext(n) == FILE_EXT_CSS
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def relative_depth(base: str, sub: str) -> tuple[int, bool]:
     """util.go:123-150 — extra non-empty path segments of sub below base."""
     bn = path_clean(base)
