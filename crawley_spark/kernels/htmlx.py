@@ -111,10 +111,29 @@ def extract_token(base: GoURL, tag: str, attrs, key: str, handle) -> tuple[bool,
 KEY_POSTER = "poster"
 
 
+# tags whose attributes the extractor actually reads (html.go:119-170)
+_RELEVANT_TAGS = frozenset(
+    {"a", "link", "img", "image", "iframe", "track", "script", "style",
+     "form", "object", "video", "audio", "picture", "source"}
+)
+
+# stdlib html.parser internals reused by the specialized parse_starttag
+from html import unescape as _unescape  # noqa: E402
+from html import parser as _hp  # noqa: E402
+
+
 class _Tokenizer(HTMLParser):
     """Bridges html.parser events to the reference's token switch
     (html.go:51-76). convert_charrefs=False so script/style text arrives as
-    single raw-text runs (cdata mode), matching x/net/html raw-text tokens."""
+    single raw-text runs (cdata mode), matching x/net/html raw-text tokens.
+
+    Hot-path specializations (event semantics preserved, verified by the
+    differential test in tests/test_htmlfast_diff.py):
+    * updatepos line-counting skipped (only used for error positions);
+    * attribute lists are materialized/unescaped only for the tags the
+      extractor reads (_RELEVANT_TAGS) — other start tags still scan to the
+      same end position and fire the same events with attrs=[].
+    """
 
     def __init__(self, base: GoURL, params):
         super().__init__(convert_charrefs=False)
@@ -123,6 +142,49 @@ class _Tokenizer(HTMLParser):
         self.key = KEY_SRC
         self.is_js = False
         self.is_css = False
+
+    def updatepos(self, i, j):
+        return j
+
+    def parse_starttag(self, i):
+        # specialized copy of html.parser.HTMLParser.parse_starttag
+        endpos = self.check_for_whole_start_tag(i)
+        if endpos < 0:
+            return endpos
+        rawdata = self.rawdata
+        match = _hp.tagfind_tolerant.match(rawdata, i + 1)
+        k = match.end()
+        self.lasttag = tag = match.group(1).lower()
+        want_attrs = tag in _RELEVANT_TAGS
+        attrs = []
+        while k < endpos:
+            m = _hp.attrfind_tolerant.match(rawdata, k)
+            if not m:
+                break
+            if want_attrs:
+                attrname, rest, attrvalue = m.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+            k = m.end()
+        end = rawdata[k:endpos].strip()
+        if end not in (">", "/>"):
+            self.handle_data(rawdata[i:endpos])
+            return endpos
+        if end.endswith("/>"):
+            self.handle_startendtag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return endpos
 
     # start / self-closing tags
     def _tag(self, tag, attrs):
