@@ -108,7 +108,12 @@ def main():
 
     from crawley_spark.session import get_spark
 
-    spark = get_spark("crawley-bench", cores=args.cores, shuffle_partitions=args.cores)
+    # Python-UDF-heavy stages stop scaling past ~16 concurrent workers on one
+    # socket (each worker pairs with a JVM feeder thread; beyond ~16 the
+    # 2×parallelism thread count oversubscribes the machine). Cap the
+    # *partition*-driven concurrency while keeping all cores for JVM stages.
+    sp = args.cores if args.cores <= 16 else args.cores // 2
+    spark = get_spark("crawley-bench", cores=args.cores, shuffle_partitions=sp)
     spark.sparkContext.setLogLevel("ERROR")
 
     import duckdb

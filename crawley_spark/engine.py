@@ -287,7 +287,9 @@ def crawl(
                 pool.submit(state.write, "seen", iteration, seen_df),
             ]
             lineage_fut = pool.submit(
-                lambda: candidates.groupBy("src_pid").count().collect()
+                lambda: candidates.groupBy("src_pid")
+                .agg(F.sum("dup_count").alias("count"), F.count("*").alias("rows"))
+                .collect()
             )
             deferred_fut = pool.submit(
                 lambda: 0 if all(q is None for q in quotas.values()) else deferred.count()
@@ -321,6 +323,7 @@ def crawl(
             for r in lineage_rows
         ]
         cand_n = sum(c for _, _, _, c in lineage)
+        cand_rows = sum(r["rows"] for r in lineage_rows)
         metric_rows = lineage + [
             (iteration, "frontier_in", "", frontier_rows),
             (iteration, "bloom_false_positives", "", sum(idx_counts.get("_maybe_seen", {}).values())),
@@ -332,8 +335,9 @@ def crawl(
         ]
         state.write_local("metrics", iteration, metric_rows, METRICS_SCHEMA)
 
-        if frontier_rows > 0 and cand_n > 0:
-            avg_links = max(1.0, cand_n / frontier_rows)
+        if frontier_rows > 0 and cand_rows > 0:
+            # estimate for the index pass sizes the POST-combine stream
+            avg_links = max(1.0, cand_rows / frontier_rows)
         frontier_rows = enq_n + deferred_n
         state.commit(iteration, rank_offsets, seq_offsets, done=frontier_rows == 0)
         candidates.unpersist()

@@ -8,9 +8,28 @@ in the iteration stays JVM-side (joins, windows, writes).
 
 Config + robots rules are closure-captured (driver-known, static per crawl —
 no per-row config columns crossing Arrow).
+
+Two scale-critical optimizations live here (both exact, not approximate):
+
+* **Classification memo** — candidate URLs repeat heavily across pages (a
+  site's nav/footer links appear on every page). ``classify_candidate`` is a
+  pure function of (run, crawl-class, uri), so its result is memoized per
+  worker. Cuts URL parse + scope/robots checks ~in-degree-fold.
+
+* **Map-side first-occurrence combine** — the canonical-order dedup
+  (operators/seen.first_occurrence) keeps the min-(parent_rank, ord) row per
+  (run_id, url_key). That reduction is associative, so each partition
+  pre-combines its own candidates before the shuffle — the same move as a
+  partial aggregate before a groupBy. With in-degree ~d this shrinks the
+  shuffle, window, Bloom-prefilter and anti-join inputs ~d-fold; the
+  cross-partition window afterwards restores exact global semantics.
+  ``dup_count`` carries how many raw occurrences each kept row absorbed, so
+  per-partition lineage metrics still count raw extracted links.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import types as T
 
@@ -26,10 +45,17 @@ CANDIDATES_SCHEMA = T.StructType(
         T.StructField("can_fetch", T.BooleanType()),
         T.StructField("emit_ok", T.BooleanType()),
         T.StructField("src_pid", T.IntegerType()),
+        T.StructField("dup_count", T.LongType()),
     ]
 )
 
 _COLS = [f.name for f in CANDIDATES_SCHEMA.fields]
+
+# Bound the per-partition combine dict; when exceeded the partition flushes
+# early (partial combine — the downstream window keeps exactness). Sized so
+# a 128 MB corpus partition's unique links fit comfortably.
+_COMBINE_FLUSH = int(os.environ.get("CRAWLEY_COMBINE_FLUSH", "2000000"))
+_MEMO_MAX = int(os.environ.get("CRAWLEY_CLASSIFY_MEMO_MAX", "1000000"))
 
 
 def build_extract_candidates(cfgs: dict, seeds: dict, robots: dict):
@@ -61,8 +87,18 @@ def build_extract_candidates(cfgs: dict, seeds: dict, robots: dict):
                 filters[run_id] = prepare_filter(cfgs[run_id].tags)
             return cfgs[run_id], bases[run_id], filters[run_id]
 
+        # (run_id, fetch_cls, uri) -> Candidate; pure per (run, class, uri)
+        memo: dict = {}
+        # (run_id, url_key) -> [parent_rank, ord, row_list]; row carries its
+        # own dup_count at index -1
+        best: dict = {}
+
+        def flush():
+            rows = [e[2] for e in best.values()]
+            best.clear()
+            return pd.DataFrame(rows, columns=_COLS)
+
         for pdf in batches:
-            rows: list = []
             it = zip(
                 pdf["run_id"].values,
                 pdf["rank"].values,
@@ -81,22 +117,69 @@ def build_extract_candidates(cfgs: dict, seeds: dict, robots: dict):
                     continue
                 body = bytes(html).decode("utf-8", "surrogateescape")
                 rb = robots[run_id]
+                rank = int(rank)
+                scan_js, scan_css = cfg.scan_js, cfg.scan_css
                 for ordi, (tag, uri) in enumerate(page_candidates(url, u, body, ct, cfg, tag_filter)):
-                    c = classify_candidate(cfg, rb, base, tag, uri)
-                    rows.append(
-                        (
-                            run_id,
-                            int(rank),
-                            ordi,
-                            c.uri,
-                            c.url_key,
-                            c.host,
-                            c.enqueue_ok,
-                            c.can_fetch,
-                            c.emit_ok,
-                            pid,
-                        )
+                    fetch_cls = (
+                        tag in ("a", "iframe")
+                        or (scan_js and tag == "script")
+                        or (scan_css and tag == "link")
                     )
-            yield pd.DataFrame(rows, columns=_COLS)
+                    mkey = (run_id, fetch_cls, uri)
+                    c = memo.get(mkey)
+                    if c is None:
+                        if len(memo) >= _MEMO_MAX:
+                            memo.clear()
+                        # tag only matters through fetch_cls; pass a
+                        # representative tag of the same class
+                        c = classify_candidate(
+                            cfg, rb, base, "a" if fetch_cls else "style", uri
+                        )
+                        memo[mkey] = c
+                    bkey = (run_id, c.url_key)
+                    prev = best.get(bkey)
+                    if prev is None:
+                        if len(best) >= _COMBINE_FLUSH:
+                            yield flush()
+                        best[bkey] = [
+                            rank,
+                            ordi,
+                            [
+                                run_id,
+                                rank,
+                                ordi,
+                                c.uri,
+                                c.url_key,
+                                c.host,
+                                c.enqueue_ok,
+                                c.can_fetch,
+                                c.emit_ok,
+                                pid,
+                                1,
+                            ],
+                        ]
+                    else:
+                        row = prev[2]
+                        row[10] += 1
+                        if rank < prev[0] or (rank == prev[0] and ordi < prev[1]):
+                            dup = row[10]
+                            best[bkey] = [
+                                rank,
+                                ordi,
+                                [
+                                    run_id,
+                                    rank,
+                                    ordi,
+                                    c.uri,
+                                    c.url_key,
+                                    c.host,
+                                    c.enqueue_ok,
+                                    c.can_fetch,
+                                    c.emit_ok,
+                                    pid,
+                                    dup,
+                                ],
+                            ]
+        yield flush()
 
     return fn
