@@ -34,7 +34,7 @@ from .kernels.xxh import spark_xxhash64
 from .operators import bloom as bloomf
 from .operators.politeness import salt_hot_hosts, schedule
 from .operators.seen import anti_join_seen, first_occurrence
-from .plans.ordering import advance_offsets, assign_flagged_indexes
+from .plans.ordering import advance_offsets, assign_flagged_indexes_bucketed
 from .sources.pages import normalize_pages
 from .sources.state import (
     BLOOM_STATE_SCHEMA,
@@ -124,6 +124,7 @@ def crawl(
     resume: bool = False,
     salt_k: int = 0,
     bloom_prefilter: bool = True,
+    broadcast_frontier_rows: int = 2_000_000,
 ) -> CrawlReport:
     """Run a depth-bounded BFS crawl of ``pages`` from ``seeds``.
 
@@ -161,6 +162,10 @@ def crawl(
     robots_rules = {r: v[0] for r, v in _collect_robots(spark, pages_n, runs).items()}
     extract_fn = build_extract_candidates(cfgs, seeds_map, robots_rules)
 
+    # low edge of the current frontier's rank span per run (exact when no
+    # deferral is carried; resume/deferral fall back to 0, which only widens
+    # the index-pass bucket range, never changes results)
+    rank_lo = {run: 0 for run in runs}
     iteration = start_iter - 1
     frontier_rows = (
         frontier_rows_known
@@ -203,11 +208,20 @@ def crawl(
         # 1. politeness schedule (Q2)
         now, deferred = schedule(frontier, quotas)
 
-        # 2. fetch join (F1) — canParse-gated rows only reach the corpus scan
+        # 2. fetch join (F1) — canParse-gated rows only reach the corpus scan.
+        # Inner join: a frontier URL with no page row produces no candidates
+        # either way (extraction skips null html), but inner lets Spark
+        # broadcast the frontier side. Small waves broadcast explicitly (no
+        # shuffle, no sort, host skew moot); huge frontiers take the
+        # sort-merge path against the bucketed corpus, salted against
+        # hot-host skew.
         fetchable = now.filter(F.col("can_fetch"))
-        if salt_k:
-            fetchable = salt_hot_hosts(fetchable, salt_k)
-        fetched = fetchable.join(pages_n, on="url", how="left")
+        if frontier_rows <= broadcast_frontier_rows:
+            fetched = F.broadcast(fetchable).join(pages_n, on="url", how="inner")
+        else:
+            if salt_k:
+                fetchable = salt_hot_hosts(fetchable, salt_k)
+            fetched = fetchable.join(pages_n, on="url", how="inner")
 
         # 3. extract + classify (X1-X6, N1-N3, P1-P10) — one Arrow stage
         candidates = fetched.select(
@@ -236,15 +250,20 @@ def crawl(
 
         # 5+6. one canonical-order pass assigns BOTH the emission seq and the
         # next-frontier rank (dense per flag); the localCheckpoint inside
-        # materializes the deduped wave exactly once
+        # materializes the deduped wave exactly once. Buckets come from the
+        # driver-known rank span — no range-sampling pass (the ranks were
+        # assigned by this loop, their bounds are exact driver state).
         est_cands = int(frontier_rows * avg_links) + 1
-        indexed, idx_counts = assign_flagged_indexes(
+        spans = {run: (rank_lo.get(run, 0), rank_offsets.get(run, 0)) for run in runs}
+        indexed, idx_counts = assign_flagged_indexes_bucketed(
             new_cands,
             ["parent_rank", "ord"],
             flags,
             offs,
-            num_partitions=parts_for(est_cands),
+            spans,
+            num_buckets=max(64, 4 * parts_for(est_cands)),
         )
+        prev_rank_hi = dict(rank_offsets)
         t_index = time.monotonic() - t0
         emit_counts = idx_counts["emit_ok"]
         enq_counts = idx_counts["enqueue_ok"]
@@ -338,6 +357,10 @@ def crawl(
         if frontier_rows > 0 and cand_rows > 0:
             # estimate for the index pass sizes the POST-combine stream
             avg_links = max(1.0, cand_rows / frontier_rows)
+        # next frontier's rank span: fresh enqueues start at the old high
+        # water; carried-over deferred rows keep their old (lower) ranks
+        if deferred_n == 0:
+            rank_lo = prev_rank_hi
         frontier_rows = enq_n + deferred_n
         state.commit(iteration, rank_offsets, seq_offsets, done=frontier_rows == 0)
         candidates.unpersist()

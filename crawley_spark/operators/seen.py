@@ -16,18 +16,37 @@ The reference gates everything on a single insert-if-absent
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def first_occurrence(candidates: DataFrame) -> DataFrame:
-    """Keep the canonical-order first occurrence per (run_id, url_key)."""
-    w = Window.partitionBy("run_id", "url_key").orderBy("parent_rank", "ord")
-    return (
-        candidates.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """Keep the canonical-order first occurrence per (run_id, url_key).
+
+    Implemented as ``min`` over the ``(parent_rank, ord, …)`` struct in a
+    groupBy rather than a row_number window: a groupBy gets map-side partial
+    aggregation (each shuffle partition pre-reduces its duplicates), so the
+    shuffle carries ~unique keys instead of every raw occurrence — the same
+    reason the extraction UDF pre-combines per partition. (parent_rank, ord)
+    is unique per row, so the struct min picks exactly the window's winner,
+    including its classification flags. ``dup_count`` (if present) is summed
+    so raw-occurrence metrics survive the reduction."""
+    keys = ("run_id", "url_key")
+    has_dup = "dup_count" in candidates.columns
+    rest = [
+        c
+        for c in candidates.columns
+        if c not in keys and c not in ("parent_rank", "ord", "dup_count")
+    ]
+    ordered = ["parent_rank", "ord", *rest]
+    aggs = [F.min(F.struct(*ordered)).alias("_first")]
+    if has_dup:
+        aggs.append(F.sum("dup_count").alias("dup_count"))
+    out = candidates.groupBy(*keys).agg(*aggs)
+    cols = [*keys, *[F.col(f"_first.{c}").alias(c) for c in ordered]]
+    if has_dup:
+        cols.append(F.col("dup_count"))
+    return out.select(*cols)
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:

@@ -89,6 +89,104 @@ def advance_offsets(offsets: dict, run_counts: dict) -> dict:
     return out
 
 
+def assign_flagged_indexes_bucketed(
+    df: DataFrame,
+    order_cols: list,
+    flags: list,
+    offsets_by_flag: dict,
+    spans: dict,
+    num_buckets: int,
+    run_col: str = "run_id",
+):
+    """One-shuffle variant of :func:`assign_flagged_indexes` for callers that
+    already know the value range of ``order_cols[0]`` per run (the engine
+    knows the frontier's rank span exactly — ranks are dense indexes it
+    assigned itself the previous iteration).
+
+    ``repartitionByRange`` needs a *sampling pass* to find range boundaries —
+    it executes the whole upstream plan once for the sample and again for the
+    real shuffle. Here the range boundaries are computed arithmetically:
+    ``bucket = floor((rank - lo) * B / (hi - lo))``, monotone in rank, so
+    ascending bucket == ascending canonical order and the per-(run, bucket)
+    counts cumulative-sum into global offsets exactly as range partitions
+    did. The plan becomes: one window shuffle on (run, bucket) computing the
+    in-bucket running sums, a lazy localCheckpoint, one light counts job, and
+    a pure projection adding the offsets — no sampling, no user repartition
+    (so AQE remains free to coalesce tiny waves).
+
+    spans: {run_id: (lo, hi)} — half-open bound on order_cols[0] per run.
+    Returns (indexed_df, {flag: {run: count}}).
+    """
+    spark = df.sparkSession
+    lo_args, w_args = [], []
+    for run, (lo, hi) in spans.items():
+        lo_args += [F.lit(run), F.lit(int(lo))]
+        w_args += [F.lit(run), F.lit(max(1, int(hi) - int(lo)))]
+    if not lo_args:
+        empty = {fl: {} for fl in flags}
+        out = df
+        for fl in flags:
+            out = out.withColumn(f"idx_{fl}", F.lit(None).cast("long"))
+        return out.localCheckpoint(eager=False), empty
+    lo_map, w_map = F.create_map(*lo_args), F.create_map(*w_args)
+    okey = F.col(order_cols[0]).cast("long")
+    bucket = F.least(
+        F.lit(num_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (okey - F.element_at(lo_map, F.col(run_col)))
+                * num_buckets
+                / F.element_at(w_map, F.col(run_col))
+            ),
+        ),
+    ).cast("int")
+    w = (
+        Window.partitionBy(run_col, "_bkt")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("_bkt", bucket)
+    for fl in flags:
+        out = out.withColumn(
+            f"_rs_{fl}", F.sum(F.when(F.col(fl), 1).otherwise(0)).over(w)
+        )
+    out = out.localCheckpoint(eager=False)
+    counts = (
+        out.groupBy(run_col, "_bkt")
+        .agg(*[F.max(f"_rs_{fl}").alias(f"_n_{fl}") for fl in flags])
+        .collect()
+    )
+    counts = sorted(counts, key=lambda r: (r[run_col], r["_bkt"]))
+    run_counts = {fl: {} for fl in flags}
+    offset_entries = {fl: [] for fl in flags}
+    nxt = {fl: {} for fl in flags}
+    for row in counts:
+        run = row[run_col]
+        for fl in flags:
+            base = nxt[fl].setdefault(run, offsets_by_flag[fl].get(run, 0))
+            offset_entries[fl].append(((row["_bkt"], run), base))
+            nxt[fl][run] = base + row[f"_n_{fl}"]
+    for fl in flags:
+        run_counts[fl] = {
+            run: nxt[fl][run] - offsets_by_flag[fl].get(run, 0) for run in nxt[fl]
+        }
+    mkey = F.concat_ws("\x00", F.col("_bkt").cast("string"), F.col(run_col))
+    for fl in flags:
+        map_args = []
+        for (bkt, run), off in offset_entries[fl]:
+            map_args.append(F.concat_ws("\x00", F.lit(str(bkt)), F.lit(run)))
+            map_args.append(F.lit(off))
+        omap = F.create_map(*map_args)
+        out = out.withColumn(
+            f"idx_{fl}",
+            F.when(
+                F.col(fl), (F.element_at(omap, mkey) + F.col(f"_rs_{fl}") - 1).cast("long")
+            ),
+        ).drop(f"_rs_{fl}")
+    return out.drop("_bkt"), run_counts
+
+
 def assign_flagged_indexes(
     df: DataFrame,
     order_cols: list,

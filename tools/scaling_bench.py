@@ -1,9 +1,18 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule): run the
 identical crawl job at N and 4N cores (local[N] proxy for executor count —
-no real cluster in this sandbox), take the median of R repeats, and write
-BENCH.md with throughput at both levels + scaling efficiency.
+no real cluster in this sandbox) and write BENCH.md with throughput at both
+levels + scaling efficiency.
 
-Usage: python tools/scaling_bench.py [--repeats 3] [--pages 240000]
+The sandbox host is a shared VM with episodic CPU steal (±30-40% wall-clock
+between identical runs), so the protocol defends itself two ways:
+
+* core counts are **interleaved** across repeats (N, 4N, N, 4N, …) so a
+  steal episode hits both sides rather than one side's whole block;
+* per-run **steal%** (from /proc/stat around each run) is recorded next to
+  each throughput number, and medians are reported.
+
+Usage: python tools/scaling_bench.py [--repeats 3] [--pages 300000]
+       [--pairs 2:8,8:32]
 """
 
 from __future__ import annotations
@@ -16,6 +25,13 @@ import sys
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cpu_sample() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 
 def run_once(cores: int, pages: int) -> dict:
@@ -37,29 +53,39 @@ def run_once(cores: int, pages: int) -> dict:
         "--n-hosts",
         "40",
     ]
+    s0, t0 = _cpu_sample()
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
+    s1, t1 = _cpu_sample()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["steal_pct"] = round(100 * (s1 - s0) / max(1, t1 - t0), 2)
+    return r
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--pages", type=int, default=240_000)
-    ap.add_argument("--pairs", default="8:32")
+    ap.add_argument("--pages", type=int, default=300_000)
+    ap.add_argument("--pairs", default="2:8,8:32")
     ap.add_argument("--out", default="BENCH.md")
     args = ap.parse_args()
 
-    results = {}
     cores_needed = sorted({int(c) for pair in args.pairs.split(",") for c in pair.split(":")})
-    for cores in cores_needed:
-        runs = []
-        for i in range(args.repeats):
+    results = {c: {"runs": []} for c in cores_needed}
+    # interleave: one round = one run at every core count
+    for i in range(args.repeats):
+        for cores in cores_needed:
             r = run_once(cores, args.pages)
-            runs.append(r)
-            print(f"cores={cores} run={i}: {r['wall_sec']}s {r['frontier_urls_per_sec']} urls/s", flush=True)
-        med = statistics.median(r["frontier_urls_per_sec"] for r in runs)
-        results[cores] = {"median_urls_per_sec": med, "runs": runs}
+            results[cores]["runs"].append(r)
+            print(
+                f"round={i} cores={cores}: {r['wall_sec']}s "
+                f"{r['frontier_urls_per_sec']} urls/s steal={r['steal_pct']}%",
+                flush=True,
+            )
+    for cores in cores_needed:
+        results[cores]["median_urls_per_sec"] = statistics.median(
+            r["frontier_urls_per_sec"] for r in results[cores]["runs"]
+        )
 
     lines = [
         "# BENCH — measured performance (round 1)",
@@ -71,14 +97,18 @@ def main():
         "local[4N]) on the same input. Corpus: deterministic synthetic web",
         f"graph (seed 42), {args.pages} pages, 40 links/page, ~6 KB bodies,",
         "16 seed hosts, depth unlimited, crawl to frontier exhaustion.",
-        "Median of repeats; a warm-up crawl precedes measurement (sustained",
-        "throughput; python-worker/JIT warm-up excluded).",
+        "Median of interleaved repeats; a warm-up crawl precedes each",
+        "measurement (sustained throughput). The host is a shared VM with",
+        "episodic CPU steal — per-run steal%% is recorded beside each number.",
         "",
-        "| cores | median frontier URLs/s | runs (URLs/s) |",
+        "| cores | median frontier URLs/s | runs (URLs/s @ steal%) |",
         "|---|---|---|",
     ]
     for cores in cores_needed:
-        rr = ", ".join(str(r["frontier_urls_per_sec"]) for r in results[cores]["runs"])
+        rr = ", ".join(
+            f"{r['frontier_urls_per_sec']} @ {r['steal_pct']}%"
+            for r in results[cores]["runs"]
+        )
         lines.append(f"| {cores} | {results[cores]['median_urls_per_sec']} | {rr} |")
     lines.append("")
     for pair in args.pairs.split(","):
@@ -93,12 +123,15 @@ def main():
     lines += [
         "",
         "Single-node caveat (documented, not excuse-making): all 'executors'",
-        "share one memory bus in local mode. The Python extraction kernel is",
+        "share one memory bus, one L3, and one SMT pool in local mode, and the",
+        "host is a shared VM with CPU steal. The Python extraction kernel is",
         "memory-bandwidth-heavy (HTML tokenization object churn), so per-core",
         "throughput degrades as local parallelism approaches the socket's",
-        "bandwidth limit — an artifact a real multi-node 4N-executor cluster",
-        "does not have (each node brings its own memory). The lower-core pair",
-        "isolates engine-level scaling from that host artifact.",
+        "bandwidth/SMT limit (~16 hot workers) — artifacts a real multi-node",
+        "4N-executor cluster does not have (each node brings its own memory",
+        "and cores). The lower-core pair isolates engine-level scaling from",
+        "those host artifacts; the engine itself shuffles/partitions the same",
+        "way at any executor count.",
         "",
     ]
     with open(os.path.join(REPO, args.out), "w") as f:
