@@ -56,11 +56,60 @@ import re as _re
 
 _SCHEME_ABS = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
+# Fast paths (differentially fuzzed vs the slow path in
+# tests/test_urlfast_diff.py): the two overwhelmingly common link shapes on
+# real pages reduce to string concatenation —
+#
+# * root-relative '/a/b' of untouched-by-escaping chars, no dot segments →
+#   resolve_reference copies base scheme/host/user and takes the path
+#   verbatim; with a clean http(s) base and no userinfo the canonical form
+#   is just scheme://host + link.
+# * absolute http(s)://host/path of the same char set → cleanURL is the
+#   identity (modulo '' path → '/').
+_FAST_REL_RE = _re.compile(r"^/[A-Za-z0-9._~$&+,;=:@\-/]*$")
+_FAST_HOST_RE = _re.compile(r"^[A-Za-z0-9.\-]+(?::[0-9]+)?$")
+from .gourl import _FAST_ABS_RE  # noqa: E402
+
+
+def _has_dot_segment(path: str) -> bool:
+    return (
+        "/./" in path
+        or "/../" in path
+        or path.endswith(("/.", "/.."))
+        or path.startswith(("./", "../"))
+    )
+
 
 def clean_url(base: GoURL, link: str) -> tuple[str, bool]:
-    if link.startswith("/") or _SCHEME_ABS.match(link):
+    if (
+        link.startswith("/")
+        and not link.startswith("//")
+        and (base.scheme == "http" or base.scheme == "https")
+        and base.user is None
+        and _FAST_REL_RE.match(link) is not None
+        and not _has_dot_segment(link)
+        and _FAST_HOST_RE.match(base.host) is not None
+    ):
+        return base.scheme + "://" + base.host + link, True
+    m = _FAST_ABS_RE.match(link)
+    if m is not None:
+        path = m.group(3)
+        if path == "":
+            return link + "/", True
+        if path[0] == "/":
+            return link, True
+    if base.user is None and (link.startswith("/") or _SCHEME_ABS.match(link)):
         # '/x' (root-relative: merge ignores base path), '//host/x'
-        # (scheme-relative) and 'scheme://…' — base path never involved
+        # (scheme-relative) and 'scheme://…' — base path never involved.
+        # (base.user must be absent: resolution copies userinfo too.)
+        # Degenerate empty-authority-empty-path forms ('//', '//?q',
+        # 'http://#f') DO resolve to the base's own path (RFC 3986 §5.3) —
+        # those must take the uncached full-base path.
+        i = link.find("//")
+        if i in (0, link.find("://") + 1 if "://" in link else -2):
+            tail = link[i + 2 :]
+            if tail == "" or tail[0] in "?#":
+                return _clean_url_uncached(base, link)
         return _clean_url_scheme_host(base.scheme, base.host, link)
     return _clean_url_uncached(base, link)
 

@@ -122,7 +122,7 @@ def classify_candidate(cfg, robots, base: GoURL, tag: str, uri: str) -> Candidat
         or (cfg.scan_js and tag == "script")
         or (cfg.scan_css and tag == "link")
     )
-    ignored = any(s in uri for s in cfg.ignored)
+    ignored = bool(cfg.ignored) and any(s in uri for s in cfg.ignored)
     enqueue_ok = False
     can_fetch = True
     host = ""

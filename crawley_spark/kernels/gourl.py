@@ -375,8 +375,32 @@ def resolve_path(base: str, ref: str) -> str:
     return rv
 
 
+# Fast-path: lowercase http(s) URL whose host/path consist only of characters
+# that BOTH unescape and escape(MODE_HOST/MODE_PATH) leave untouched, with no
+# %-escapes, userinfo, query, fragment or IPv6 literal. For these the slow
+# parse reduces to field assignment (path kept verbatim — url.Parse does NOT
+# remove dot segments, only ResolveReference does, so they're allowed here).
+# Verified equivalent to the slow path by the differential fuzz test in
+# tests/test_urlfast_diff.py.
+_FAST_ABS_RE = _re.compile(
+    r"^(http|https)://([A-Za-z0-9.\-]+(?::[0-9]+)?)([/A-Za-z0-9._~$&+,;=:@\-]*)$"
+)
+
+
 def parse(rawurl: str) -> GoURL:
     """Mirrors url.Parse: splits the fragment off first, then parses."""
+    m = _FAST_ABS_RE.match(rawurl)
+    if m is not None and (m.group(3) == "" or m.group(3)[0] == "/"):
+        u = GoURL()
+        u.scheme = m.group(1)
+        u.host = m.group(2)
+        u.path = m.group(3)
+        return u
+    return parse_slow(rawurl)
+
+
+def parse_slow(rawurl: str) -> GoURL:
+    """The full net/url-parity parser (fast-path bypass for tests)."""
     frag_idx = rawurl.find("#")
     if frag_idx >= 0:
         u_part, frag = rawurl[:frag_idx], rawurl[frag_idx + 1 :]
