@@ -124,6 +124,7 @@ def crawl(
     resume: bool = False,
     salt_k: int = 0,
     bloom_prefilter: bool = True,
+    bloom_min_seen: int = 200_000,
     broadcast_frontier_rows: int = 2_000_000,
 ) -> CrawlReport:
     """Run a depth-bounded BFS crawl of ``pages`` from ``seeds``.
@@ -166,6 +167,7 @@ def crawl(
     # deferral is carried; resume/deferral fall back to 0, which only widens
     # the index-pass bucket range, never changes results)
     rank_lo = {run: 0 for run in runs}
+    carry_frontier = None
     iteration = start_iter - 1
     frontier_rows = (
         frontier_rows_known
@@ -189,21 +191,33 @@ def crawl(
 
     # Bloom shards (north_rule): definitely-new candidates skip the exact
     # anti-join. Invariant: blooms ⊇ seen (bootstrap + every committed
-    # iteration wrote its shard deltas before the manifest commit).
+    # iteration wrote its shard deltas before the manifest commit). Shards
+    # are ALWAYS maintained when bloom_prefilter is on (so the invariant
+    # survives resume), but the per-row prefilter stage + its broadcast only
+    # engage once the seen set is big enough to repay them — below
+    # bloom_min_seen the exact anti-join alone is cheaper than an extra
+    # Python stage + broadcast churn per iteration.
     bloom_merged: dict = {}
     bloom_bc = None
+    seen_total = 0
     if bloom_prefilter:
         shard_rows = [
             (r["bucket"], bytes(r["bitmap"]))
             for r in state._read_upto("blooms", BLOOM_STATE_SCHEMA, iteration).collect()
         ]
         bloom_merged = bloomf.merge_bitmaps(shard_rows)
-        bloom_bc = spark.sparkContext.broadcast(bloom_merged)
+        seen_total = state.seen(upto=iteration).count()
 
     while frontier_rows > 0 and iteration < max_iterations:
         iteration += 1
         t0 = time.monotonic()
-        frontier = state.frontier(iteration - 1)
+        # reuse the in-memory (checkpoint-backed) next-frontier plan instead
+        # of a parquet round-trip; deferral chains old-frontier lineage, so
+        # fall back to the committed snapshot whenever rows were deferred
+        if carry_frontier is not None:
+            frontier = carry_frontier
+        else:
+            frontier = state.frontier(iteration - 1)
 
         # 1. politeness schedule (Q2)
         now, deferred = schedule(frontier, quotas)
@@ -229,15 +243,21 @@ def crawl(
         ).mapInPandas(extract_fn, CANDIDATES_SCHEMA)
         candidates = candidates.persist()
 
-        # 4. dedup (D2 in-wave, D1 vs seen): first-occurrence window, then
-        # Bloom prefilter — definitely-new rows skip the exact anti-join
+        # 4. dedup (D2 in-wave, D1 vs seen): in-wave first occurrence, then
+        # Bloom prefilter — definitely-new rows skip the exact anti-join.
+        # The prefilter stage engages only past bloom_min_seen (shards are
+        # still maintained below it, so the blooms ⊇ seen invariant holds
+        # whenever it switches on).
+        bloom_active = bloom_prefilter and seen_total >= bloom_min_seen
         firsts = first_occurrence(candidates)
         flags = ["emit_ok", "enqueue_ok"]
         offs = {"emit_ok": seq_offsets, "enqueue_ok": rank_offsets}
         if bloom_prefilter:
-            firsts = bloomf.prefilter(
-                bloomf.with_bloom_hashes(with_bucket(firsts)), bloom_bc
-            )
+            firsts = bloomf.with_bloom_hashes(with_bucket(firsts))
+        if bloom_active:
+            if bloom_bc is None:
+                bloom_bc = spark.sparkContext.broadcast(bloom_merged)
+            firsts = bloomf.prefilter(firsts, bloom_bc)
             maybe = firsts.filter(F.col("_maybe_seen"))
             fresh = firsts.filter(~F.col("_maybe_seen"))
             new_cands = fresh.unionByName(
@@ -328,8 +348,10 @@ def crawl(
                 bloom_merged = bloomf.merge_bitmaps(
                     [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
                 )
-                old_bc, bloom_bc = bloom_bc, spark.sparkContext.broadcast(bloom_merged)
-                old_bc.destroy()
+                # stale broadcast is dropped; recreated lazily at next use
+                if bloom_bc is not None:
+                    bloom_bc.destroy()
+                    bloom_bc = None
         if debug_timing:
             print(
                 f"[iter {iteration}] frontier={frontier_rows} "
@@ -361,6 +383,10 @@ def crawl(
         # water; carried-over deferred rows keep their old (lower) ranks
         if deferred_n == 0:
             rank_lo = prev_rank_hi
+            carry_frontier = next_frontier
+        else:
+            carry_frontier = None
+        seen_total += cand_rows
         frontier_rows = enq_n + deferred_n
         state.commit(iteration, rank_offsets, seq_offsets, done=frontier_rows == 0)
         candidates.unpersist()
