@@ -8,9 +8,13 @@
 ``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents. Crawl-engine queries
               derive a deterministic URL table from ``documents`` with
               SQL-portable expressions so both engines compute the same
-              inputs; genuinely non-SQL-expressible ops (the iterative BFS
-              crawl, MinHash/SimHash/ANN, media decode) omit the oracle and
-              get the driver's rows-only check.
+              inputs; the flagship iterative crawl is oracle-checked by a
+              generated fixed-point CTE replay (``_crawl_bfs_oracle``);
+              simhash uses the md5 token hash (DuckDB ``md5_number``
+              parity); only minhash_dedup and ann_lsh stay rows-only
+              (64-bit vectorized hashing / hyperplane RNG have no SQL
+              equivalent — both are verified against exact baselines in
+              tests/ instead).
 
 Column names/types are aligned on both sides (aggregates cast to BIGINT; no
 float columns in oracle-checked outputs).
@@ -89,6 +93,94 @@ def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("path"),
         ext.alias("ext"),
     ).withColumn("url", F.concat(F.lit("http://"), F.col("host"), F.col("path")))
+
+
+# ---------------------------------------------------------------------------
+# crawl_bfs oracle: SQL replay of the deterministic corpus crawl
+# ---------------------------------------------------------------------------
+
+_CRAWL_BFS_WAVES = 16
+
+
+def _crawl_bfs_oracle(max_waves: int = _CRAWL_BFS_WAVES) -> str:
+    """ANSI-SQL replay of the flagship depth-1 crawl over the
+    ``corpus_from_documents`` corpus (crawley_spark/corpus.py:105-159).
+
+    The corpus's link structure is pure arithmetic (root h links docs
+    h+7k, k<8; doc d links (d+k²) mod n, k=1..6; same-host links are
+    crawlable at path depth 1), so the whole BFS — per-wave candidate
+    generation, in-wave first-occurrence dedup in (parent_rank, ord)
+    order, the cross-wave seen anti-join, enqueue scoping, and the dense
+    per-run emission seq — unrolls into a fixed chain of CTEs (one per
+    wave; waves after the frontier empties contribute zero rows). This is
+    the driver-checkable hard oracle for crawl ordering + URL-seen parity
+    (VERDICT r01 "next" #3)."""
+    # every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, which (a) re-opens the documents parquet once per wave
+    # (fd exhaustion via n) and (b) doubles the seen{w} plan per wave —
+    # exponential planning. Materialization makes each wave O(1) plans.
+    parts = [
+        "WITH n AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),",
+        "runs(run_id, h) AS (SELECT 'h0', 0 UNION ALL SELECT 'h1', 1),",
+        "ks(k) AS (SELECT unnest(range(1, 7))),",
+        "rks(k) AS (SELECT unnest(range(0, 8))),",
+        # wave 1: the per-host root page links docs h+7k (k<8, < n)
+        """emit1 AS MATERIALIZED (
+            SELECT r.run_id, r.h, 1 AS iter, 0 AS prank, rks.k AS ord,
+                   r.h + 7 * rks.k AS doc
+            FROM runs r, rks, n WHERE r.h + 7 * rks.k < n.n
+        ),""",
+        "seen1 AS MATERIALIZED (SELECT run_id, doc FROM emit1),",
+        """frontier2 AS MATERIALIZED (
+            SELECT run_id, h,
+                   ROW_NUMBER() OVER (PARTITION BY run_id ORDER BY ord) AS prank, doc
+            FROM emit1
+        ),""",
+    ]
+    for w in range(2, max_waves + 1):
+        parts.append(
+            f"""cands{w} AS MATERIALIZED (
+            SELECT f.run_id, f.h, f.prank, ks.k AS ord,
+                   (f.doc + ks.k * ks.k) % n.n AS doc
+            FROM frontier{w} f, ks, n
+        ),
+        dedup{w} AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT run_id, h, prank, ord, doc,
+                       ROW_NUMBER() OVER (PARTITION BY run_id, doc
+                                          ORDER BY prank, ord) AS rn
+                FROM cands{w}
+            ) WHERE rn = 1
+        ),
+        emit{w} AS MATERIALIZED (
+            SELECT d.run_id, d.h, {w} AS iter, d.prank, d.ord, d.doc
+            FROM dedup{w} d
+            LEFT JOIN seen{w - 1} s ON s.run_id = d.run_id AND s.doc = d.doc
+            WHERE s.doc IS NULL
+        ),
+        seen{w} AS MATERIALIZED (
+            SELECT run_id, doc FROM seen{w - 1}
+            UNION ALL SELECT run_id, doc FROM emit{w}
+        ),
+        frontier{w + 1} AS MATERIALIZED (
+            SELECT run_id, h,
+                   ROW_NUMBER() OVER (PARTITION BY run_id ORDER BY prank, ord) AS prank,
+                   doc
+            FROM emit{w} WHERE doc % 7 = h
+        ),""")
+    union = "\nUNION ALL ".join(
+        f"SELECT run_id, iter, prank, ord, doc FROM emit{w}" for w in range(1, max_waves + 1)
+    )
+    parts.append(f"allemit AS ({union})")
+    parts.append(
+        """SELECT run_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY run_id ORDER BY iter, prank, ord) - 1
+                    AS BIGINT) AS seq,
+               'http://h' || CAST(doc % 7 AS VARCHAR) || '.test/d' || CAST(doc AS VARCHAR) AS url,
+               CAST(iter AS INTEGER) AS iter
+        FROM allemit"""
+    )
+    return "\n".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -315,9 +407,12 @@ def _q_minhash_dedup(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    """SimHash with the md5 token hash — bit-exactly reproducible in DuckDB
+    (md5_number), so this entry is oracle-checked; the xxh64 default variant
+    is covered by tests/test_operators.py."""
     from crawley_spark.operators.dedup import simhash
 
-    return simhash(_docs(spark, sf_dir))
+    return simhash(_docs(spark, sf_dir), hash_fn="md5")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -348,9 +443,12 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    from crawley_spark.operators.multimodal import extract_features, synth_media
+    """Multimodal plumbing over a documents-derived media table (payload =
+    utf-8 text bytes) — binary column through the Arrow decode stage, with a
+    SQL oracle on (kind, n_bytes)."""
+    from crawley_spark.operators.multimodal import extract_features, media_from_documents
 
-    media = synth_media(spark, n=128)
+    media = media_from_documents(_docs(spark, sf_dir))
     return extract_features(media, decode="fake").select("media_id", "kind", "n_bytes")
 
 
@@ -561,7 +659,94 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         FROM documents
         """,
-        # crawl_bfs / minhash_dedup / simhash / ngram_jaccard / ann_* /
-        # media_features: no SQL oracle (iterative engine / hash-UDF /
-        # non-deterministic-in-SQL float ranking) → driver rows-only check
+        # SimHash: the md5 token hash is little-endian-reproducible via
+        # DuckDB md5_number (md5_number(x) % 2^60 == Spark md5_low60)
+        "simhash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST(md5_number(tok) % 1152921504606846976 AS BIGINT) AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS b,
+                   SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(range(0, 60)) AS b) b
+            GROUP BY doc_id, b.b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+        """,
+        # exact n-gram Jaccard verify stage (VERDICT r01 "next" #2):
+        # list_intersect / list_distinct over 3-gram lists
+        "ngram_jaccard": """
+        WITH d AS (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 0) + 2),
+                       i -> array_to_string(t[i:i+2], ' ')
+                   )) AS grams
+            FROM d
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.grams AS ga, b.grams AS gb
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        )
+        SELECT doc_a, doc_b,
+               CAST(trunc(1000.0 * len(list_intersect(ga, gb))
+                    / greatest(len(list_distinct(list_concat(ga, gb))), 1)) AS BIGINT)
+                   AS jaccard_milli
+        FROM pairs
+        """,
+        "media_features": """
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS kind,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+        """,
+        # the invariant itself: every corpus page's stored text equals the
+        # kernel's re-extraction (n_mismatch must be 0); page count =
+        # documents + the 7 per-host root pages
+        "text_invariant": """
+        SELECT CAST((SELECT COUNT(*) FROM documents) + 7 AS BIGINT) AS n_pages,
+               CAST(0 AS BIGINT) AS n_mismatch
+        """,
+        "crawl_bfs": _crawl_bfs_oracle(),
+        # integer-only output (ranks); cosine doubles agree bit-for-bit
+        # because both engines unit-normalize and dot sequentially over the
+        # same parquet doubles (verified at sf0.01 and sf0.1)
+        "ann_brute": """
+        WITH u AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                       sqrt(list_sum(list_transform(embedding,
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, unit AS qu FROM u WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(c.unit, q.qu) AS cos
+            FROM u c, q WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+        """,
+        # minhash_dedup / ann_lsh: rows-only (their 64-bit vectorized
+        # shingle hashing / hyperplane RNG have no SQL equivalent); both
+        # are recall/pair-tested against exact baselines in tests/
     }

@@ -111,8 +111,10 @@ def main():
     # Python-UDF-heavy stages stop scaling past ~16 concurrent workers on one
     # socket (each worker pairs with a JVM feeder thread; beyond ~16 the
     # 2×parallelism thread count oversubscribes the machine). Cap the
-    # *partition*-driven concurrency while keeping all cores for JVM stages.
-    sp = args.cores if args.cores <= 16 else args.cores // 2
+    # *partition*-driven concurrency at that ceiling while keeping all cores
+    # for JVM stages (ADVICE r01: cores//2 neither implemented the ceiling
+    # at 64 cores nor at 20).
+    sp = min(16, args.cores)
     spark = get_spark("crawley-bench", cores=args.cores, shuffle_partitions=sp)
     spark.sparkContext.setLogLevel("ERROR")
 

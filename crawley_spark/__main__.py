@@ -5,7 +5,9 @@ crawling a parquet pages corpus instead of the live web:
         [-depth N] [-robots ignore|crawl|respect] [-dirs show|hide|only]
         [-tag a,iframe] [-ignore pat] [-brute] [-js] [-css] [-all]
         [-headless] [-subdomains] [-delay 150ms] [-timeout 5s]
-        [-workers N] [-user-agent UA] [-silent] [-version] <seed_url>
+        [-workers N] [-user-agent UA] [-skip-ssl] [-proxy-auth user:pass]
+        [-header 'K: v'|@file] [-cookie 'k=v'|@file] [-silent] [-version]
+        <seed_url>
 
 Prints discovered URLs line-per-URL in canonical crawl order (stdout),
 config/progress to stderr — the reference's stdout/stderr contract
@@ -53,7 +55,9 @@ def main(argv=None):
     ap.add_argument("-headless", "--headless", action="store_true")
     ap.add_argument("-subdomains", "--subdomains", action="store_true")
     ap.add_argument("-silent", "--silent", action="store_true")
+    ap.add_argument("-skip-ssl", "--skip-ssl", dest="skip_ssl", action="store_true")
     ap.add_argument("-user-agent", "--user-agent", dest="user_agent", default=None)
+    ap.add_argument("-proxy-auth", "--proxy-auth", dest="proxy_auth", default="")
     ap.add_argument("-header", "--header", action="append", default=[])
     ap.add_argument("-cookie", "--cookie", action="append", default=[])
     ap.add_argument("-version", "--version", action="store_true")
@@ -67,6 +71,9 @@ def main(argv=None):
         ap.print_usage(sys.stderr)
         return 1
 
+    # headers/cookies are Smart values ('@file' loads line-per-value,
+    # main.go:96-117); tags/ignored are List values (CSV-expanding,
+    # main.go:178-179); proxy-auth becomes a client header (options.go:112)
     cfg = CrawlConfig(
         depth=args.depth,
         workers=args.workers,
@@ -79,10 +86,13 @@ def main(argv=None):
         scan_css=args.css or args.scan_all,
         subdomains=args.subdomains,
         no_head=args.headless,
+        skip_ssl=args.skip_ssl,
         tags=tuple(list_values(args.tag)),
-        ignored=tuple(smart_values(args.ignore)),
+        ignored=tuple(list_values(args.ignore)),
+        headers=tuple(smart_values(args.header)),
+        cookies=tuple(smart_values(args.cookie)),
         **({"user_agent": args.user_agent} if args.user_agent else {}),
-    ).validated()
+    ).with_proxy_auth(args.proxy_auth).validated()
 
     spark = get_spark("crawley-cli")
     spark.sparkContext.setLogLevel("ERROR")

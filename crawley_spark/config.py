@@ -58,6 +58,20 @@ class CrawlConfig:
     tags: tuple = ()
     ignored: tuple = ()
     user_agent: str = DEFAULT_UA
+    # client-config surface (client.Config, config.go:23; corpus mode sends
+    # no HTTP requests — carried for flag/config parity and dump inspection)
+    skip_ssl: bool = False  # WithSkipSSL (options.go:56-60)
+    headers: tuple = ()  # raw "Key: value" strings, WithExtraHeaders
+    cookies: tuple = ()  # raw "k=v; ..." strings, WithExtraCookies
+
+    def with_proxy_auth(self, v: str) -> "CrawlConfig":
+        """WithProxyAuth (options.go:108-115): non-empty credentials become a
+        Proxy-Authorization basic header appended to the client headers."""
+        if not v:
+            return self
+        from .functions.clientconf import proxy_auth_header
+
+        return replace(self, headers=tuple(self.headers) + (proxy_auth_header(v),))
 
     def validated(self) -> "CrawlConfig":
         """config.go:63-68 clamps."""
@@ -71,6 +85,8 @@ class CrawlConfig:
             dirs_policy=parse_dirs_policy(self.dirs_policy),
             tags=tuple(self.tags),
             ignored=tuple(self.ignored),
+            headers=tuple(self.headers),
+            cookies=tuple(self.cookies),
         )
 
     def dump(self) -> str:

@@ -125,7 +125,10 @@ def crawl(
     salt_k: int = 0,
     bloom_prefilter: bool = True,
     bloom_min_seen: int = 200_000,
-    broadcast_frontier_rows: int = 2_000_000,
+    broadcast_frontier_rows: int = 500_000,
+    semi_broadcast_rows: int = 250_000,
+    direct_broadcast_seen_rows: int = 500_000,
+    compact_every: int = 8,
 ) -> CrawlReport:
     """Run a depth-bounded BFS crawl of ``pages`` from ``seeds``.
 
@@ -133,6 +136,29 @@ def crawl(
     delay_ms > 0 this caps fetches per host per iteration at
     budget/delay (reference Q2 semantics, batch-shaped). None = no deferral
     (the reference never defers; parity runs use None).
+
+    Seen anti-join strategy (VERDICT r01 #1 — never shuffle the seen table):
+
+    * Bloom active (seen ≥ bloom_min_seen): the post-Bloom "maybe" rows are
+      checked with a *bucket-pruned broadcast semi-join*: seen is read only
+      for the buckets present in maybe (Hive-partition pruning on the
+      seen layout), the tiny maybe key-set is broadcast, and the matching
+      seen keys (≤ |maybe|) are broadcast back for the anti-join — one
+      column-pruned scan of the touched shards, zero shuffle of seen. If
+      maybe exceeds ``semi_broadcast_rows`` (transitional huge waves), it
+      falls back to a shuffle anti-join against the pruned buckets.
+    * Bloom inactive (small seen): seen ≤ ``direct_broadcast_seen_rows``
+      is broadcast directly into the anti-join; only a small-seen ×
+      huge-wave corner pays a shuffle.
+
+    broadcast_frontier_rows: frontier rows below which the fetch join
+    broadcasts the frontier side. 500k rows × ~150 B/row ≈ 75 MB — sized to
+    stay well inside a default 1 GiB driver/executor headroom rather than
+    Spark's 10 MB auto threshold (the frontier is the *hot* dimension;
+    ADVICE r01 gated this on bytes, not a 2M-row cliff).
+
+    compact_every: seen deltas are merged into one bucket-partitioned
+    snapshot every this many iterations, bounding the per-read dir count.
     """
     runs = _normalize_runs(seeds, config)
     pages_n = normalize_pages(pages)
@@ -188,6 +214,13 @@ def crawl(
     import os as _os
 
     debug_timing = _os.environ.get("CRAWLEY_DEBUG_TIMING") == "1"
+    # localCheckpoint blocks are non-reliable: an executor lost between
+    # iterations (cluster mode / dynamic allocation) would lose them with a
+    # truncated lineage — carry the in-memory frontier plan only where that
+    # cannot happen (static local mode); elsewhere re-read committed parquet
+    can_carry = spark.sparkContext.master.startswith("local") and (
+        str(spark.conf.get("spark.dynamicAllocation.enabled", "false")).lower() != "true"
+    )
 
     # Bloom shards (north_rule): definitely-new candidates skip the exact
     # anti-join. Invariant: blooms ⊇ seen (bootstrap + every committed
@@ -252,21 +285,56 @@ def crawl(
         firsts = first_occurrence(candidates)
         flags = ["emit_ok", "enqueue_ok"]
         offs = {"emit_ok": seq_offsets, "enqueue_ok": rank_offsets}
+        keys = ["run_id", "url_key"]
+        maybe_rows, seen_buckets_read = 0, None
         if bloom_prefilter:
             firsts = bloomf.with_bloom_hashes(with_bucket(firsts))
         if bloom_active:
             if bloom_bc is None:
                 bloom_bc = spark.sparkContext.broadcast(bloom_merged)
-            firsts = bloomf.prefilter(firsts, bloom_bc)
-            maybe = firsts.filter(F.col("_maybe_seen"))
-            fresh = firsts.filter(~F.col("_maybe_seen"))
-            new_cands = fresh.unionByName(
-                anti_join_seen(maybe, state.seen(upto=iteration - 1))
+            # materialize the deduped+prefiltered wave once; one light agg
+            # job gives the driver the maybe count + the touched buckets so
+            # the seen read below can be partition-pruned to those shards
+            staged = bloomf.prefilter(firsts, bloom_bc).localCheckpoint(eager=False)
+            mb = (
+                staged.groupBy("_maybe_seen")
+                .agg(F.count("*").alias("n"), F.collect_set("bucket").alias("bks"))
+                .collect()
             )
+            maybe_rows = sum(r["n"] for r in mb if r["_maybe_seen"])
+            seen_buckets_read = sorted(
+                {int(b) for r in mb if r["_maybe_seen"] for b in r["bks"]}
+            )
+            if maybe_rows == 0:
+                new_cands = staged
+            else:
+                maybe = staged.filter(F.col("_maybe_seen"))
+                fresh = staged.filter(~F.col("_maybe_seen"))
+                seen_side = state.seen(
+                    upto=iteration - 1, buckets=seen_buckets_read
+                ).select(*keys)
+                if maybe_rows <= semi_broadcast_rows:
+                    # seen is scanned (pruned shards, two columns) but never
+                    # shuffled: maybe's keys broadcast in, the ≤|maybe| hits
+                    # broadcast back out
+                    hits = seen_side.join(
+                        F.broadcast(maybe.select(*keys)), on=keys, how="left_semi"
+                    )
+                    new_cands = fresh.unionByName(
+                        maybe.join(F.broadcast(hits), on=keys, how="left_anti")
+                    )
+                else:
+                    new_cands = fresh.unionByName(anti_join_seen(maybe, seen_side))
             flags = flags + ["_maybe_seen"]  # free per-run counts via the index pass
             offs = dict(offs, _maybe_seen={})
         else:
-            new_cands = anti_join_seen(firsts, state.seen(upto=iteration - 1))
+            seen_side = state.seen(upto=iteration - 1).select(*keys)
+            if seen_total <= direct_broadcast_seen_rows:
+                new_cands = firsts.join(
+                    F.broadcast(seen_side), on=keys, how="left_anti"
+                )
+            else:
+                new_cands = anti_join_seen(firsts, seen_side)
 
         # 5+6. one canonical-order pass assigns BOTH the emission seq and the
         # next-frontier rank (dense per flag); the localCheckpoint inside
@@ -318,13 +386,22 @@ def crawl(
 
         # 7+8. independent actions run concurrently on driver threads: three
         # table writes + lineage collect + deferred count (the wave is
-        # already materialized by the index pass, so these only re-read it)
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        # already materialized by the index pass, so these only re-read it).
+        # Every compact_every iterations the seen deltas are merged into one
+        # bucket-partitioned snapshot (covers ≤ iteration-1, so it is
+        # independent of this iteration's delta write) — amortized O(seen/K)
+        # per iteration, and the read path stays O(K) dirs.
+        last_compact = state.manifest.get("seen_compact", -1)
+        do_compact = iteration - 1 - max(last_compact, 0) >= compact_every
+        with ThreadPoolExecutor(max_workers=7) as pool:
             futs = [
                 pool.submit(state.write, "results", iteration, results_df),
                 pool.submit(state.write, "frontier", iteration, next_frontier),
-                pool.submit(state.write, "seen", iteration, seen_df),
+                pool.submit(state.write_seen, iteration, seen_df),
             ]
+            compact_fut = (
+                pool.submit(state.compact_seen, iteration - 1) if do_compact else None
+            )
             lineage_fut = pool.submit(
                 lambda: candidates.groupBy("src_pid")
                 .agg(F.sum("dup_count").alias("count"), F.count("*").alias("rows"))
@@ -342,6 +419,7 @@ def crawl(
                 f.result()
             lineage_rows = lineage_fut.result()
             deferred_n = deferred_fut.result()
+            new_compact = compact_fut.result() if compact_fut is not None else None
             if bloom_fut is not None:
                 new_shards = [(r["bucket"], bytes(r["bitmap"])) for r in bloom_fut.result()]
                 state.write_local_binary("blooms", iteration, new_shards)
@@ -368,6 +446,21 @@ def crawl(
         metric_rows = lineage + [
             (iteration, "frontier_in", "", frontier_rows),
             (iteration, "bloom_false_positives", "", sum(idx_counts.get("_maybe_seen", {}).values())),
+            (iteration, "bloom_maybe", "", maybe_rows),
+            (
+                iteration,
+                "seen_rows_scanned",
+                "",
+                state.count_parquet_rows(state.seen_dirs(iteration - 1, seen_buckets_read))
+                if _os.environ.get("CRAWLEY_SEEN_METRICS") == "1" and maybe_rows > 0
+                else -1,
+            ),
+            (
+                iteration,
+                "seen_buckets_read",
+                ",".join(map(str, seen_buckets_read)) if seen_buckets_read is not None else "all",
+                len(seen_buckets_read) if seen_buckets_read is not None else SEEN_BUCKETS,
+            ),
             (iteration, "candidates", "", cand_n),
             (iteration, "emitted", "", sum(emit_counts.values())),
             (iteration, "enqueued", "", sum(enq_counts.values())),
@@ -380,15 +473,28 @@ def crawl(
             # estimate for the index pass sizes the POST-combine stream
             avg_links = max(1.0, cand_rows / frontier_rows)
         # next frontier's rank span: fresh enqueues start at the old high
-        # water; carried-over deferred rows keep their old (lower) ranks
+        # water; carried-over deferred rows keep their old (lower) ranks.
+        # The in-memory carry is only safe where localCheckpoint blocks are
+        # (a) reliable — not on a cluster that can lose executors — and
+        # (b) plan-bounded — quotas chain a window+filter layer per
+        # iteration over the carried plan (ADVICE r01), so carry only in the
+        # no-quota case; otherwise re-read the committed snapshot.
         if deferred_n == 0:
             rank_lo = prev_rank_hi
-            carry_frontier = next_frontier
-        else:
-            carry_frontier = None
+        carry_frontier = (
+            next_frontier
+            if deferred_n == 0 and all(q is None for q in quotas.values()) and can_carry
+            else None
+        )
         seen_total += cand_rows
         frontier_rows = enq_n + deferred_n
-        state.commit(iteration, rank_offsets, seq_offsets, done=frontier_rows == 0)
+        state.commit(
+            iteration,
+            rank_offsets,
+            seq_offsets,
+            done=frontier_rows == 0,
+            seen_compact=new_compact,
+        )
         candidates.unpersist()
         if debug_timing:
             print(f"[iter {iteration}] total={time.monotonic() - t0:.2f}s", flush=True)

@@ -80,6 +80,34 @@ def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def media_from_documents(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from the ``documents`` testdata
+    (payload = utf-8 bytes of the text, kind cycles by id) — same binary
+    column + typed-metadata shape as ``synth_media`` but SQL-reproducible,
+    so the driver's DuckDB oracle can hard-check the plumbing end to end."""
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    mime = (
+        F.when(kind == "image", F.lit("image/png"))
+        .when(kind == "audio", F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return documents.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            (64 + F.col(id_col) % 512).cast("int").alias("width"),
+            (64 + (F.col(id_col) * 7) % 512).cast("int").alias("height"),
+            ((F.col(id_col) * 137) % 60000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Decode + feature-extract per media row (Arrow-batched). ``fake`` =
     deterministic bytes-hash features; ``real`` = the codec call site
@@ -89,6 +117,26 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        pil_image = None
+        if decode == "real":
+            # optional-dependency probe (VERDICT r01 "next" #8): real decode
+            # engages when a codec lib is importable, stub error otherwise
+            try:
+                from PIL import Image as pil_image  # noqa: N813
+            except ImportError:
+                pil_image = None
+
+        def real_features(kind: str, data: bytes):
+            if kind == "image" and pil_image is not None:
+                import io
+
+                img = pil_image.open(io.BytesIO(data)).convert("L").resize((4, 4))
+                return [float(x) / 255.0 for x in img.getdata()]
+            raise NotImplementedError(
+                f"no codec available for kind={kind} in this environment; "
+                "install PIL (images) / soundfile (audio) / ffmpeg (video)"
+            )
+
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(
@@ -96,16 +144,15 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
             ):
                 data = bytes(payload) if payload is not None else b""
                 if decode == "real":
-                    raise NotImplementedError(
-                        "media codecs unavailable in this container; "
-                        "plug PIL/soundfile/ffmpeg here"
-                    )
-                digest = hashlib.blake2b(data, digest_size=FEATURE_DIM * 4).digest()
-                feat = (
-                    np.frombuffer(digest, dtype=np.uint32).astype(np.float32)
-                    / np.float32(2**32)
-                )
-                rows.append((int(mid), kind, len(data), [float(x) for x in feat]))
+                    feat = real_features(kind, data)
+                else:
+                    digest = hashlib.blake2b(data, digest_size=FEATURE_DIM * 4).digest()
+                    feat = [
+                        float(x)
+                        for x in np.frombuffer(digest, dtype=np.uint32).astype(np.float32)
+                        / np.float32(2**32)
+                    ]
+                rows.append((int(mid), kind, len(data), feat))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes", "feature"])
 
     return media.select("media_id", "kind", "payload").mapInPandas(fn, FEATURES_SCHEMA)

@@ -13,7 +13,8 @@ Layout::
 
     {root}/state.json                      # committed manifest (written last)
     {root}/results/iter=N/...parquet       # append-only emissions
-    {root}/seen/iter=N/...parquet          # seen-set deltas, bucket column
+    {root}/seen/iter=N/...parquet          # seen deltas (one wave each)
+    {root}/seen_compact/upto=N/pb=B/...    # compacted snapshot, bucket dirs
     {root}/frontier/iter=N/...parquet      # full next-frontier snapshot
     {root}/metrics/iter=N/...parquet       # per-iteration + per-partition lineage
 
@@ -21,6 +22,21 @@ Commit protocol: write all four tables for iteration N, then atomically
 replace state.json (os.replace). On resume, only iterations <= the committed
 manifest are read — a crash mid-iteration leaves orphan files that are
 ignored and overwritten on the next attempt.
+
+Seen layout at scale (VERDICT r01 #1): the *compacted* seen snapshot is
+physically partitioned by the ``bucket`` column (Hive-style ``pb=B`` dirs —
+the stand-in for Iceberg ``bucket(N, url_key)`` hidden partitioning), so
+the engine's anti-join reads ONLY the buckets present in the post-Bloom
+"maybe" set from the snapshot that holds the historical mass — per-
+iteration cost O(Δfrontier × shard + recent deltas), not O(seen). Deltas
+stay unpartitioned (one wave each; partitioning them would emit 64 tiny
+files per iteration) and are folded into ``seen_compact/upto=N`` every
+``compact_every`` iterations, sorted by url_key within buckets for tight
+row-group stats. The compact pointer lives in the manifest and is advanced
+atomically by ``commit``; a crash mid-compaction leaves an orphan dir that
+is ignored. Superseded compact snapshots are deleted after the commit that
+replaces them; deltas are retained (append-only history — production
+Iceberg would expire them).
 """
 
 from __future__ import annotations
@@ -91,7 +107,13 @@ class CrawlState:
         self._tmp = root is None
         self.root = root or tempfile.mkdtemp(prefix="crawley_state_")
         os.makedirs(self.root, exist_ok=True)
-        self.manifest = {"iteration": -1, "rank_offsets": {}, "seq_offsets": {}, "done": False}
+        self.manifest = {
+            "iteration": -1,
+            "rank_offsets": {},
+            "seq_offsets": {},
+            "done": False,
+            "seen_compact": -1,
+        }
 
     # -- manifest --
     @property
@@ -105,17 +127,32 @@ class CrawlState:
             self.manifest = json.load(f)
         return True
 
-    def commit(self, iteration: int, rank_offsets: dict, seq_offsets: dict, done: bool) -> None:
+    def commit(
+        self,
+        iteration: int,
+        rank_offsets: dict,
+        seq_offsets: dict,
+        done: bool,
+        seen_compact: int | None = None,
+    ) -> None:
+        prev_compact = self.manifest.get("seen_compact", -1)
         self.manifest = {
             "iteration": iteration,
             "rank_offsets": rank_offsets,
             "seq_offsets": seq_offsets,
             "done": done,
+            "seen_compact": seen_compact if seen_compact is not None else prev_compact,
         }
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.manifest, f)
         os.replace(tmp, self.manifest_path)
+        # the old snapshot is unreachable once the new pointer is committed
+        if seen_compact is not None and prev_compact >= 0 and prev_compact != seen_compact:
+            shutil.rmtree(
+                os.path.join(self.root, "seen_compact", f"upto={prev_compact}"),
+                ignore_errors=True,
+            )
 
     # -- table io --
     def _dir(self, table: str, iteration: int) -> str:
@@ -123,6 +160,85 @@ class CrawlState:
 
     def write(self, table: str, iteration: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._dir(table, iteration))
+
+    def write_seen(self, iteration: int, df: DataFrame) -> None:
+        """Seen delta — written UNpartitioned on purpose: a delta is one
+        wave (small, recent, read whole for at most ``compact_every``
+        iterations before it folds into the compacted snapshot), and
+        bucket-partitioning it would emit tasks×64 tiny files per iteration
+        and dominate the per-iteration floor. The *snapshot* is where the
+        historical mass lives and is what :meth:`compact_seen` partitions
+        by bucket for pruned reads."""
+        df.write.mode("overwrite").parquet(self._dir("seen", iteration))
+
+    @staticmethod
+    def _leaf_dirs(d: str, buckets=None) -> list:
+        """Bucket leaf dirs under a seen/compact dir; falls back to the dir
+        itself for unpartitioned (bootstrap pyarrow) writes. ``buckets`` is an
+        optional iterable of bucket ids to prune to — pruning is an
+        optimization only: any superset of the true buckets is correct."""
+        try:
+            entries = sorted(os.listdir(d))
+        except FileNotFoundError:
+            return []
+        leafs = [e for e in entries if e.startswith("pb=")]
+        if not leafs:
+            return [d]
+        if buckets is not None:
+            want = {f"pb={int(b)}" for b in buckets}
+            leafs = [e for e in leafs if e in want]
+        return [os.path.join(d, e) for e in leafs]
+
+    def seen_dirs(self, upto: int, buckets=None) -> list:
+        """All parquet dirs making up the seen table at ``upto``: the latest
+        committed compact snapshot (if any) plus the deltas after it."""
+        compact = self.manifest.get("seen_compact", -1)
+        dirs = []
+        start = 0
+        if 0 <= compact <= upto:
+            dirs += self._leaf_dirs(
+                os.path.join(self.root, "seen_compact", f"upto={compact}"), buckets
+            )
+            start = compact + 1
+        for i in range(start, upto + 1):
+            d = self._dir("seen", i)
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                dirs += self._leaf_dirs(d, buckets)
+        return dirs
+
+    @staticmethod
+    def count_parquet_rows(dirs: list) -> int:
+        """Driver-side row count from parquet footers only (no data read) —
+        instrumentation for the seen-scan metrics (CRAWLEY_SEEN_METRICS)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for d in dirs:
+            try:
+                names = os.listdir(d)
+            except FileNotFoundError:
+                continue
+            for f in names:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        return total
+
+    def compact_seen(self, upto: int) -> int:
+        """Merge the current compact snapshot + deltas ≤ upto into one
+        bucket-partitioned snapshot, sorted by url_key within buckets (tight
+        parquet row-group min/max for point-lookup pruning). Returns ``upto``;
+        the caller must pass it to :meth:`commit` to make it live."""
+        src = self.seen(upto=upto)
+        dst = os.path.join(self.root, "seen_compact", f"upto={upto}")
+        (
+            src.withColumn("pb", F.col("bucket"))
+            .repartition(F.col("pb"))
+            .sortWithinPartitions("pb", "url_key")
+            .write.mode("overwrite")
+            .partitionBy("pb")
+            .parquet(dst)
+        )
+        return upto
 
     def write_local(self, table: str, iteration: int, rows: list, schema: T.StructType) -> None:
         """Driver-local rows → parquet via pyarrow directly (no Spark job —
@@ -174,8 +290,11 @@ class CrawlState:
     def results(self, upto: int | None = None) -> DataFrame:
         return self._read_upto("results", RESULTS_SCHEMA, self._upto(upto))
 
-    def seen(self, upto: int | None = None) -> DataFrame:
-        return self._read_upto("seen", SEEN_SCHEMA, self._upto(upto))
+    def seen(self, upto: int | None = None, buckets=None) -> DataFrame:
+        dirs = self.seen_dirs(self._upto(upto), buckets)
+        if not dirs:
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(*dirs)
 
     def metrics(self, upto: int | None = None) -> DataFrame:
         return self._read_upto("metrics", METRICS_SCHEMA, self._upto(upto))

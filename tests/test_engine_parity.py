@@ -128,3 +128,80 @@ def test_resume_mid_crawl(spark, tmp_path):
     assert resumed.result_urls("run0") == want.results
     got_seen = {r["url_key"]: r["url"] for r in resumed.seen("run0").collect()}
     assert got_seen == want.seen
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(bloom_min_seen=0),  # bucket-pruned broadcast semi-join path
+        dict(bloom_min_seen=0, semi_broadcast_rows=0),  # pruned shuffle fallback
+        dict(bloom_prefilter=False, direct_broadcast_seen_rows=0),  # plain shuffle anti-join
+        dict(bloom_prefilter=False),  # broadcast-seen anti-join (small seen)
+    ],
+    ids=["semi_join", "pruned_shuffle", "plain_shuffle", "broadcast_seen"],
+)
+def test_seen_join_strategies_parity(spark, kw):
+    """Every seen anti-join strategy (engine.py step 4) must produce the
+    byte-identical emission order + seen set of the reference interpreter."""
+    pages = synth_site()
+    cfg = CrawlConfig(depth=-1, no_head=True)
+    want, got_results, got_seen = run_both(spark, pages, "http://h0.example", cfg, **kw)
+    assert got_results == want.results, kw
+    assert got_seen == want.seen, kw
+
+
+def test_seen_partitioned_layout_and_compaction(spark, tmp_path):
+    """Seen deltas land bucket-partitioned (pb= dirs), compaction folds them
+    into one committed snapshot, pruned reads return exactly the requested
+    buckets, and the final state still matches the interpreter."""
+    import os
+
+    pages = synth_site()
+    cfg = CrawlConfig(depth=-1, no_head=True)
+    want = interp.crawl(pages, "http://h0.example", cfg)
+    ck = str(tmp_path / "ck")
+    report = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg,
+        checkpoint_dir=ck, compact_every=2,
+    )
+    assert report.iterations >= 3, "site too small to exercise compaction"
+    # compaction committed + bucket-partitioned snapshot exists
+    c = report.state.manifest["seen_compact"]
+    assert c >= 0
+    snap = os.path.join(ck, "seen_compact", f"upto={c}")
+    pb_dirs = [d for d in os.listdir(snap) if d.startswith("pb=")]
+    assert pb_dirs, "expected pb= partition dirs in the compacted snapshot"
+    # full read (compact + deltas) equals the interpreter's seen set
+    got_seen = {r["url_key"]: r["url"] for r in report.seen("run0").collect()}
+    assert got_seen == want.seen
+    assert report.result_urls("run0") == want.results
+    # pruned read: a correct superset of the requested buckets' rows (the
+    # snapshot prunes to pb= dirs; unpartitioned recent deltas are read
+    # whole by design) and strictly smaller than the full table
+    all_rows = report.state.seen().collect()
+    buckets = sorted({r["bucket"] for r in all_rows})[:2]
+    pruned = {tuple(r) for r in report.state.seen(buckets=buckets).collect()}
+    wanted = {tuple(r) for r in all_rows if r["bucket"] in set(buckets)}
+    assert wanted <= pruned <= {tuple(r) for r in all_rows}
+    assert len(pruned) < len(all_rows), "bucket pruning read the whole table"
+
+
+def test_resume_after_compaction(spark, tmp_path):
+    """Kill after compaction has run, resume → identical output (the compact
+    pointer + delta read path must survive the restart)."""
+    pages = synth_site()
+    cfg = CrawlConfig(depth=-1, no_head=True)
+    want = interp.crawl(pages, "http://h0.example", cfg)
+    ck = str(tmp_path / "ck")
+    partial = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg,
+        checkpoint_dir=ck, max_iterations=4, compact_every=2,
+    )
+    assert partial.state.manifest["seen_compact"] >= 0
+    resumed = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg,
+        checkpoint_dir=ck, resume=True, compact_every=2,
+    )
+    assert resumed.result_urls("run0") == want.results
+    got_seen = {r["url_key"]: r["url"] for r in resumed.seen("run0").collect()}
+    assert got_seen == want.seen

@@ -142,6 +142,94 @@ def test_media_real_decode_raises(spark):
         extract_features(media, decode="real").collect()
 
 
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def test_ann_lsh_recall_testdata(spark):
+    """Default LSH params must reach recall@5 ≥ 0.9 vs brute force on the
+    real testdata embeddings (VERDICT r01 "next" #4 done-criterion)."""
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute, lsh = {}, {}
+    for r in cosine_topk_bruteforce(emb, queries, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in cosine_topk_lsh(emb, queries, k=5).collect():
+        lsh.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(brute[q] & lsh.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ann_lsh_no_literal_blowup(spark, emb):
+    """The signature stage must be a pandas matmul, not dim×planes literal
+    expressions (VERDICT r01 "what's wrong" #2): the analyzed plan stays
+    small and contains the MapInPandas bucketize stage."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    df = cosine_topk_lsh(emb, queries, k=2)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert len(plan) < 60_000, f"plan blowup: {len(plan)} chars"
+
+
+def test_minhash_short_and_empty_docs(spark):
+    d = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "ab"), (3, None)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(d).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[0] != sigs[1]
+    assert sigs[3] == sigs[0]  # None treated as empty
+
+
+def test_simhash_md5_matches_python_reference(spark, docs):
+    """The md5 token-hash variant (the oracle-checked one) must equal a
+    direct little-endian-md5 reimplementation."""
+    import hashlib
+    import re
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5").collect()}
+
+    def py_simhash(text):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        sums = [0] * 60
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[::-1], "big") % (1 << 60)
+            for b in range(60):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if sums[b] > 0)
+
+    for r in docs.collect():
+        assert fp[r["doc_id"]] == py_simhash(r["text"]), r["doc_id"]
+
+
+def test_media_from_documents_oracle_shape(spark):
+    from crawley_spark.operators.multimodal import media_from_documents
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").limit(30)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    feats = extract_features(media_from_documents(docs), decode="fake").collect()
+    assert len(feats) == len(src)
+    for r in feats:
+        assert r["n_bytes"] == len(src[r["media_id"]].encode("utf-8"))
+        assert r["kind"] == ["image", "audio", "video"][r["media_id"] % 3]
+
+
+def test_media_real_decode_with_pil_if_available(spark):
+    """decode='real' works when a codec lib is importable (VERDICT r01
+    "next" #8); skipped in codec-less containers."""
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    pil.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = extract_features(media, decode="real").collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == 16
+
+
 # -- physical-plan assertions: pushdown/pruning/broadcast --
 def test_pages_scan_prunes_columns(spark, tmp_path):
     from crawley_spark.sources.pages import normalize_pages

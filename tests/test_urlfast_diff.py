@@ -165,10 +165,22 @@ def test_clean_url_fast_matches_slow_vectors():
             )
 
 
-@pytest.mark.parametrize("n", [1])
-def test_fast_paths_actually_hit(n):
-    """Guard against silently losing the fast paths to a regex typo."""
+def test_fast_paths_actually_hit(monkeypatch):
+    """Guard against silently losing the fast paths to a regex typo: the
+    slow fallbacks are patched to raise, so these calls only succeed if the
+    fast paths handled them (ADVICE r01 — asserting equal *outputs* could
+    not distinguish fast from fallback)."""
+    from crawley_spark.kernels import clean as clean_mod
+
+    def boom(*a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("slow fallback invoked for a fast-path input")
+
+    monkeypatch.setattr(gourl, "parse_slow", boom)
+    monkeypatch.setattr(clean_mod, "_clean_url_uncached", boom)
     u = gourl.parse("http://h0.test/p/1")
     assert u.path == "/p/1" and u.host == "h0.test"
     base = gourl.parse("http://h0.test")
     assert clean_url(base, "/p9")[0] == "http://h0.test/p9"
+    # and the fallback is genuinely reachable for a non-fast input
+    monkeypatch.undo()
+    assert gourl.parse("HTTP://x.test/y").host == "x.test"
