@@ -353,6 +353,44 @@ def _q_token_count(spark, sf_dir):
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    from crawley_spark.operators.textstats import token_count_bpe
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+
+
+def _q_embed_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup (exact variant — the SQL-oracle-able
+    baseline; the LSH scale path is recall-tested in tests/). Plants exact
+    and slightly-perturbed copies of the first vectors."""
+    from crawley_spark.operators.dedup import near_duplicates_embedding
+
+    shift = 10_000
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 60)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    dup_exact = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+    )
+    dup_near = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        (F.col("vec_id") + 2 * shift).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05)).alias("embedding"),
+    )
+    cand = emb.unionByName(dup_exact).unionByName(dup_near)
+    pairs = near_duplicates_embedding(cand, threshold=0.8, method="exact")
+    # round, not trunc: exact-dup cosines sit at 1.0 ± ulp, where trunc
+    # would be engine-sensitive
+    return pairs.select(
+        "doc_a", "doc_b", F.round(F.col("cos_sim") * 1000).cast("long").alias("cos_milli")
+    )
+
+
 def _q_quality(spark, sf_dir):
     from crawley_spark.operators.textstats import quality_stats
 
@@ -486,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_agg": _q_host_agg,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
+        "embed_dedup": _q_embed_dedup,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -619,6 +659,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
+        """,
+        "token_count_bpe": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+        """,
+        "embed_dedup": """
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id < 60
+        ),
+        cand AS (
+            SELECT vec_id, e FROM base
+            UNION ALL SELECT vec_id + 10000, e FROM base WHERE vec_id < 20
+            UNION ALL SELECT vec_id + 20000, list_transform(e, x -> x + 0.05)
+                      FROM base WHERE vec_id >= 20 AND vec_id < 40
+        ),
+        u AS (
+            SELECT vec_id,
+                   list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS unit
+            FROM cand
+        ),
+        pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   list_dot_product(a.unit, b.unit) AS cos
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+        )
+        SELECT doc_a, doc_b, CAST(round(cos * 1000) AS BIGINT) AS cos_milli
+        FROM pairs WHERE cos >= 0.8
         """,
         "quality_stats": """
         SELECT doc_id,

@@ -223,16 +223,18 @@ def crawl(
     )
 
     # Bloom shards (north_rule): definitely-new candidates skip the exact
-    # anti-join. Invariant: blooms ⊇ seen (bootstrap + every committed
-    # iteration wrote its shard deltas before the manifest commit). Shards
-    # are ALWAYS maintained when bloom_prefilter is on (so the invariant
-    # survives resume), but the per-row prefilter stage + its broadcast only
-    # engage once the seen set is big enough to repay them — below
-    # bloom_min_seen the exact anti-join alone is cheaper than an extra
-    # Python stage + broadcast churn per iteration.
+    # anti-join. Invariant when the prefilter is ACTIVE: blooms cover every
+    # seen delta ≤ bloom_upto and bloom_upto == previous iteration. Shards
+    # are built LAZILY: below bloom_min_seen no per-iteration shard job
+    # runs at all (the exact anti-join alone is cheaper); at activation a
+    # one-off catch-up folds the uncovered seen deltas (retained on disk
+    # regardless of compaction) into the shards, and from then on each
+    # iteration appends its wave's shard delta before the manifest commit —
+    # so the invariant also survives resume at any point.
     bloom_merged: dict = {}
     bloom_bc = None
     seen_total = 0
+    bloom_upto = -1
     if bloom_prefilter:
         shard_rows = [
             (r["bucket"], bytes(r["bitmap"]))
@@ -240,6 +242,7 @@ def crawl(
         ]
         bloom_merged = bloomf.merge_bitmaps(shard_rows)
         seen_total = state.seen(upto=iteration).count()
+        bloom_upto = state.manifest.get("bloom_upto", iteration if resume else 0)
 
     while frontier_rows > 0 and iteration < max_iterations:
         iteration += 1
@@ -278,9 +281,10 @@ def crawl(
 
         # 4. dedup (D2 in-wave, D1 vs seen): in-wave first occurrence, then
         # Bloom prefilter — definitely-new rows skip the exact anti-join.
-        # The prefilter stage engages only past bloom_min_seen (shards are
-        # still maintained below it, so the blooms ⊇ seen invariant holds
-        # whenever it switches on).
+        # The prefilter engages only past bloom_min_seen; shards are built
+        # lazily (a one-off catch-up from the retained seen deltas at
+        # activation), so below the threshold no per-iteration shard job
+        # runs at all.
         bloom_active = bloom_prefilter and seen_total >= bloom_min_seen
         firsts = first_occurrence(candidates)
         flags = ["emit_ok", "enqueue_ok"]
@@ -290,6 +294,22 @@ def crawl(
         if bloom_prefilter:
             firsts = bloomf.with_bloom_hashes(with_bucket(firsts))
         if bloom_active:
+            if bloom_upto < iteration - 1:
+                # lazy activation catch-up: fold every uncovered seen delta
+                # into the shards in one job, then stay incremental
+                catch = bloomf.with_bloom_hashes(
+                    state.seen_between(bloom_upto, iteration - 1)
+                )
+                rows = bloomf.build_shards(catch).collect()
+                new_shards = [(r["bucket"], bytes(r["bitmap"])) for r in rows]
+                state.write_local_binary("blooms", iteration - 1, new_shards)
+                bloom_merged = bloomf.merge_bitmaps(
+                    [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
+                )
+                if bloom_bc is not None:
+                    bloom_bc.destroy()
+                    bloom_bc = None
+                bloom_upto = iteration - 1
             if bloom_bc is None:
                 bloom_bc = spark.sparkContext.broadcast(bloom_merged)
             # materialize the deduped+prefiltered wave once; one light agg
@@ -411,7 +431,7 @@ def crawl(
                 lambda: 0 if all(q is None for q in quotas.values()) else deferred.count()
             )
             bloom_fut = None
-            if bloom_prefilter:
+            if bloom_active:
                 bloom_fut = pool.submit(
                     lambda: bloomf.build_shards(indexed).collect()
                 )
@@ -426,6 +446,7 @@ def crawl(
                 bloom_merged = bloomf.merge_bitmaps(
                     [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
                 )
+                bloom_upto = iteration
                 # stale broadcast is dropped; recreated lazily at next use
                 if bloom_bc is not None:
                     bloom_bc.destroy()
@@ -494,6 +515,7 @@ def crawl(
             seq_offsets,
             done=frontier_rows == 0,
             seen_compact=new_compact,
+            bloom_upto=bloom_upto if bloom_prefilter else None,
         )
         candidates.unpersist()
         if debug_timing:
@@ -559,5 +581,5 @@ def _bootstrap(spark, state: CrawlState, pages_n, runs):
     state.write_local(
         "metrics", 0, [(0, "bootstrap_frontier", "", len(frontier_rows))], METRICS_SCHEMA
     )
-    state.commit(0, rank_offsets, seq_offsets, done=len(frontier_rows) == 0)
+    state.commit(0, rank_offsets, seq_offsets, done=len(frontier_rows) == 0, bloom_upto=0)
     return rank_offsets, seq_offsets, len(frontier_rows)

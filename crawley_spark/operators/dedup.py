@@ -207,6 +207,56 @@ def simhash(
     return bit_sums.select(F.col(id_col), fp.alias("simhash"))
 
 
+def near_duplicates_embedding(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, cos_sim) with
+    doc_a < doc_b and cos_sim >= threshold.
+
+    method="exact": all-pairs on unit vectors — the verification baseline
+    (and the SQL-oracle-able variant); use on small inputs only.
+    method="lsh": candidate pairs from the OR'd hyperplane tables of
+    similarity.lsh_bucketize (same batched-matmul signature stage as ANN),
+    then exact cosine verify — near-linear in true-duplicate count at
+    corpus scale instead of O(n²)."""
+    from .similarity import _dot, lsh_bucketize, with_unit_vectors
+
+    if method == "exact":
+        u = with_unit_vectors(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_unit").alias("u")
+        )
+        a, b = u.alias("a"), u.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            _dot(F.col("a.u"), F.col("b.u")).alias("cos_sim"),
+        )
+    elif method == "lsh":
+        bk = lsh_bucketize(df, id_col, vec_col, n_planes, n_tables, 0, seed)
+        a = bk.select(
+            F.col("id").alias("doc_a"), "table", "bucket", F.col("unit").alias("ua")
+        )
+        b = bk.select(
+            F.col("id").alias("doc_b"), "table", "bucket", F.col("unit").alias("ub")
+        )
+        pairs = (
+            a.join(b, on=["table", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", _dot(F.col("ua"), F.col("ub")).alias("cos_sim"))
+        )
+    else:
+        raise ValueError(f"unknown method: {method}")
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -7,11 +7,17 @@ The reference gates everything on a single insert-if-absent
 * D2 (in-wave): window first-occurrence in canonical (parent_rank, ord)
   order — the arrival order of the workers=1 reference loop.
 * D1 (cross-wave): left-anti join on (run_id, url_key) against the seen
-  table. The seen table is written bucket-partitioned on
-  pmod(xxhash64(url_key), SEEN_BUCKETS) (sources/state.py) so a future
-  bucketed-table / Bloom-shard prefilter can skip most of the shuffle; at
-  10^10 keys the anti-join shuffles only the candidate side when the seen
-  side is storage-bucketed (Iceberg bucket(N, url_key) hidden partitioning).
+  table. The engine (engine.py step 4) never shuffles the seen side in the
+  steady state: the compacted seen snapshot is stored bucket-partitioned on
+  pmod(xxhash64(url_key), SEEN_BUCKETS) (sources/state.py), the post-Bloom
+  "maybe" key-set is broadcast into a left-semi probe of only the touched
+  buckets, and the ≤|maybe| hits are broadcast back for this exact
+  anti-join — per-iteration cost O(Δfrontier × shard + recent deltas).
+  The transitional huge-maybe corner falls back to a shuffle anti-join
+  against the bucket-pruned read; on a real cluster that corner is where
+  Iceberg's storage-partitioned join (bucket(N, url_key) both sides) or a
+  Spark bucketed table would also eliminate the seen-side shuffle — the
+  parquet-dir layout here is the sandbox stand-in for exactly that.
 """
 
 from __future__ import annotations

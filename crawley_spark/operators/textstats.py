@@ -19,6 +19,20 @@ def token_count(text: Column) -> Column:
     return F.size(F.filter(F.split(text, " "), lambda x: x != F.lit(""))).cast("long")
 
 
+# BPE-style pre-tokenizer classes: letter runs, single digits, single
+# punctuation marks — the GPT-2-ish split shape, kept to constructs that
+# Java regex and RE2 (DuckDB) interpret identically so the count is
+# SQL-oracle-checkable.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letter runs count once, digits and punctuation
+    count per character (subword-budget estimate for LLM pipelines) —
+    a single JVM-side ``regexp_count``, no Python."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def occurrences(text: Column, sub: str) -> Column:
     """Occurrence count of a literal substring via the length/replace trick
     (portable to ANSI SQL)."""

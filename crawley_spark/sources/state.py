@@ -50,6 +50,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Bucket count for the seen layout + Bloom shards. 64 keeps the sandbox's
+# file counts sane; at the 10^10-URL design point set this to 2048-4096
+# (≈2.5-5M keys/bucket) so tail-wave bucket pruning reads ≲0.1% of the
+# snapshot — the constant only shapes the physical layout, never results.
 SEEN_BUCKETS = 64
 
 RESULTS_SCHEMA = T.StructType(
@@ -113,6 +117,7 @@ class CrawlState:
             "seq_offsets": {},
             "done": False,
             "seen_compact": -1,
+            "bloom_upto": -1,
         }
 
     # -- manifest --
@@ -134,14 +139,19 @@ class CrawlState:
         seq_offsets: dict,
         done: bool,
         seen_compact: int | None = None,
+        bloom_upto: int | None = None,
     ) -> None:
         prev_compact = self.manifest.get("seen_compact", -1)
+        # r01-era manifests maintained shards every iteration — their
+        # implicit coverage is the committed iteration itself
+        prev_bloom = self.manifest.get("bloom_upto", self.manifest.get("iteration", -1))
         self.manifest = {
             "iteration": iteration,
             "rank_offsets": rank_offsets,
             "seq_offsets": seq_offsets,
             "done": done,
             "seen_compact": seen_compact if seen_compact is not None else prev_compact,
+            "bloom_upto": bloom_upto if bloom_upto is not None else prev_bloom,
         }
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
@@ -292,6 +302,19 @@ class CrawlState:
 
     def seen(self, upto: int | None = None, buckets=None) -> DataFrame:
         dirs = self.seen_dirs(self._upto(upto), buckets)
+        if not dirs:
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(*dirs)
+
+    def seen_between(self, after: int, upto: int) -> DataFrame:
+        """Seen delta rows for iterations in (after, upto] — reads the raw
+        delta dirs (always retained, independent of compaction). Used by the
+        lazy Bloom catch-up at prefilter activation."""
+        dirs = [
+            self._dir("seen", i)
+            for i in range(after + 1, upto + 1)
+            if os.path.exists(os.path.join(self._dir("seen", i), "_SUCCESS"))
+        ]
         if not dirs:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
         return self.spark.read.schema(SEEN_SCHEMA).parquet(*dirs)

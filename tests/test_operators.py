@@ -145,6 +145,36 @@ def test_media_real_decode_raises(spark):
 TESTDATA = "/root/testdata/sf0.001"
 
 
+def test_token_count_bpe(spark):
+    from crawley_spark.operators.textstats import token_count_bpe
+
+    d = spark.createDataFrame(
+        [(0, "hello world"), (1, "a1b2, c!"), (2, ""), (3, "x 42 y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens")).collect()}
+    # letter runs count once; digits/punctuation once per char
+    assert got[0] == 2  # hello | world
+    assert got[1] == 7  # a | 1 | b | 2 | , | c | !
+    assert got[2] == 0
+    assert got[3] == 4  # x | 4 | 2 | y
+
+
+def test_embedding_near_dup_exact_and_lsh(spark):
+    from crawley_spark.operators.dedup import near_duplicates_embedding
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet").filter(F.col("vec_id") < 80)
+    emb = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    dup = emb.filter(F.col("vec_id") < 20).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    cand = emb.unionByName(dup)
+    exact = {(r["doc_a"], r["doc_b"]) for r in near_duplicates_embedding(cand, 0.95, method="exact").collect()}
+    assert {(i, i + 1000) for i in range(20)} <= exact
+    lsh = {(r["doc_a"], r["doc_b"]) for r in near_duplicates_embedding(cand, 0.95, method="lsh").collect()}
+    # identical vectors share every bucket → LSH finds all planted pairs,
+    # and every LSH pair is exact-verified so lsh ⊆ exact
+    assert {(i, i + 1000) for i in range(20)} <= lsh <= exact
+
+
 def test_ann_lsh_recall_testdata(spark):
     """Default LSH params must reach recall@5 ≥ 0.9 vs brute force on the
     real testdata embeddings (VERDICT r01 "next" #4 done-criterion)."""
