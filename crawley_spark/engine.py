@@ -244,6 +244,76 @@ def crawl(
         seen_total = state.seen(upto=iteration).count()
         bloom_upto = state.manifest.get("bloom_upto", iteration if resume else 0)
 
+    # Pipelined finalize (per-iteration floor): the previous iteration's
+    # table writes / lineage collect / compaction / bloom-shard job stay in
+    # flight while this iteration's (driver-bound) plan+index pass runs;
+    # they are drained — and the manifest committed — one iteration later.
+    # Correctness never depends on those writes: the next iteration's seen
+    # check unions the in-memory (checkpoint-backed) delta of the pending
+    # iteration over the durable parquet state, and a crash simply replays
+    # the uncommitted iteration from the last manifest (writes are
+    # idempotent overwrites). Pipelining engages only where the in-memory
+    # carry is safe at all (static local mode, no quotas — same condition
+    # as carry_frontier); clusters keep the strict write→commit→read cycle.
+    pipelined = can_carry and all(q is None for q in quotas.values())
+    pending: dict | None = None
+    carry_seen_delta = None
+    pool = ThreadPoolExecutor(max_workers=7)
+
+    def _drain_pending() -> int:
+        """Join the pending iteration's futures, write its metrics, commit
+        its manifest. Returns its deferred count (always 0 when pipelined)."""
+        nonlocal pending, bloom_merged, bloom_bc, bloom_upto, avg_links, carry_seen_delta
+        if pending is None:
+            return 0
+        p, pending = pending, None
+        carry_seen_delta = None
+        for f in p["write_futs"]:
+            f.result()
+        lineage_rows = p["lineage_fut"].result()
+        deferred_n = p["deferred_fut"].result() if p["deferred_fut"] is not None else 0
+        new_compact = p["compact_fut"].result() if p["compact_fut"] is not None else None
+        if p["bloom_fut"] is not None:
+            new_shards = [
+                (r["bucket"], bytes(r["bitmap"])) for r in p["bloom_fut"].result()
+            ]
+            state.write_local_binary("blooms", p["iteration"], new_shards)
+            bloom_merged = bloomf.merge_bitmaps(
+                [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
+            )
+            bloom_upto = p["iteration"]
+            if bloom_bc is not None:
+                bloom_bc.destroy()
+                bloom_bc = None
+        lineage = [
+            (p["iteration"], "lineage_partition_candidates", str(r["src_pid"]), r["count"])
+            for r in lineage_rows
+        ]
+        cand_n = sum(c for _, _, _, c in lineage)
+        cand_rows = sum(r["rows"] for r in lineage_rows)
+        metric_rows = (
+            lineage
+            + p["metric_rows"]
+            + [
+                (p["iteration"], "candidates", "", cand_n),
+                (p["iteration"], "deferred", "", deferred_n),
+            ]
+        )
+        state.write_local("metrics", p["iteration"], metric_rows, METRICS_SCHEMA)
+        if p["frontier_rows"] > 0 and cand_rows > 0:
+            # estimate for the index pass sizes the POST-combine stream
+            avg_links = max(1.0, cand_rows / p["frontier_rows"])
+        state.commit(
+            p["iteration"],
+            p["rank_offsets"],
+            p["seq_offsets"],
+            done=p["done"],
+            seen_compact=new_compact,
+            bloom_upto=bloom_upto if bloom_prefilter else None,
+        )
+        p["candidates"].unpersist()
+        return deferred_n
+
     while frontier_rows > 0 and iteration < max_iterations:
         iteration += 1
         t0 = time.monotonic()
@@ -293,29 +363,45 @@ def crawl(
         maybe_rows, seen_buckets_read = 0, None
         if bloom_prefilter:
             firsts = bloomf.with_bloom_hashes(with_bucket(firsts))
+        if bloom_active and bloom_upto < (
+            iteration - 2 if pending is not None else iteration - 1
+        ):
+            # lazy activation catch-up: drain any pending iteration so every
+            # seen delta is durable, then fold the uncovered deltas into the
+            # shards in one job; from here on each iteration's shard delta
+            # keeps coverage current (one behind when pipelined — the gap is
+            # exactly the carried delta, handled below)
+            _drain_pending()
+            catch = bloomf.with_bloom_hashes(
+                state.seen_between(bloom_upto, iteration - 1)
+            )
+            rows = bloomf.build_shards(catch).collect()
+            new_shards = [(r["bucket"], bytes(r["bitmap"])) for r in rows]
+            state.write_local_binary("blooms", iteration - 1, new_shards)
+            bloom_merged = bloomf.merge_bitmaps(
+                [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
+            )
+            if bloom_bc is not None:
+                bloom_bc.destroy()
+                bloom_bc = None
+            bloom_upto = iteration - 1
+        # durable parquet coverage: ≤ iteration-2 while an iteration is
+        # pending (its delta rides along in memory), else ≤ iteration-1
+        seen_upto = iteration - 2 if pending is not None else iteration - 1
         if bloom_active:
-            if bloom_upto < iteration - 1:
-                # lazy activation catch-up: fold every uncovered seen delta
-                # into the shards in one job, then stay incremental
-                catch = bloomf.with_bloom_hashes(
-                    state.seen_between(bloom_upto, iteration - 1)
-                )
-                rows = bloomf.build_shards(catch).collect()
-                new_shards = [(r["bucket"], bytes(r["bitmap"])) for r in rows]
-                state.write_local_binary("blooms", iteration - 1, new_shards)
-                bloom_merged = bloomf.merge_bitmaps(
-                    [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
-                )
-                if bloom_bc is not None:
-                    bloom_bc.destroy()
-                    bloom_bc = None
-                bloom_upto = iteration - 1
             if bloom_bc is None:
                 bloom_bc = spark.sparkContext.broadcast(bloom_merged)
             # materialize the deduped+prefiltered wave once; one light agg
             # job gives the driver the maybe count + the touched buckets so
             # the seen read below can be partition-pruned to those shards
             staged = bloomf.prefilter(firsts, bloom_bc).localCheckpoint(eager=False)
+            if carry_seen_delta is not None:
+                # the pending delta is not in the blooms yet (its shard job
+                # is in flight): one broadcast anti-join over the whole wave
+                # closes the gap for fresh and maybe rows alike
+                staged = staged.join(
+                    F.broadcast(carry_seen_delta.select(*keys)), on=keys, how="left_anti"
+                )
             mb = (
                 staged.groupBy("_maybe_seen")
                 .agg(F.count("*").alias("n"), F.collect_set("bucket").alias("bks"))
@@ -331,7 +417,7 @@ def crawl(
                 maybe = staged.filter(F.col("_maybe_seen"))
                 fresh = staged.filter(~F.col("_maybe_seen"))
                 seen_side = state.seen(
-                    upto=iteration - 1, buckets=seen_buckets_read
+                    upto=seen_upto, buckets=seen_buckets_read
                 ).select(*keys)
                 if maybe_rows <= semi_broadcast_rows:
                     # seen is scanned (pruned shards, two columns) but never
@@ -348,7 +434,9 @@ def crawl(
             flags = flags + ["_maybe_seen"]  # free per-run counts via the index pass
             offs = dict(offs, _maybe_seen={})
         else:
-            seen_side = state.seen(upto=iteration - 1).select(*keys)
+            seen_side = state.seen(upto=seen_upto).select(*keys)
+            if carry_seen_delta is not None:
+                seen_side = seen_side.unionByName(carry_seen_delta.select(*keys))
             if seen_total <= direct_broadcast_seen_rows:
                 new_cands = firsts.join(
                     F.broadcast(seen_side), on=keys, how="left_anti"
@@ -363,7 +451,7 @@ def crawl(
         # assigned by this loop, their bounds are exact driver state).
         est_cands = int(frontier_rows * avg_links) + 1
         spans = {run: (rank_lo.get(run, 0), rank_offsets.get(run, 0)) for run in runs}
-        indexed, idx_counts = assign_flagged_indexes_bucketed(
+        indexed, idx_counts, wave_rows = assign_flagged_indexes_bucketed(
             new_cands,
             ["parent_rank", "ord"],
             flags,
@@ -404,67 +492,46 @@ def crawl(
                 indexed.select("run_id", "url_key", F.col("uri").alias("url"))
             ).coalesce(parts_for(emit_n + enq_n))
 
-        # 7+8. independent actions run concurrently on driver threads: three
-        # table writes + lineage collect + deferred count (the wave is
-        # already materialized by the index pass, so these only re-read it).
-        # Every compact_every iterations the seen deltas are merged into one
-        # bucket-partitioned snapshot (covers ≤ iteration-1, so it is
-        # independent of this iteration's delta write) — amortized O(seen/K)
-        # per iteration, and the read path stays O(K) dirs.
+        # 7+8. drain the PREVIOUS iteration's futures (they had a whole
+        # index pass to finish in the background — normally a no-wait join),
+        # then submit this iteration's independent actions: three table
+        # writes + lineage collect (+ compaction / bloom shards). The wave
+        # is already materialized by the index pass, so these only re-read
+        # checkpoint blocks. Every compact_every iterations the seen deltas
+        # merge into one bucket-partitioned snapshot (covers ≤ iteration-1:
+        # durable after the drain above) — amortized O(seen/K) per
+        # iteration, and the read path stays O(K) dirs.
+        t_drain0 = time.monotonic()
+        _drain_pending()
+        t_drain = time.monotonic() - t_drain0
         last_compact = state.manifest.get("seen_compact", -1)
         do_compact = iteration - 1 - max(last_compact, 0) >= compact_every
-        with ThreadPoolExecutor(max_workers=7) as pool:
-            futs = [
-                pool.submit(state.write, "results", iteration, results_df),
-                pool.submit(state.write, "frontier", iteration, next_frontier),
-                pool.submit(state.write_seen, iteration, seen_df),
-            ]
-            compact_fut = (
-                pool.submit(state.compact_seen, iteration - 1) if do_compact else None
-            )
-            lineage_fut = pool.submit(
-                lambda: candidates.groupBy("src_pid")
-                .agg(F.sum("dup_count").alias("count"), F.count("*").alias("rows"))
-                .collect()
-            )
-            deferred_fut = pool.submit(
-                lambda: 0 if all(q is None for q in quotas.values()) else deferred.count()
-            )
-            bloom_fut = None
-            if bloom_active:
-                bloom_fut = pool.submit(
-                    lambda: bloomf.build_shards(indexed).collect()
-                )
-            for f in futs:
-                f.result()
-            lineage_rows = lineage_fut.result()
-            deferred_n = deferred_fut.result()
-            new_compact = compact_fut.result() if compact_fut is not None else None
-            if bloom_fut is not None:
-                new_shards = [(r["bucket"], bytes(r["bitmap"])) for r in bloom_fut.result()]
-                state.write_local_binary("blooms", iteration, new_shards)
-                bloom_merged = bloomf.merge_bitmaps(
-                    [(b, bm.tobytes()) for b, bm in bloom_merged.items()] + new_shards
-                )
-                bloom_upto = iteration
-                # stale broadcast is dropped; recreated lazily at next use
-                if bloom_bc is not None:
-                    bloom_bc.destroy()
-                    bloom_bc = None
-        if debug_timing:
-            print(
-                f"[iter {iteration}] frontier={frontier_rows} "
-                f"index_pass={t_index:.2f}s writes={time.monotonic() - t0 - t_index:.2f}s",
-                flush=True,
-            )
-
-        lineage = [
-            (iteration, "lineage_partition_candidates", str(r["src_pid"]), r["count"])
-            for r in lineage_rows
+        write_futs = [
+            pool.submit(state.write, "results", iteration, results_df),
+            pool.submit(state.write, "frontier", iteration, next_frontier),
+            pool.submit(state.write_seen, iteration, seen_df),
         ]
-        cand_n = sum(c for _, _, _, c in lineage)
-        cand_rows = sum(r["rows"] for r in lineage_rows)
-        metric_rows = lineage + [
+        compact_fut = (
+            pool.submit(state.compact_seen, iteration - 1) if do_compact else None
+        )
+        lineage_fut = pool.submit(
+            lambda: candidates.groupBy("src_pid")
+            .agg(F.sum("dup_count").alias("count"), F.count("*").alias("rows"))
+            .collect()
+        )
+        deferred_fut = (
+            None
+            if all(q is None for q in quotas.values())
+            else pool.submit(deferred.count)
+        )
+        bloom_fut = (
+            pool.submit(lambda: bloomf.build_shards(indexed).collect())
+            if bloom_active
+            else None
+        )
+        seen_total += wave_rows
+        enq_total = sum(enq_counts.values())
+        metric_rows = [
             (iteration, "frontier_in", "", frontier_rows),
             (iteration, "bloom_false_positives", "", sum(idx_counts.get("_maybe_seen", {}).values())),
             (iteration, "bloom_maybe", "", maybe_rows),
@@ -482,17 +549,32 @@ def crawl(
                 ",".join(map(str, seen_buckets_read)) if seen_buckets_read is not None else "all",
                 len(seen_buckets_read) if seen_buckets_read is not None else SEEN_BUCKETS,
             ),
-            (iteration, "candidates", "", cand_n),
             (iteration, "emitted", "", sum(emit_counts.values())),
-            (iteration, "enqueued", "", sum(enq_counts.values())),
-            (iteration, "deferred", "", deferred_n),
+            (iteration, "enqueued", "", enq_total),
             (iteration, "wall_ms", "", int((time.monotonic() - t0) * 1000)),
         ]
-        state.write_local("metrics", iteration, metric_rows, METRICS_SCHEMA)
-
-        if frontier_rows > 0 and cand_rows > 0:
-            # estimate for the index pass sizes the POST-combine stream
-            avg_links = max(1.0, cand_rows / frontier_rows)
+        pending = {
+            "iteration": iteration,
+            "write_futs": write_futs,
+            "compact_fut": compact_fut,
+            "lineage_fut": lineage_fut,
+            "deferred_fut": deferred_fut,
+            "bloom_fut": bloom_fut,
+            "metric_rows": metric_rows,
+            "frontier_rows": frontier_rows,
+            "rank_offsets": dict(rank_offsets),
+            "seq_offsets": dict(seq_offsets),
+            "candidates": candidates,
+            "done": False,  # patched below once the next frontier size is known
+        }
+        if pipelined:
+            deferred_n = 0
+        else:
+            # sync mode: resolve the deferred count first so the committed
+            # done flag is exact, then drain (commits this iteration)
+            deferred_n = deferred_fut.result() if deferred_fut is not None else 0
+            pending["done"] = (enq_n + deferred_n) == 0
+            _drain_pending()
         # next frontier's rank span: fresh enqueues start at the old high
         # water; carried-over deferred rows keep their old (lower) ranks.
         # The in-memory carry is only safe where localCheckpoint blocks are
@@ -507,22 +589,21 @@ def crawl(
             if deferred_n == 0 and all(q is None for q in quotas.values()) and can_carry
             else None
         )
-        seen_total += cand_rows
+        frontier_rows_in = frontier_rows
         frontier_rows = enq_n + deferred_n
-        state.commit(
-            iteration,
-            rank_offsets,
-            seq_offsets,
-            done=frontier_rows == 0,
-            seen_compact=new_compact,
-            bloom_upto=bloom_upto if bloom_prefilter else None,
-        )
-        candidates.unpersist()
+        if pending is not None:
+            pending["done"] = frontier_rows == 0
+            carry_seen_delta = seen_df
         if debug_timing:
-            print(f"[iter {iteration}] total={time.monotonic() - t0:.2f}s", flush=True)
+            print(
+                f"[iter {iteration}] frontier_in={frontier_rows_in}"
+                f" index_pass={t_index:.2f}s drain={t_drain:.2f}s"
+                f" total={time.monotonic() - t0:.2f}s",
+                flush=True,
+            )
 
-    if frontier_rows > 0:
-        state.commit(iteration, rank_offsets, seq_offsets, done=False)
+    _drain_pending()
+    pool.shutdown(wait=True)
     return CrawlReport(state, runs, iteration)
 
 

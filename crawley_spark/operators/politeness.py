@@ -29,13 +29,13 @@ def schedule(frontier: DataFrame, quotas: dict) -> tuple[DataFrame, DataFrame]:
     """
     if not any(q is not None for q in quotas.values()):
         return frontier, frontier.limit(0)
+    from ..plans.ordering import sql_long_map
+
     w = Window.partitionBy("run_id", "host").orderBy("rank")
     slotted = frontier.withColumn("_slot", F.row_number().over(w))
-    args = []
-    for run, q in quotas.items():
-        args.append(F.lit(run))
-        args.append(F.lit(int(q) if q is not None else 2**62))
-    qmap = F.create_map(*args)
+    qmap = sql_long_map(
+        {run: int(q) if q is not None else 2**62 for run, q in quotas.items()}
+    )
     cond = F.col("_slot") <= F.element_at(qmap, F.col("run_id"))
     now = slotted.filter(cond).drop("_slot")
     deferred = slotted.filter(~cond).drop("_slot")

@@ -21,6 +21,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sql_str(s: str) -> str:
+    """SQL string literal (single-quoted, backslash + quote escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_long_map(d: dict) -> "F.Column":
+    """{str: int} → map<string,bigint> as ONE parsed SQL expression.
+
+    Driver-overhead kernel: building the same map with
+    ``F.create_map(*[F.lit(k), F.lit(v), ...])`` costs 2 py4j round-trips
+    per entry (~1 ms each); at the engine's per-iteration offset maps
+    (hundreds of entries rebuilt every iteration) that py4j chatter was a
+    measured ~0.5 s/iteration of the crawl's serial floor. One ``F.expr``
+    string costs one round-trip and parses JVM-side in microseconds.
+    """
+    items = ", ".join(f"{_sql_str(k)}, {int(v)}L" for k, v in d.items())
+    return F.expr(f"map({items})") if items else F.expr("map()")
+
+
+def sql_long_array_map(d: dict) -> "F.Column":
+    """{str: [int, ...]} → map<string,array<bigint>> as one SQL expression
+    (see :func:`sql_long_map` for why)."""
+    items = ", ".join(
+        f"{_sql_str(k)}, array({','.join(f'{int(v)}L' for v in arr)})"
+        for k, arr in d.items()
+    )
+    return F.expr(f"map({items})")
+
+
 def assign_order_index(
     df: DataFrame,
     order_cols: list,
@@ -56,24 +85,25 @@ def assign_order_index(
         base = per_run.setdefault(run, {"next": offsets.get(run, 0), "by_pid": {}})
         base["by_pid"][row["_pid"]] = base["next"]
         base["next"] += row["count"]
-    # build a flat (pid, run) -> offset literal map
     run_counts = {run: info["next"] - offsets.get(run, 0) for run, info in per_run.items()}
-    entries = []
-    for run, info in per_run.items():
-        for pid, off in info["by_pid"].items():
-            entries.append(((pid, run), off))
-    if not entries:
+    if not per_run:
         return ranged.withColumn(out_col, F.lit(0).cast("long")).drop("_pid"), run_counts
-    map_args = []
-    for (pid, run), off in entries:
-        map_args.append(F.concat_ws("\x00", F.lit(str(pid)), F.lit(run)))
-        map_args.append(F.lit(off))
-    offset_map = F.create_map(*map_args)
+    # dense per-run offset arrays indexed by _pid, one SQL literal (see
+    # sql_long_array_map for the py4j rationale)
+    max_pid = max(pid for info in per_run.values() for pid in info["by_pid"])
+    arrays = {}
+    for run, info in per_run.items():
+        arr, cur = [], offsets.get(run, 0)
+        for pid in range(max_pid + 1):
+            cur = info["by_pid"].get(pid, cur)
+            arr.append(cur)
+        arrays[run] = arr
+    offset_map = sql_long_array_map(arrays)
     w = Window.partitionBy("_pid", run_col).orderBy(*[F.col(c) for c in order_cols])
     out = ranged.withColumn(
         out_col,
         (
-            F.element_at(offset_map, F.concat_ws("\x00", F.col("_pid").cast("string"), F.col(run_col)))
+            F.element_at(offset_map, F.col(run_col))[F.col("_pid")]
             + F.row_number().over(w)
             - 1
         ).cast("long"),
@@ -115,20 +145,21 @@ def assign_flagged_indexes_bucketed(
     (so AQE remains free to coalesce tiny waves).
 
     spans: {run_id: (lo, hi)} — half-open bound on order_cols[0] per run.
-    Returns (indexed_df, {flag: {run: count}}).
+    Returns (indexed_df, {flag: {run: count}}, total_rows) — total_rows is
+    the exact row count of ``df``, free from the counts job (the engine uses
+    it to advance its seen-size estimate without waiting on async metrics).
     """
     spark = df.sparkSession
-    lo_args, w_args = [], []
-    for run, (lo, hi) in spans.items():
-        lo_args += [F.lit(run), F.lit(int(lo))]
-        w_args += [F.lit(run), F.lit(max(1, int(hi) - int(lo)))]
-    if not lo_args:
+    if not spans:
         empty = {fl: {} for fl in flags}
         out = df
         for fl in flags:
             out = out.withColumn(f"idx_{fl}", F.lit(None).cast("long"))
-        return out.localCheckpoint(eager=False), empty
-    lo_map, w_map = F.create_map(*lo_args), F.create_map(*w_args)
+        return out.localCheckpoint(eager=False), empty, 0
+    lo_map = sql_long_map({run: int(lo) for run, (lo, hi) in spans.items()})
+    w_map = sql_long_map(
+        {run: max(1, int(hi) - int(lo)) for run, (lo, hi) in spans.items()}
+    )
     okey = F.col(order_cols[0]).cast("long")
     bucket = F.least(
         F.lit(num_buckets - 1),
@@ -154,37 +185,56 @@ def assign_flagged_indexes_bucketed(
     out = out.localCheckpoint(eager=False)
     counts = (
         out.groupBy(run_col, "_bkt")
-        .agg(*[F.max(f"_rs_{fl}").alias(f"_n_{fl}") for fl in flags])
+        .agg(
+            *[F.max(f"_rs_{fl}").alias(f"_n_{fl}") for fl in flags],
+            F.count("*").alias("_rows"),
+        )
         .collect()
     )
+    total_rows = sum(r["_rows"] for r in counts)
     counts = sorted(counts, key=lambda r: (r[run_col], r["_bkt"]))
+    # dense per-run offset arrays indexed by _bkt (buckets with no rows get
+    # the running offset — harmless, no row reads them), shipped as one
+    # map<run, array<long>> SQL literal per flag instead of per-entry F.lit
+    # py4j calls (the measured driver floor — see sql_long_array_map).
     run_counts = {fl: {} for fl in flags}
-    offset_entries = {fl: [] for fl in flags}
+    offset_arrays = {fl: {} for fl in flags}
     nxt = {fl: {} for fl in flags}
+    by_run: dict = {}
     for row in counts:
-        run = row[run_col]
+        by_run.setdefault(row[run_col], []).append(row)
+    for run, rows in by_run.items():
+        pos = {r["_bkt"]: r for r in rows}
         for fl in flags:
-            base = nxt[fl].setdefault(run, offsets_by_flag[fl].get(run, 0))
-            offset_entries[fl].append(((row["_bkt"], run), base))
-            nxt[fl][run] = base + row[f"_n_{fl}"]
+            base = offsets_by_flag[fl].get(run, 0)
+            arr = []
+            for bkt in range(num_buckets):
+                arr.append(base)
+                if bkt in pos:
+                    base += pos[bkt][f"_n_{fl}"]
+            offset_arrays[fl][run] = arr
+            nxt[fl][run] = base
     for fl in flags:
         run_counts[fl] = {
             run: nxt[fl][run] - offsets_by_flag[fl].get(run, 0) for run in nxt[fl]
         }
-    mkey = F.concat_ws("\x00", F.col("_bkt").cast("string"), F.col(run_col))
     for fl in flags:
-        map_args = []
-        for (bkt, run), off in offset_entries[fl]:
-            map_args.append(F.concat_ws("\x00", F.lit(str(bkt)), F.lit(run)))
-            map_args.append(F.lit(off))
-        omap = F.create_map(*map_args)
+        if not offset_arrays[fl]:
+            out = out.withColumn(f"idx_{fl}", F.lit(None).cast("long")).drop(f"_rs_{fl}")
+            continue
+        omap = sql_long_array_map(offset_arrays[fl])
         out = out.withColumn(
             f"idx_{fl}",
             F.when(
-                F.col(fl), (F.element_at(omap, mkey) + F.col(f"_rs_{fl}") - 1).cast("long")
+                F.col(fl),
+                (
+                    F.element_at(omap, F.col(run_col))[F.col("_bkt")]
+                    + F.col(f"_rs_{fl}")
+                    - 1
+                ).cast("long"),
             ),
         ).drop(f"_rs_{fl}")
-    return out.drop("_bkt"), run_counts
+    return out.drop("_bkt"), run_counts, total_rows
 
 
 def assign_flagged_indexes(
@@ -227,14 +277,23 @@ def assign_flagged_indexes(
     counts = ranged.groupBy("_pid", run_col).agg(*aggs).collect()
     counts = sorted(counts, key=lambda r: r["_pid"])
     run_counts = {fl: {} for fl in flags}
-    offset_entries = {fl: [] for fl in flags}
+    offset_arrays = {fl: {} for fl in flags}
     nxt = {fl: {} for fl in flags}
+    by_run: dict = {}
     for row in counts:
-        run = row[run_col]
+        by_run.setdefault(row[run_col], []).append(row)
+    max_pid = max((r["_pid"] for r in counts), default=-1)
+    for run, rows in by_run.items():
+        pos = {r["_pid"]: r for r in rows}
         for fl in flags:
-            base = nxt[fl].setdefault(run, offsets_by_flag[fl].get(run, 0))
-            offset_entries[fl].append(((row["_pid"], run), base))
-            nxt[fl][run] = base + row[f"_n_{fl}"]
+            base = offsets_by_flag[fl].get(run, 0)
+            arr = []
+            for pid in range(max_pid + 1):
+                arr.append(base)
+                if pid in pos:
+                    base += pos[pid][f"_n_{fl}"]
+            offset_arrays[fl][run] = arr
+            nxt[fl][run] = base
     for fl in flags:
         run_counts[fl] = {
             run: nxt[fl][run] - offsets_by_flag[fl].get(run, 0) for run in nxt[fl]
@@ -245,21 +304,19 @@ def assign_flagged_indexes(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = ranged
-    mkey = F.concat_ws("\x00", F.col("_pid").cast("string"), F.col(run_col))
     for fl in flags:
-        map_args = []
-        for (pid, run), off in offset_entries[fl]:
-            map_args.append(F.concat_ws("\x00", F.lit(str(pid)), F.lit(run)))
-            map_args.append(F.lit(off))
-        if not map_args:
+        if not offset_arrays[fl]:
             out = out.withColumn(f"idx_{fl}", F.lit(None).cast("long"))
             continue
-        omap = F.create_map(*map_args)
+        omap = sql_long_array_map(offset_arrays[fl])
         running = F.sum(F.when(F.col(fl), 1).otherwise(0)).over(w)
         out = out.withColumn(
             f"idx_{fl}",
             F.when(
-                F.col(fl), (F.element_at(omap, mkey) + running - 1).cast("long")
+                F.col(fl),
+                (F.element_at(omap, F.col(run_col))[F.col("_pid")] + running - 1).cast(
+                    "long"
+                ),
             ),
         )
     return out.drop("_pid"), run_counts

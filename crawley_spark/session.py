@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # per-DataFrame-API-call call-site capture costs 4-5 py4j round
+        # trips per op (~5 s/crawl of pure driver latency in the iterative
+        # engine); the call-site-in-JVM-error nicety is not worth the floor
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
