@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode=\"fake\"`` produces deterministic features from the bytes (so the
+``decode="fake"`` produces deterministic features from the bytes (so the
 Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
-tested); ``decode=\"real\"`` raises NotImplementedError where a PIL/ffmpeg
-call would go.
+tested everywhere); ``decode="real"`` probes for codec libraries at runtime
+on the executors (PIL for images) and decodes with them when importable,
+raising NotImplementedError otherwise — this container ships no codecs, so
+tests skip the real path unless PIL is present.
 """
 
 from __future__ import annotations

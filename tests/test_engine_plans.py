@@ -1,0 +1,131 @@
+"""Physical-plan quality gates (the 100-TB story, asserted on .explain).
+
+These tests pin the plan properties the engine's scale design depends on,
+so a refactor that silently regresses them fails CI rather than a cluster:
+
+* corpus column pruning — the fetch join's parquet scan must read only
+  (url, html, content_type, status), never text/lang (normalize_pages);
+* small frontiers broadcast into the fetch join (no corpus shuffle);
+* the canonical index pass never uses repartitionByRange (its boundary
+  sampling would execute the whole wave plan twice);
+* the seen read path prunes to the requested buckets (driver-side dir
+  pruning on the bucket-partitioned compacted snapshot).
+"""
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+
+def _fmt_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _write_corpus(spark, tmp_path):
+    rows = [
+        (
+            f"http://h0.test/p{i}",
+            datetime.datetime(2026, 1, 1),
+            f'<html><body><a href="/p{i + 1}">x</a> body {i}</body></html>'.encode(),
+            f"x body {i}",
+            "en",
+        )
+        for i in range(20)
+    ]
+    path = os.path.join(str(tmp_path), "pages.parquet")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(path)
+    return path
+
+
+def test_fetch_join_prunes_corpus_columns(spark, tmp_path):
+    """ReadSchema of the corpus scan must exclude text/lang: a scan reading
+    all 5 columns for the 4-column fetch join is wrong (pages.py contract)."""
+    from crawley_spark.sources.pages import normalize_pages
+
+    path = _write_corpus(spark, tmp_path)
+    pages_n = normalize_pages(spark.read.parquet(path))
+    frontier = spark.createDataFrame(
+        [("r0", 0, "http://h0.test/p1")], "run_id string, rank long, url string"
+    )
+    joined = F.broadcast(frontier).join(pages_n, on="url", how="inner")
+    plan = _fmt_plan(joined)
+    scan = [
+        block
+        for block in plan.split("\n\n")
+        if "Scan parquet" in block and "ReadSchema" in block
+    ]
+    assert scan, plan
+    read_schema = [l for l in scan[0].splitlines() if "ReadSchema" in l][0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_fetch_join_broadcasts_small_frontier(spark, tmp_path):
+    from crawley_spark.sources.pages import normalize_pages
+
+    path = _write_corpus(spark, tmp_path)
+    pages_n = normalize_pages(spark.read.parquet(path))
+    frontier = spark.createDataFrame(
+        [("r0", 0, "http://h0.test/p1")], "run_id string, rank long, url string"
+    )
+    plan = _fmt_plan(F.broadcast(frontier).join(pages_n, on="url", how="inner"))
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must not shuffle for a broadcast fetch join
+    assert "Exchange hashpartitioning(url" not in plan
+
+
+def test_index_pass_has_no_range_repartition(spark):
+    """assign_flagged_indexes_bucketed computes range boundaries
+    arithmetically from driver-known spans — repartitionByRange's sampling
+    pass (which would execute the wave plan twice) must never appear."""
+    from crawley_spark.plans.ordering import assign_flagged_indexes_bucketed
+
+    df = spark.createDataFrame(
+        [("r0", i, i % 3, i % 2 == 0, True) for i in range(30)],
+        "run_id string, parent_rank long, ord long, emit_ok boolean, enqueue_ok boolean",
+    )
+    out, counts, rows = assign_flagged_indexes_bucketed(
+        df,
+        ["parent_rank", "ord"],
+        ["emit_ok", "enqueue_ok"],
+        {"emit_ok": {}, "enqueue_ok": {}},
+        {"r0": (0, 30)},
+        num_buckets=8,
+    )
+    assert rows == 30
+    plan = _fmt_plan(out)
+    assert "rangepartitioning" not in plan.lower()
+    # dense per-run indexes came out right (0-based, canonical order)
+    got = [r["idx_enqueue_ok"] for r in out.orderBy("parent_rank", "ord").collect()]
+    assert got == list(range(30))
+    assert counts["enqueue_ok"] == {"r0": 30}
+
+
+def test_seen_read_prunes_buckets(spark, tmp_path):
+    """state.seen(buckets=...) must list only the matching pb= leaf dirs of
+    the compacted snapshot — the bucket-pruned anti-join's seen-side scan is
+    O(touched shards), not O(seen)."""
+    from crawley_spark.sources.state import SEEN_SCHEMA, CrawlState, with_bucket
+
+    state = CrawlState(spark, os.path.join(str(tmp_path), "state"))
+    rows = [("r0", f"http://h.test/p{i}", f"http://h.test/p{i}") for i in range(200)]
+    df = with_bucket(
+        spark.createDataFrame(rows, "run_id string, url_key string, url string")
+    ).select(*[f.name for f in SEEN_SCHEMA.fields])
+    state.write_seen(1, df)
+    state.compact_seen(1)
+    state.commit(1, {}, {}, done=False, seen_compact=1)
+
+    all_dirs = state.seen_dirs(1)
+    pruned = state.seen_dirs(1, buckets=[3, 7])
+    assert len(pruned) <= 2 < len(all_dirs)
+    assert all(d.endswith(("pb=3", "pb=7")) for d in pruned)
+    # pruned read returns exactly the rows of those buckets
+    want = df.filter(F.col("bucket").isin(3, 7)).count()
+    got = state.seen(upto=1, buckets=[3, 7]).count()
+    assert got == want > 0
