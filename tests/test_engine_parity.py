@@ -186,6 +186,48 @@ def test_seen_partitioned_layout_and_compaction(spark, tmp_path):
     assert len(pruned) < len(all_rows), "bucket pruning read the whole table"
 
 
+def test_resume_after_simulated_crash(spark, tmp_path, monkeypatch):
+    """Crash inside the pipelined commit window: iteration k+1's table
+    writes are durable but its manifest commit never happened (the engine
+    commits one iteration behind while pipelining). Resume from the stale
+    manifest must replay the uncommitted tail over the leftover dirs
+    (idempotent overwrites) and still match the interpreter exactly."""
+    from crawley_spark.sources.state import CrawlState
+
+    pages = synth_site()
+    cfg = CrawlConfig(depth=-1, no_head=True)
+    want = interp.crawl(pages, "http://h0.example", cfg)
+    ck = str(tmp_path / "ck")
+
+    real_commit = CrawlState.commit
+
+    def commit_drops_tail(self, iteration, *a, **kw):
+        # commits for iteration >= 2 are swallowed: every write for the
+        # later iterations lands on disk, the manifest stays at 1 — the
+        # harshest version of dying between write completion and commit
+        if iteration >= 2:
+            return None
+        return real_commit(self, iteration, *a, **kw)
+
+    monkeypatch.setattr(CrawlState, "commit", commit_drops_tail)
+    crashed = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg,
+        checkpoint_dir=ck,
+    )
+    assert crashed.iterations >= 3, "site too small to leave uncommitted dirs"
+    monkeypatch.setattr(CrawlState, "commit", real_commit)
+
+    state = CrawlState(spark, ck)
+    assert state.load_manifest() and state.manifest["iteration"] == 1
+    resumed = spark_crawl(
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg,
+        checkpoint_dir=ck, resume=True,
+    )
+    assert resumed.result_urls("run0") == want.results
+    got_seen = {r["url_key"]: r["url"] for r in resumed.seen("run0").collect()}
+    assert got_seen == want.seen
+
+
 def test_resume_after_compaction(spark, tmp_path):
     """Kill after compaction has run, resume → identical output (the compact
     pointer + delta read path must survive the restart)."""
