@@ -41,25 +41,34 @@ HEADLINE = [
 CRAWL_PAGES_PER_DOC = 4  # corpus pages per documents row at the bench sf
 
 
-def run_crawl(spark, n_pages: int, seed_hosts: int = 2, links_per_page: int = 8, body_words: int = 24, n_hosts: int = 20, warmup: bool = False):
+def run_crawl(spark, n_pages: int, seed_hosts: int = 2, links_per_page: int = 8, body_words: int = 24, n_hosts: int = 20, warmup: bool = False, corpus_parquet: str | None = None):
     """Synthetic-corpus crawl; returns throughput stats. warmup=True first
     runs a small crawl to warm python workers/JIT (the headline metric is
-    *sustained* throughput)."""
+    *sustained* throughput). corpus_parquet: read the corpus from a
+    pre-materialized parquet (identical input bytes across runs of a scaling
+    pair — and corpus *generation* stops consuming the measured session's
+    cores) instead of synthesizing in-session."""
     from pyspark.sql import functions as F
 
     from crawley_spark.config import CrawlConfig
     from crawley_spark.corpus import synth_corpus
     from crawley_spark.engine import crawl
 
-    from crawley_spark.sources.pages import prepare_pages
+    from crawley_spark.sources.pages import normalize_pages, prepare_pages
 
-    pages = synth_corpus(
-        spark, n_pages=n_pages, n_hosts=n_hosts,
-        links_per_page=links_per_page, body_words=body_words,
-    )
-    # one-time corpus prep (bucket-by-url + persist), excluded from crawl
-    # time like a pre-bucketed Iceberg table would be
-    pages = prepare_pages(pages)
+    if corpus_parquet:
+        # pre-bucketed-table stand-in: no repartition (the fetch join
+        # broadcasts the frontier side; corpus partitioning = file splits),
+        # just the column projection + cache an Iceberg scan would give
+        pages = normalize_pages(spark.read.parquet(corpus_parquet)).persist()
+    else:
+        pages = synth_corpus(
+            spark, n_pages=n_pages, n_hosts=n_hosts,
+            links_per_page=links_per_page, body_words=body_words,
+        )
+        # one-time corpus prep (bucket-by-url + persist), excluded from crawl
+        # time like a pre-bucketed Iceberg table would be
+        pages = prepare_pages(pages)
     n_corpus = pages.count()
     if warmup:
         wpages = prepare_pages(synth_corpus(spark, n_pages=4000, n_hosts=8, links_per_page=8, body_words=24))
@@ -98,6 +107,8 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--corpus-parquet", default=None, help="crawl a pre-materialized corpus parquet")
+    ap.add_argument("--synth-corpus-out", default=None, help="synthesize the corpus, write parquet, exit")
     ap.add_argument("--crawl-pages", type=int, default=0)
     ap.add_argument("--links-per-page", type=int, default=8)
     ap.add_argument("--body-words", type=int, default=24)
@@ -126,11 +137,21 @@ def main():
     n_pages = args.crawl_pages or max(4000, n_docs * CRAWL_PAGES_PER_DOC)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if args.synth_corpus_out:
+        from crawley_spark.corpus import synth_corpus
+
+        synth_corpus(
+            spark, n_pages=n_pages, n_hosts=args.n_hosts,
+            links_per_page=args.links_per_page, body_words=args.body_words,
+        ).write.mode("overwrite").parquet(args.synth_corpus_out)
+        print(json.dumps({"corpus_out": args.synth_corpus_out, "pages": n_pages}))
+        return
     if args.crawl_only:
         stats = run_crawl(
             spark, n_pages, seed_hosts=args.seed_hosts,
             links_per_page=args.links_per_page, body_words=args.body_words,
             n_hosts=args.n_hosts, warmup=args.warmup,
+            corpus_parquet=args.corpus_parquet,
         )
         print(json.dumps({"cores": args.cores, "sf": sf, **stats}))
         return

@@ -34,7 +34,25 @@ def _cpu_sample() -> tuple[int, int]:
     return steal, sum(vals)
 
 
-def run_once(cores: int, pages: int) -> dict:
+SHAPE = ["--links-per-page", "40", "--body-words", "200", "--seed-hosts", "16", "--n-hosts", "40"]
+
+
+def materialize_corpus(pages: int) -> str:
+    """Synthesize the corpus parquet ONCE (at full host parallelism) so
+    every measured run of every pair reads the identical input bytes and no
+    measured session burns its own cores generating data."""
+    path = f"/tmp/scaling_corpus_{pages}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cmd = [
+            sys.executable, os.path.join(REPO, "bench.py"),
+            "--synth-corpus-out", path, "--cores", "32",
+            "--crawl-pages", str(pages), *SHAPE,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, text=True, cwd=REPO, timeout=3600)
+    return path
+
+
+def run_once(cores: int, pages: int, corpus: str) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "bench.py"),
@@ -44,14 +62,9 @@ def run_once(cores: int, pages: int) -> dict:
         str(cores),
         "--crawl-pages",
         str(pages),
-        "--links-per-page",
-        "40",
-        "--body-words",
-        "200",
-        "--seed-hosts",
-        "16",
-        "--n-hosts",
-        "40",
+        "--corpus-parquet",
+        corpus,
+        *SHAPE,
     ]
     s0, t0 = _cpu_sample()
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
@@ -70,12 +83,13 @@ def main():
     ap.add_argument("--out", default="BENCH.md")
     args = ap.parse_args()
 
+    corpus = materialize_corpus(args.pages)
     cores_needed = sorted({int(c) for pair in args.pairs.split(",") for c in pair.split(":")})
     results = {c: {"runs": []} for c in cores_needed}
     # interleave: one round = one run at every core count
     for i in range(args.repeats):
         for cores in cores_needed:
-            r = run_once(cores, args.pages)
+            r = run_once(cores, args.pages, corpus)
             results[cores]["runs"].append(r)
             print(
                 f"round={i} cores={cores}: {r['wall_sec']}s "
