@@ -480,6 +480,18 @@ def _q_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: k-means training has no SQL
+    equivalent; recall vs brute is pinned in tests/test_operators.py)."""
+    from crawley_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing over a documents-derived media table (payload =
     utf-8 text bytes) — binary column through the Arrow decode stage, with a
@@ -535,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_brute": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "text_invariant": _q_text_invariant,
     }

@@ -150,6 +150,147 @@ def lsh_bucketize(
     return df.select(id_col, vec_col).mapInPandas(fn, _BUCKET_SCHEMA)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 20_000,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Spherical k-means coarse quantizer trained on a bounded sample
+    (FAISS-style IVF training: the index is built from a sample, never the
+    full corpus). The driver materializes ≤ ``sample`` vectors — a fixed,
+    corpus-size-independent amount — and runs Lloyd iterations in numpy
+    with cosine assignment (centroids re-normalized each step).
+
+    Returns a (n_cells, dim) float64 ndarray of unit centroids."""
+    import numpy as np
+
+    rows = (
+        df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(int(sample)).collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0][:, None]
+    rng = np.random.RandomState(seed)
+    k = min(n_cells, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+            else:  # empty cell: reseed from the point farthest from its centroid
+                far = (X * C[assign]).sum(axis=1).argmin()
+                C[j] = X[far]
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids_bc,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, unit): nearest ``nprobe`` coarse cells per vector — one
+    batched matmul per Arrow batch against the broadcast centroids (same
+    no-literal-tree discipline as :func:`lsh_bucketize`)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = centroids_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values])
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            U = X / norms[:, None]
+            S = U @ C.T
+            p = min(nprobe, S.shape[1])
+            cells = np.argsort(-S, axis=1)[:, :p]
+            ids = pdf[id_col].values.astype("int64")
+            out_id, out_c, out_u = [], [], []
+            for i in range(len(ids)):
+                u = U[i].tolist()
+                for c in cells[i]:
+                    out_id.append(ids[i])
+                    out_c.append(int(c))
+                    out_u.append(u)
+            yield pd.DataFrame({"id": out_id, "cell": out_c, "unit": out_u})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("unit", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 20_000,
+    seed: int = 42,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the other classic ANN scale path next to
+    :func:`cosine_topk_lsh`): a spherical-k-means coarse quantizer routes
+    every corpus vector to 1 cell and every query to its ``nprobe`` nearest
+    cells; exact cosine rescoring runs only within matching cells.
+
+    Scale shape: centroid training reads a bounded sample; the corpus is
+    scanned once (cell assignment, map-side only, no shuffle — at rest this
+    is a partition column of the vector table); queries are broadcast into
+    the cell join; per-query work is nprobe/n_cells of the corpus instead
+    of all of it. Recall governed by nprobe (see
+    tests/test_operators.py::test_ann_ivf_recall_testdata)."""
+    spark = corpus.sparkSession
+    C = train_ivf_centroids(
+        train_df if train_df is not None else corpus,
+        n_cells=n_cells,
+        vec_col=vec_col,
+        sample=sample,
+        seed=seed,
+    )
+    bc = spark.sparkContext.broadcast(C)
+    c = ivf_assign(corpus, bc, 1, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell", F.col("unit").alias("cv")
+    )
+    q = ivf_assign(queries, bc, nprobe, id_col, vec_col).select(
+        F.col("id").alias("query_id"), "cell", F.col("unit").alias("qv")
+    )
+    cand = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _dot(F.col("cv"), F.col("qv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
