@@ -102,7 +102,7 @@ def main():
         )
 
     lines = [
-        "# BENCH — measured performance (round 1)",
+        "# Scaling harness raw output (one pass; pooled analysis in BENCH.md)",
         "",
         "## Two-cluster-size scaling (north_rule: efficiency >= 0.8 from N to 4N)",
         "",
