@@ -21,6 +21,20 @@ MINHASH_PERMS = 64
 LSH_BANDS = 16  # 4 rows/band
 
 
+def widen_narrow_input(df: DataFrame, cols: list) -> DataFrame:
+    """Project to ``cols`` and, ONLY if the source arrives in fewer
+    partitions than the session's shuffle width (e.g. one small parquet
+    file), repartition so the downstream Arrow/numpy stage actually runs in
+    parallel. A properly-partitioned big input (the 100 TB case) passes
+    through untouched — no shuffle is added where the scan is already
+    wide."""
+    sel = df.select(*cols)
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+    return sel
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts (md5 key). Returns one row per
     duplicated fingerprint with group size and member ids (sorted)."""
@@ -83,7 +97,7 @@ def minhash_signatures(
     schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("sig", T.ArrayType(T.LongType()))]
     )
-    return df.select(id_col, text_col).mapInPandas(fn, schema)
+    return widen_narrow_input(df, [id_col, text_col]).mapInPandas(fn, schema)
 
 
 def near_duplicates_minhash(

@@ -147,7 +147,9 @@ def lsh_bucketize(
                 {"id": out_id, "table": out_t, "bucket": out_b, "unit": out_u}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(fn, _BUCKET_SCHEMA)
+    from .dedup import widen_narrow_input
+
+    return widen_narrow_input(df, [id_col, vec_col]).mapInPandas(fn, _BUCKET_SCHEMA)
 
 
 def train_ivf_centroids(
