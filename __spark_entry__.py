@@ -11,10 +11,12 @@
               inputs; the flagship iterative crawl is oracle-checked by a
               generated fixed-point CTE replay (``_crawl_bfs_oracle``);
               simhash uses the md5 token hash (DuckDB ``md5_number``
-              parity); only minhash_dedup and ann_lsh stay rows-only
-              (64-bit vectorized hashing / hyperplane RNG have no SQL
-              equivalent — both are verified against exact baselines in
-              tests/ instead).
+              parity). The former rows-only trio (minhash_dedup, ann_lsh,
+              ann_ivf) is oracle-checked via deterministic integer
+              summaries — planted-pair / exact-dup containment counts and
+              recall-vs-brute pass flags whose expected values the oracle
+              derives from the data (VERDICT r02 "next" #1); pair-level /
+              rank-level exactness stays pinned in tests/.
 
 Column names/types are aligned on both sides (aggregates cast to BIGINT; no
 float columns in oracle-checked outputs).
@@ -427,21 +429,61 @@ def _q_crawl_bfs(spark, sf_dir):
         {"h0": "http://h0.test", "h1": "http://h1.test"},
         CrawlConfig(depth=1, no_head=True),
     )
+    # the CTE oracle unrolls a fixed number of waves; fail loudly (not with
+    # a spurious hash mismatch) if a bigger sf ever outruns it (ADVICE r02)
+    assert report.iterations <= _CRAWL_BFS_WAVES, (
+        f"crawl ran {report.iterations} waves but the SQL oracle unrolls only "
+        f"{_CRAWL_BFS_WAVES}; raise _CRAWL_BFS_WAVES for this corpus size"
+    )
     return report.results()
 
 
 def _q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup, oracle-checked via deterministic integer
+    summaries (VERDICT r02 "next" #1 — the text_invariant pattern): the
+    64-bit vectorized signatures themselves have no SQL equivalent, but two
+    containment counts over the pair output ARE SQL-derivable constants:
+
+    * every planted near-dup pair (src, src+n) with src text ≥ 200 chars
+      must be recovered — true Jaccard of text vs text+" tail" at that
+      length is ≳0.96, so all 16 bands missing has probability ≈1e-13, and
+      the run is fully seeded/deterministic anyway;
+    * every *exact*-duplicate pair in the candidate set must be recovered —
+      identical text ⟹ identical signature ⟹ same buckets, est=1.0; the
+      expected count is the sum of C(group,2) over md5(text) groups, which
+      the oracle computes from the data.
+
+    Pair-level exactness vs planted dups stays pinned in
+    tests/test_operators.py."""
     from crawley_spark.operators.dedup import near_duplicates_minhash
 
     d = _docs(spark, sf_dir)
     n = d.count()
-    # plant near-duplicates: copies with a small suffix appended
-    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+    planted = d.filter((F.col("doc_id") % 10 == 0) & (F.col("n_chars") >= 200))
+    dup = planted.select(
         (F.col("doc_id") + n).alias("doc_id"), F.concat(F.col("text"), F.lit(" tail")).alias("text")
     )
     cand = d.select("doc_id", "text").unionByName(dup)
-    pairs = near_duplicates_minhash(cand, threshold=0.5)
-    return pairs.select("doc_a", "doc_b")
+    pairs = near_duplicates_minhash(cand, threshold=0.5).select("doc_a", "doc_b")
+    n_planted = planted.count()
+    planted_pairs = planted.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + n).alias("doc_b")
+    )
+    n_planted_found = pairs.join(planted_pairs, on=["doc_a", "doc_b"], how="inner").count()
+    fp = cand.select(F.col("doc_id"), F.md5("text").alias("fp"))
+    exact_groups = fp.groupBy("fp").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    n_exact_pairs = exact_groups.select(
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)).cast("long")
+    ).collect()[0][0]
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"))
+    n_exact_found = (
+        pairs.join(fa, "doc_a").join(fb, "doc_b").filter(F.col("fa") == F.col("fb")).count()
+    )
+    return spark.createDataFrame(
+        [(n_planted, n_planted_found, int(n_exact_pairs), n_exact_found)],
+        "n_planted long, n_planted_found long, n_exact_pairs long, n_exact_found long",
+    )
 
 
 def _q_simhash(spark, sf_dir):
@@ -457,9 +499,11 @@ def _q_ngram_jaccard(spark, sf_dir):
     from crawley_spark.operators.dedup import ngram_jaccard
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    pairs = d.select(F.col("doc_id").alias("doc_a")).crossJoin(
-        d.select(F.col("doc_id").alias("doc_b"))
-    ).filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") - F.col("doc_a") == 1))
+    # consecutive-id candidate pairs via an equi-join (VERDICT r02 "what's
+    # wrong" #2: the old crossJoin+filter modeled the anti-pattern)
+    a = d.select(F.col("doc_id").alias("doc_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, on=b.doc_b == a.doc_a + 1, how="inner")
     j = ngram_jaccard(d, pairs)
     return j.select("doc_a", "doc_b", (F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"))
 
@@ -472,23 +516,67 @@ def _q_ann_brute(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _ann_recall_summary(spark, queries_df, approx_df, brute_df, k: int, min_recall: float):
+    """One-row (n_queries, k, recall_pass): recall_pass = 1 iff the approx
+    top-k overlaps the brute-force top-k on ≥ min_recall of the n_queries·k
+    slots. The overlap count itself depends on seeded hyperplane/k-means
+    randomness (not SQL-derivable), but the pass/fail against the pinned
+    threshold is a constant the oracle can state — the text_invariant
+    pattern (VERDICT r02 "next" #1)."""
+    hits = approx_df.select("query_id", "neighbor_id").join(
+        brute_df.select("query_id", "neighbor_id"), on=["query_id", "neighbor_id"]
+    ).count()
+    n_queries = queries_df.count()
+    recall_pass = 1 if hits >= min_recall * n_queries * k else 0
+    return spark.createDataFrame(
+        [(n_queries, k, recall_pass)], "n_queries long, k long, recall_pass long"
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
-    from crawley_spark.operators.similarity import cosine_topk_lsh
+    """Hyperplane-LSH ANN, oracle-checked as recall-vs-brute ≥ 0.9 (the
+    threshold tests/test_operators.py::test_ann_lsh_recall pins)."""
+    from crawley_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+    lsh = cosine_topk_lsh(emb, queries, k=5)
+    brute = cosine_topk_bruteforce(emb, queries, k=5)
+    return _ann_recall_summary(spark, queries, lsh, brute, k=5, min_recall=0.9)
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN (rows-only: k-means training has no SQL
-    equivalent; recall vs brute is pinned in tests/test_operators.py)."""
+    """IVF coarse-quantizer ANN, oracle-checked by planted-twin recovery
+    (the tests' shape, made a hard driver signal): each query vector gets a
+    slightly-perturbed twin planted in the corpus (cos ≈ 0.999 vs ~0.7 for
+    natural neighbors), so the twin must appear at rank 1 — end-to-end
+    through k-means training, cell assignment, the nprobe cell join, and
+    rescoring. Deterministic (seeded k-means on a deterministic sample);
+    top-5-vs-brute recall on these near-uniform embeddings is additionally
+    exercised in tests, but planted structure is the well-conditioned
+    invariant an oracle can state."""
     from crawley_spark.operators.similarity import cosine_topk_ivf
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    shift = 100_000
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=6).select(
-        "query_id", "neighbor_id", "rank"
+    twins = queries.select(
+        (F.col("vec_id") + shift).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.lit(0.02) * F.sin(i.cast("double"))
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    ivf = cosine_topk_ivf(corpus, queries, k=5, n_cells=16, nprobe=6)
+    found = ivf.filter(F.col("neighbor_id") == F.col("query_id") + shift)
+    n_queries = queries.count()
+    n_twin_found = found.count()
+    n_twin_rank1 = found.filter(F.col("rank") == 1).count()
+    return spark.createDataFrame(
+        [(n_queries, n_twin_found, n_twin_rank1)],
+        "n_queries long, n_twin_found long, n_twin_rank1 long",
     )
 
 
@@ -829,7 +917,42 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
         WHERE rnk <= 5
         """,
-        # minhash_dedup / ann_lsh: rows-only (their 64-bit vectorized
-        # shingle hashing / hyperplane RNG have no SQL equivalent); both
-        # are recall/pair-tested against exact baselines in tests/
+        # minhash_dedup: the signatures are not SQL-expressible, but the
+        # summary counts are data-derived constants — every planted pair
+        # (long docs only: true J ≳ 0.96) and every exact-dup pair
+        # (identical text ⟹ identical signature ⟹ same bucket) must be
+        # recovered, and the oracle computes both expectations from the
+        # candidate set itself
+        "minhash_dedup": """
+        WITH planted AS (
+            SELECT doc_id FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 200
+        ),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        cand AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT d.doc_id + (SELECT n FROM n), d.text || ' tail'
+            FROM documents d JOIN planted p ON p.doc_id = d.doc_id
+        ),
+        groups AS (
+            SELECT md5(text) AS fp, COUNT(*) AS c FROM cand GROUP BY 1 HAVING COUNT(*) > 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM planted) AS n_planted,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM planted) AS n_planted_found,
+               (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) FROM groups) AS n_exact_pairs,
+               (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) FROM groups) AS n_exact_found
+        """,
+        # ann_lsh / ann_ivf: the hit count rides on seeded hyperplane /
+        # k-means randomness (not SQL-derivable), but the pass/fail against
+        # the recall threshold the tests pin is a constant the oracle states
+        "ann_lsh": """
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_queries,
+               CAST(5 AS BIGINT) AS k,
+               CAST(1 AS BIGINT) AS recall_pass
+        """,
+        "ann_ivf": """
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_queries,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_twin_found,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_twin_rank1
+        """,
     }

@@ -38,6 +38,44 @@ HEADLINE = [
     "ann_lsh",
 ]
 
+
+def _bench_minhash_dedup(spark, sf_dir):
+    """Times the raw MinHash+LSH operator (planted near-dups, pair output).
+    The queries() entry now wraps it in an oracle-checkable verification
+    harness (joins vs brute md5 groups) — timing that would blend the
+    verification joins into the operator number, so the bench keeps the
+    r02-shape kernel."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.dedup import near_duplicates_minhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    cand = d.select("doc_id", "text").unionByName(dup)
+    return near_duplicates_minhash(cand, threshold=0.5).select("doc_a", "doc_b")
+
+
+def _bench_ann_lsh(spark, sf_dir):
+    """Times the raw LSH ANN operator (the queries() entry now also runs
+    brute force for the recall check)."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+BENCH_OVERRIDES = {
+    "minhash_dedup": _bench_minhash_dedup,
+    "ann_lsh": _bench_ann_lsh,
+}
+
 CRAWL_PAGES_PER_DOC = 4  # corpus pages per documents row at the bench sf
 
 
@@ -163,7 +201,7 @@ def main():
     total0 = time.monotonic()
     for name in HEADLINE:
         t0 = time.monotonic()
-        df = qs[name](spark, args.sf_dir)
+        df = BENCH_OVERRIDES.get(name, qs[name])(spark, args.sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
     crawl_stats = run_crawl(spark, n_pages)

@@ -19,18 +19,34 @@ from pyspark.sql import types as T
 
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 4 rows/band
+# Bucket-membership cap for LSH pair generation: per-cell work is O(cap²)
+# and the collect_list buffer O(cap·|sig|). 2000 → ≤2M candidate pairs /
+# ≤1 MB buffer per cell — far above any honest near-dup cluster, well under
+# task memory. Oversized buckets are salt-split (cross-cell pairs dropped).
+DEFAULT_BUCKET_CAP = 2000
 
 
 def widen_narrow_input(df: DataFrame, cols: list) -> DataFrame:
-    """Project to ``cols`` and, ONLY if the source arrives in fewer
-    partitions than the session's shuffle width (e.g. one small parquet
-    file), repartition so the downstream Arrow/numpy stage actually runs in
-    parallel. A properly-partitioned big input (the 100 TB case) passes
-    through untouched — no shuffle is added where the scan is already
-    wide."""
+    """Project to ``cols`` and, ONLY if the source arrives narrower than the
+    session's shuffle width (e.g. one small parquet file), repartition so the
+    downstream Arrow/numpy stage actually runs in parallel. A properly-
+    partitioned big input (the 100 TB case: thousands of files) passes
+    through untouched — no shuffle is added where the scan is already wide.
+
+    Width is probed from the leaf scan's file list (``inputFiles()`` — pure
+    metadata), NOT ``rdd.getNumPartitions()``: converting to RDD under AQE
+    can materialize upstream query stages, silently executing part of the
+    plan twice (ADVICE r02). A fileless plan (in-memory local relation in
+    tests) counts as narrow. File count is a proxy — a single huge splittable
+    file underestimates scan width — but it errs toward one extra shuffle on
+    small inputs, never toward starving the big case."""
     sel = df.select(*cols)
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if sel.rdd.getNumPartitions() < target:
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width < target:
         sel = sel.repartition(target)
     return sel
 
@@ -100,29 +116,11 @@ def minhash_signatures(
     return widen_narrow_input(df, [id_col, text_col]).mapInPandas(fn, schema)
 
 
-def near_duplicates_minhash(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle: int = 5,
-    threshold: float = 0.7,
-    seed: int = 42,
-) -> DataFrame:
-    """Candidate pairs via LSH banding, scored by signature agreement.
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
-
-    Pair generation is a single pass: one shuffle groups band-bucket
-    members (``collect_list``), pairs come from a double explode within
-    each bucket. The previous self-join computed the signature stage twice
-    and pinned it with a never-unpersisted ``persist`` (VERDICT r01
-    "what's wrong" #3/#4); this shape computes signatures once and holds
-    no cache. A bucket's members must fit in one task — that is LSH's
-    premise (buckets are small); a degenerate corpus (e.g. millions of
-    empty docs sharing one signature) would need a bucket-size cap/salt
-    upstream, exactly as the self-join would."""
-    sigs = minhash_signatures(df, text_col, id_col, shingle, seed)
+def _band_buckets(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, sig, band, bucket): one row per (doc, band); bucket =
+    xxhash64 of the band's signature slice. Pure JVM expressions."""
     rows_per_band = MINHASH_PERMS // LSH_BANDS
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.col("sig"),
         F.explode(
@@ -145,8 +143,92 @@ def near_duplicates_minhash(
             )
         ).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    grouped = (
+
+
+def with_bucket_salt(df: DataFrame, key_cols: list, id_col: str, bucket_cap: int) -> DataFrame:
+    """Degenerate-bucket guard (VERDICT r02 "what's wrong" #1): adds ``bn``
+    (bucket membership count) and ``salt`` (0 for buckets within
+    ``bucket_cap``; members of oversized buckets split into ⌈bn/cap⌉ salt
+    cells by a hash of their id). Downstream pair generation that groups or
+    joins on ``key_cols + [salt]`` is then bounded per task — a corpus of
+    millions of identical/empty docs lands ~cap members per cell instead of
+    one giant bucket on one task. Cross-cell pairs inside an oversized
+    bucket are intentionally dropped (truncation-with-metric semantics; a
+    bucket that degenerate is template/boilerplate mass, not signal — the
+    standard web-dedup treatment). ``lsh_oversized_buckets`` reports what
+    was truncated.
+
+    Plan shape: the count comes from an unordered window over ``key_cols``
+    — WindowExec buffers one bucket at a time with disk spill (safe for the
+    degenerate bucket, unlike a ``collect_list`` agg buffer), and its hash
+    exchange on ``key_cols`` already satisfies the downstream
+    ``key_cols + [salt]`` clustering, so the guard adds zero extra
+    shuffles."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy(*key_cols)
+    return df.withColumn("bn", F.count("*").over(wb)).withColumn(
+        "salt",
+        F.when(F.col("bn") <= bucket_cap, F.lit(0)).otherwise(
+            F.pmod(
+                F.xxhash64(F.col(id_col)), F.ceil(F.col("bn") / F.lit(bucket_cap)).cast("long")
+            ).cast("int")
+        ),
+    )
+
+
+def lsh_oversized_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 5,
+    seed: int = 42,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Diagnostic: (band, bucket, bn) for every MinHash band bucket exceeding
+    ``bucket_cap`` — the buckets :func:`near_duplicates_minhash` salt-splits
+    (and whose cross-cell pairs it truncates). A separate pass that re-runs
+    the signature stage; use for monitoring/tests, not in the hot path."""
+    banded = _band_buckets(minhash_signatures(df, text_col, id_col, shingle, seed), id_col)
+    return (
         banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > bucket_cap)
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 5,
+    threshold: float = 0.7,
+    seed: int = 42,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, scored by signature agreement.
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    Pair generation is a single pass: one shuffle groups band-bucket
+    members (``collect_list``), pairs come from a double explode within
+    each bucket. The previous self-join computed the signature stage twice
+    and pinned it with a never-unpersisted ``persist`` (VERDICT r01
+    "what's wrong" #3/#4); this shape computes signatures once and holds
+    no cache.
+
+    Oversized buckets (degenerate corpora: millions of near-empty or
+    templated docs sharing a signature — common in real web data) are
+    salt-split by :func:`with_bucket_salt` so both the ``collect_list``
+    buffer and the in-bucket O(b²) explode stay bounded by ``bucket_cap``
+    per cell; pairs crossing salt cells within such a bucket are dropped
+    (documented truncation — see :func:`lsh_oversized_buckets` for the
+    metric). The window count underlying the guard reuses the same hash
+    exchange the groupBy needs, so the non-degenerate path keeps its
+    single-shuffle shape."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle, seed)
+    banded = with_bucket_salt(_band_buckets(sigs, id_col), ["band", "bucket"], id_col, bucket_cap)
+    grouped = (
+        banded.groupBy("band", "bucket", "salt")
         .agg(
             F.collect_list(
                 F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))
@@ -230,6 +312,7 @@ def near_duplicates_embedding(
     n_planes: int = 6,
     n_tables: int = 24,
     seed: int = 42,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, cos_sim) with
     doc_a < doc_b and cos_sim >= threshold.
@@ -239,7 +322,12 @@ def near_duplicates_embedding(
     method="lsh": candidate pairs from the OR'd hyperplane tables of
     similarity.lsh_bucketize (same batched-matmul signature stage as ANN),
     then exact cosine verify — near-linear in true-duplicate count at
-    corpus scale instead of O(n²)."""
+    corpus scale instead of O(n²). Oversized (table, bucket) groups (e.g.
+    millions of zero/templated embeddings hashing identically) are
+    salt-split by :func:`with_bucket_salt` so the self-join's per-bucket
+    output is bounded by ``bucket_cap``² per cell; cross-cell pairs in such
+    buckets are dropped (same truncation semantics as
+    :func:`near_duplicates_minhash`)."""
     from .similarity import _dot, lsh_bucketize, with_unit_vectors
 
     if method == "exact":
@@ -253,15 +341,20 @@ def near_duplicates_embedding(
             _dot(F.col("a.u"), F.col("b.u")).alias("cos_sim"),
         )
     elif method == "lsh":
-        bk = lsh_bucketize(df, id_col, vec_col, n_planes, n_tables, 0, seed)
+        bk = with_bucket_salt(
+            lsh_bucketize(df, id_col, vec_col, n_planes, n_tables, 0, seed),
+            ["table", "bucket"],
+            "id",
+            bucket_cap,
+        )
         a = bk.select(
-            F.col("id").alias("doc_a"), "table", "bucket", F.col("unit").alias("ua")
+            F.col("id").alias("doc_a"), "table", "bucket", "salt", F.col("unit").alias("ua")
         )
         b = bk.select(
-            F.col("id").alias("doc_b"), "table", "bucket", F.col("unit").alias("ub")
+            F.col("id").alias("doc_b"), "table", "bucket", "salt", F.col("unit").alias("ub")
         )
         pairs = (
-            a.join(b, on=["table", "bucket"])
+            a.join(b, on=["table", "bucket", "salt"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"])
             .select("doc_a", "doc_b", _dot(F.col("ua"), F.col("ub")).alias("cos_sim"))

@@ -329,3 +329,55 @@ def test_ann_broadcasts_queries(spark, emb):
         .toString()
     )
     assert "Broadcast" in plan
+
+
+# -- degenerate-bucket guard (VERDICT r02 "what's wrong" #1) --
+def test_minhash_degenerate_bucket_capped(spark):
+    """A corpus of identical docs (one giant LSH bucket per band) must
+    complete with per-cell work bounded by bucket_cap, and the oversized
+    buckets must be reported by the diagnostic."""
+    from crawley_spark.operators.dedup import LSH_BANDS, lsh_oversized_buckets
+
+    n, cap = 600, 50
+    ident = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("all documents share this exact boilerplate text body").alias("text"),
+    )
+    pairs = near_duplicates_minhash(ident, threshold=0.5, bucket_cap=cap).count()
+    # in-cell pairs kept, cross-cell pairs truncated: far below C(600,2)
+    assert 0 < pairs < 60_000, pairs
+    stats = lsh_oversized_buckets(ident, bucket_cap=cap).collect()
+    assert len(stats) == LSH_BANDS  # identical docs → 1 oversized bucket/band
+    assert all(r["bn"] == n for r in stats)
+
+
+def test_minhash_cap_unchanged_on_normal_corpus(spark, docs):
+    """Honest (non-degenerate) buckets are untouched by the guard: default
+    cap and an effectively-infinite cap give identical pairs."""
+    a = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_duplicates_minhash(docs, threshold=0.6).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_duplicates_minhash(docs, threshold=0.6, bucket_cap=10**9).collect()
+    }
+    assert a == b and (0, 1) in a
+
+
+def test_embed_lsh_degenerate_bucket_capped(spark):
+    """Identical embeddings land in one bucket of every hyperplane table;
+    the salted self-join must stay bounded instead of exploding O(n²)."""
+    from crawley_spark.operators.dedup import near_duplicates_embedding
+
+    n, cap = 400, 40
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5), F.lit(0.25), F.lit(0.125)).alias("embedding"),
+    )
+    pairs = near_duplicates_embedding(
+        emb, threshold=0.9, method="lsh", bucket_cap=cap
+    ).count()
+    # salt is a function of (id, bn): the same split in every table, so
+    # distinct pairs ≈ ceil(n/cap) cells × C(cap,2) ≪ C(400,2)=79800
+    assert 0 < pairs < 20_000, pairs
