@@ -3,10 +3,12 @@ columns with typed metadata.
 
 ``decode="fake"`` produces deterministic features from the bytes (so the
 Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
-tested everywhere); ``decode="real"`` probes for codec libraries at runtime
-on the executors (PIL for images) and decodes with them when importable,
-raising NotImplementedError otherwise — this container ships no codecs, so
-tests skip the real path unless PIL is present.
+tested everywhere); ``decode="real"`` decodes what the standard library can
+(WAV audio via ``wave`` — no codec deps, runs everywhere) and probes for
+codec libraries at runtime on the executors for the rest (PIL for images),
+raising NotImplementedError where no decoder exists — this container ships
+no image/video codecs, so only video remains a declared stub and the image
+test skips unless PIL is present (VERDICT r02 "next" #3).
 """
 
 from __future__ import annotations
@@ -46,6 +48,51 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 16
+
+
+def wav_features(data: bytes) -> list:
+    """Decode a RIFF/WAVE payload with stdlib ``wave`` (zero codec
+    dependencies — the reason audio is NOT a stub) and return deterministic
+    features: [n_channels, sample_bits, framerate_khz, duration_s, rms,
+    peak, zero_cross_rate, dc_mean], amplitudes normalized to [-1, 1].
+    Channels are averaged. Raises ValueError on bytes that are not a
+    decodable WAV stream (a data error, distinct from the
+    NotImplementedError of a genuinely missing decoder)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            fr = w.getframerate()
+            nframes = w.getnframes()
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"payload is not a decodable RIFF/WAVE stream: {e}") from None
+    if sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw} bytes")
+    if nch > 1 and len(x):
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    duration_s = nframes / fr if fr else 0.0
+    if len(x) == 0:
+        rms = peak = zcr = mean = 0.0
+    else:
+        rms = float(np.sqrt((x * x).mean()))
+        peak = float(np.abs(x).max())
+        zcr = (
+            float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if len(x) > 1 else 0.0
+        )
+        mean = float(x.mean())
+    return [float(nch), float(sw * 8), fr / 1000.0, float(duration_s), rms, peak, zcr, mean]
 
 
 def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
@@ -133,9 +180,12 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 
                 img = pil_image.open(io.BytesIO(data)).convert("L").resize((4, 4))
                 return [float(x) / 255.0 for x in img.getdata()]
+            if kind == "audio":
+                return wav_features(data)  # stdlib, available on every executor
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
-                "install PIL (images) / soundfile (audio) / ffmpeg (video)"
+                "install PIL (images) / ffmpeg (video); WAV audio decodes "
+                "via the standard library"
             )
 
         for pdf in batches:
