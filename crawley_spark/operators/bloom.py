@@ -16,6 +16,8 @@ Python side only does vectorized numpy bit tests — no per-row hashing.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -23,7 +25,12 @@ from pyspark.sql import functions as F
 from ..kernels.xxh import xxh64
 from ..sources.state import SEEN_BUCKETS
 
-BLOOM_BITS_PER_BUCKET = 1 << 21  # 256 KiB per shard; 64 shards = 16 MiB
+# 256 KiB per shard; 64 shards = 16 MiB total. What governs the FP rate is
+# TOTAL bits vs total keys, so when SEEN_BUCKETS is raised toward the
+# 2048-4096 design point, scale bits-per-bucket down to keep the total
+# constant (tools/seen_scale_bench.py does this automatically). Overridable
+# via env for the same reason SEEN_BUCKETS is.
+BLOOM_BITS_PER_BUCKET = int(os.environ.get("CRAWLEY_BLOOM_BITS_PER_BUCKET", 1 << 21))
 BLOOM_K = 4
 
 BLOOM_SCHEMA = "bucket int, bitmap binary"

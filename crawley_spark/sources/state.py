@@ -54,7 +54,12 @@ from pyspark.sql import types as T
 # file counts sane; at the 10^10-URL design point set this to 2048-4096
 # (≈2.5-5M keys/bucket) so tail-wave bucket pruning reads ≲0.1% of the
 # snapshot — the constant only shapes the physical layout, never results.
-SEEN_BUCKETS = 64
+# Overridable via CRAWLEY_SEEN_BUCKETS (read once at import) so the design
+# point is demonstrable, not just documented — tools/seen_scale_bench.py
+# --seen-buckets runs the evidence harness at high bucket counts (VERDICT
+# r02 "next" #5). A checkpoint written under one bucket count must be
+# resumed under the same one (the layout is physical).
+SEEN_BUCKETS = int(os.environ.get("CRAWLEY_SEEN_BUCKETS", "64"))
 
 RESULTS_SCHEMA = T.StructType(
     [
@@ -106,10 +111,31 @@ def with_bucket(df: DataFrame, col: str = "url_key") -> DataFrame:
 
 
 class CrawlState:
-    def __init__(self, spark: SparkSession, root: str | None = None):
+    """State store with two interchangeable backends behind one API:
+
+    * parquet dirs + JSON manifest (default — the sandbox has no Iceberg
+      runtime jar);
+    * an **Iceberg catalog** (north_rule): pass ``catalog=`` or set
+      ``CRAWLEY_ICEBERG_CATALOG``, and every table routes through
+      ``df.writeTo(catalog.ns.table)`` — created partitioned by the
+      checkpoint iteration (seen additionally by ``bucket``, the stand-in
+      becoming real ``bucket``-partition pruning), appended via
+      ``overwritePartitions`` so a crash-replayed iteration idempotently
+      replaces exactly its own partitions, read via ``spark.table`` with
+      partition-pruning filters. The JSON manifest stays the run-level
+      pointer (offsets + done flag) in both modes; per-table atomicity
+      comes from Iceberg snapshot commits. ``compact_seen`` is a no-op
+      under a catalog (partition metadata already gives pruned reads;
+      file compaction is Iceberg ``rewrite_data_files`` maintenance).
+      tests/test_state_iceberg.py unit-tests the routing everywhere and
+      runs the crawl+resume e2e when a real catalog is configured."""
+
+    def __init__(self, spark: SparkSession, root: str | None = None, catalog: str | None = None):
         self.spark = spark
         self._tmp = root is None
         self.root = root or tempfile.mkdtemp(prefix="crawley_state_")
+        self.catalog = catalog or os.environ.get("CRAWLEY_ICEBERG_CATALOG") or None
+        self.namespace = os.environ.get("CRAWLEY_ICEBERG_NAMESPACE", "crawley")
         os.makedirs(self.root, exist_ok=True)
         self.manifest = {
             "iteration": -1,
@@ -119,6 +145,47 @@ class CrawlState:
             "seen_compact": -1,
             "bloom_upto": -1,
         }
+
+    # -- Iceberg routing --
+    def _tbl(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def _iceberg_write(self, table: str, iteration: int, df: DataFrame) -> None:
+        dfi = df.withColumn("ckpt_iter", F.lit(int(iteration)).cast("int"))
+        name = self._tbl(table)
+        if not self.spark.catalog.tableExists(name):
+            parts = [F.col("ckpt_iter")] + (
+                [F.col("bucket")] if table in ("seen", "blooms") else []
+            )
+            dfi.writeTo(name).using("iceberg").partitionedBy(*parts).create()
+        else:
+            # dynamic overwrite: replaces exactly the partitions present in
+            # dfi (this iteration's), making crash replay idempotent — the
+            # Iceberg-native equivalent of the dir overwrite below
+            dfi.writeTo(name).overwritePartitions()
+
+    def _iceberg_read(
+        self,
+        table: str,
+        schema: T.StructType,
+        upto: int | None = None,
+        at: int | None = None,
+        after: int | None = None,
+        buckets=None,
+    ) -> DataFrame:
+        name = self._tbl(table)
+        if not self.spark.catalog.tableExists(name):
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.table(name)
+        if at is not None:
+            df = df.filter(F.col("ckpt_iter") == at)
+        if upto is not None:
+            df = df.filter(F.col("ckpt_iter") <= upto)
+        if after is not None:
+            df = df.filter(F.col("ckpt_iter") > after)
+        if buckets is not None:
+            df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+        return df.drop("ckpt_iter")
 
     # -- manifest --
     @property
@@ -169,16 +236,25 @@ class CrawlState:
         return os.path.join(self.root, table, f"iter={iteration}")
 
     def write(self, table: str, iteration: int, df: DataFrame) -> None:
+        if self.catalog:
+            self._iceberg_write(table, iteration, df)
+            return
         df.write.mode("overwrite").parquet(self._dir(table, iteration))
 
     def write_seen(self, iteration: int, df: DataFrame) -> None:
-        """Seen delta — written UNpartitioned on purpose: a delta is one
-        wave (small, recent, read whole for at most ``compact_every``
-        iterations before it folds into the compacted snapshot), and
-        bucket-partitioning it would emit tasks×64 tiny files per iteration
-        and dominate the per-iteration floor. The *snapshot* is where the
-        historical mass lives and is what :meth:`compact_seen` partitions
-        by bucket for pruned reads."""
+        """Seen delta — in dir mode written UNpartitioned on purpose: a
+        delta is one wave (small, recent, read whole for at most
+        ``compact_every`` iterations before it folds into the compacted
+        snapshot), and bucket-partitioning it would emit tasks×64 tiny
+        files per iteration and dominate the per-iteration floor. The
+        *snapshot* is where the historical mass lives and is what
+        :meth:`compact_seen` partitions by bucket for pruned reads. Under
+        an Iceberg catalog the table is partitioned by (ckpt_iter, bucket)
+        from the start — pruned reads come from partition metadata and the
+        small-file concern is ``rewrite_data_files`` maintenance."""
+        if self.catalog:
+            self._iceberg_write("seen", iteration, df)
+            return
         df.write.mode("overwrite").parquet(self._dir("seen", iteration))
 
     @staticmethod
@@ -237,7 +313,11 @@ class CrawlState:
         """Merge the current compact snapshot + deltas ≤ upto into one
         bucket-partitioned snapshot, sorted by url_key within buckets (tight
         parquet row-group min/max for point-lookup pruning). Returns ``upto``;
-        the caller must pass it to :meth:`commit` to make it live."""
+        the caller must pass it to :meth:`commit` to make it live. Under an
+        Iceberg catalog this is a no-op: the seen table is bucket-partitioned
+        at write time and pruning is metadata-driven."""
+        if self.catalog:
+            return upto
         src = self.seen(upto=upto)
         dst = os.path.join(self.root, "seen_compact", f"upto={upto}")
         (
@@ -255,6 +335,11 @@ class CrawlState:
         a local createDataFrame costs one Python-worker round-trip per
         default-parallelism partition, ~4s/write at local[32]). Used for the
         tiny driver-side tables: metrics and the iteration-0 bootstrap."""
+        if self.catalog:
+            self._iceberg_write(
+                table, iteration, self.spark.createDataFrame(rows, schema).coalesce(1)
+            )
+            return
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -272,6 +357,15 @@ class CrawlState:
 
     def write_local_binary(self, table: str, iteration: int, shards: list) -> None:
         """[(bucket:int, bitmap:bytes)] → parquet (Bloom shard deltas)."""
+        if self.catalog:
+            self._iceberg_write(
+                table,
+                iteration,
+                self.spark.createDataFrame(
+                    [(int(b), bytearray(m)) for b, m in shards], BLOOM_STATE_SCHEMA
+                ).coalesce(1),
+            )
+            return
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -288,6 +382,8 @@ class CrawlState:
             pass
 
     def _read_upto(self, table: str, schema: T.StructType, upto: int) -> DataFrame:
+        if self.catalog:
+            return self._iceberg_read(table, schema, upto=upto)
         dirs = [
             self._dir(table, i)
             for i in range(upto + 1)
@@ -301,6 +397,10 @@ class CrawlState:
         return self._read_upto("results", RESULTS_SCHEMA, self._upto(upto))
 
     def seen(self, upto: int | None = None, buckets=None) -> DataFrame:
+        if self.catalog:
+            return self._iceberg_read(
+                "seen", SEEN_SCHEMA, upto=self._upto(upto), buckets=buckets
+            )
         dirs = self.seen_dirs(self._upto(upto), buckets)
         if not dirs:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
@@ -310,6 +410,8 @@ class CrawlState:
         """Seen delta rows for iterations in (after, upto] — reads the raw
         delta dirs (always retained, independent of compaction). Used by the
         lazy Bloom catch-up at prefilter activation."""
+        if self.catalog:
+            return self._iceberg_read("seen", SEEN_SCHEMA, upto=upto, after=after)
         dirs = [
             self._dir("seen", i)
             for i in range(after + 1, upto + 1)
@@ -323,6 +425,8 @@ class CrawlState:
         return self._read_upto("metrics", METRICS_SCHEMA, self._upto(upto))
 
     def frontier(self, iteration: int) -> DataFrame:
+        if self.catalog:
+            return self._iceberg_read("frontier", FRONTIER_SCHEMA, at=iteration)
         path = self._dir("frontier", iteration)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)

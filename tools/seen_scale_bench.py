@@ -12,7 +12,12 @@ and re-shuffled seen_total every iteration; the fix's seen side is scanned
 only for the touched buckets and never shuffled (broadcast semi-join).
 
 Usage: python tools/seen_scale_bench.py [--pages 60000] [--cores 16]
-           [--bloom-min-seen 5000] [--compact-every 8]
+           [--bloom-min-seen 5000] [--compact-every 8] [--seen-buckets 1024]
+
+--seen-buckets N overrides the physical seen/bloom bucket count (the
+documented 10^10-URL design point is 2048-4096) to demonstrate that
+tail-wave pruning reads a vanishing fraction of the snapshot at high
+bucket counts, not just at the sandbox default of 64.
 """
 
 from __future__ import annotations
@@ -34,7 +39,17 @@ def main():
     ap.add_argument("--bloom-min-seen", type=int, default=5_000)
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument("--seed-hosts", type=int, default=2)
+    ap.add_argument("--seen-buckets", type=int, default=None)
     args = ap.parse_args()
+    if args.seen_buckets:
+        # must be set before crawley_spark.sources.state is imported
+        os.environ["CRAWLEY_SEEN_BUCKETS"] = str(args.seen_buckets)
+        # hold TOTAL bloom bits at the 64-bucket default (2^27) — FP rate
+        # is total-bits/keys, so more shards means smaller shards
+        os.environ.setdefault(
+            "CRAWLEY_BLOOM_BITS_PER_BUCKET",
+            str(max(1 << 14, (1 << 27) // args.seen_buckets)),
+        )
 
     from crawley_spark.config import CrawlConfig
     from crawley_spark.corpus import synth_corpus
@@ -85,7 +100,18 @@ def main():
             }
         )
         cum += delta
-    print(json.dumps({"pages": args.pages, "iterations": report.iterations, "rows": out}))
+    from crawley_spark.sources.state import SEEN_BUCKETS
+
+    print(
+        json.dumps(
+            {
+                "pages": args.pages,
+                "seen_buckets": SEEN_BUCKETS,
+                "iterations": report.iterations,
+                "rows": out,
+            }
+        )
+    )
     report.state.cleanup()
 
 
