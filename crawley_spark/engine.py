@@ -129,6 +129,7 @@ def crawl(
     semi_broadcast_rows: int = 250_000,
     direct_broadcast_seen_rows: int = 500_000,
     compact_every: int = 8,
+    frontier_cap: int | None = None,
 ) -> CrawlReport:
     """Run a depth-bounded BFS crawl of ``pages`` from ``seeds``.
 
@@ -159,6 +160,19 @@ def crawl(
 
     compact_every: seen deltas are merged into one bucket-partitioned
     snapshot every this many iterations, bounding the per-read dir count.
+
+    frontier_cap: opt-in deterministic analogue of the reference's bounded
+    queues (Q3, crawler.go:29-33/184-193: producers drop silently when the
+    (workers+1)*256 channel stays full for 100ms). The reference's drop set
+    depends on goroutine timing and cannot be matched exactly (SURVEY
+    §2.6), so the default remains lossless; with a cap, each iteration
+    keeps only the first ``frontier_cap`` fresh enqueues per run in
+    canonical (parent_rank, ord) order and drops the tail, recording a
+    ``dropped_overflow`` metric. Ordering matches the reference's
+    seen-then-maybe-dropped sequence: dropped URLs were already inserted
+    into seen (crawler.go linkHandler runs tryEnqueue after the dedup
+    insert), so they are never revisited; emission is unaffected (the
+    reference drops emit on a different channel).
     """
     runs = _normalize_runs(seeds, config)
     pages_n = normalize_pages(pages)
@@ -482,6 +496,16 @@ def crawl(
             t_index = time.monotonic() - t0
             emit_counts = idx_counts["emit_ok"]
             enq_counts = idx_counts["enqueue_ok"]
+            # Q3 opt-in: keep the first frontier_cap fresh enqueues per run
+            # (canonical order — ranks are dense from prev_rank_hi, so the
+            # kept set is the contiguous prefix and offsets stay dense);
+            # dropped rows remain in seen, matching the reference's
+            # insert-then-maybe-drop sequence
+            dropped_overflow = 0
+            if frontier_cap is not None:
+                kept_counts = {r: min(c, frontier_cap) for r, c in enq_counts.items()}
+                dropped_overflow = sum(enq_counts.values()) - sum(kept_counts.values())
+                enq_counts = kept_counts
             seq_offsets = advance_offsets(seq_offsets, emit_counts)
             rank_offsets = advance_offsets(rank_offsets, enq_counts)
             emit_n = sum(emit_counts.values())
@@ -493,15 +517,22 @@ def crawl(
                 F.col("uri").alias("url"),
                 F.lit(iteration).alias("iter"),
             ).coalesce(parts_for(emit_n))
-            next_frontier = indexed.filter(F.col("enqueue_ok")).select(
+            fresh_frontier = indexed.filter(F.col("enqueue_ok")).select(
                 "run_id",
                 F.col("idx_enqueue_ok").alias("rank"),
                 F.col("uri").alias("url"),
                 "host",
                 "can_fetch",
-            ).unionByName(deferred.select("run_id", "rank", "url", "host", "can_fetch")).coalesce(
-                parts_for(enq_n)
             )
+            if frontier_cap is not None and dropped_overflow > 0:
+                keep = None
+                for run, off in prev_rank_hi.items():
+                    c = (F.col("run_id") == run) & (F.col("rank") < off + frontier_cap)
+                    keep = c if keep is None else (keep | c)
+                fresh_frontier = fresh_frontier.filter(keep)
+            next_frontier = fresh_frontier.unionByName(
+                deferred.select("run_id", "rank", "url", "host", "can_fetch")
+            ).coalesce(parts_for(enq_n))
             if bloom_prefilter:
                 seen_df = indexed.select(
                     "run_id", "url_key", F.col("uri").alias("url"), "bucket"
@@ -563,6 +594,7 @@ def crawl(
                 ),
                 (iteration, "emitted", "", sum(emit_counts.values())),
                 (iteration, "enqueued", "", enq_total),
+                (iteration, "dropped_overflow", "", dropped_overflow),
                 (iteration, "wall_ms", "", int((time.monotonic() - t0) * 1000)),
             ]
             pending = {

@@ -289,3 +289,32 @@ def test_exception_mid_crawl_releases_pool_and_cache(spark, monkeypatch):
         for i in range(len(jsc.getRDDStorageInfo()))
     ]
     assert not any("mapInPandas" in (n or "") for n in cached), cached
+
+
+def test_frontier_cap_bounded_queue(spark):
+    """Q3 opt-in deterministic analogue of the reference's bounded queues
+    (SURVEY §2.6): per-iteration fresh enqueues per run are capped in
+    canonical order, the tail is dropped with a metric, dropped URLs stay
+    in seen (insert-then-maybe-drop, crawler.go linkHandler), and a
+    never-binding cap reproduces the lossless crawl exactly."""
+    pages = synth_site()
+    cfg = CrawlConfig(depth=-1, no_head=True)
+    pdf = pages_to_df(spark, pages)
+    base = spark_crawl(spark, pdf, "http://h0.example", cfg)
+    base_results = base.result_urls("run0")
+    base.state.cleanup()
+
+    big = spark_crawl(spark, pdf, "http://h0.example", cfg, frontier_cap=10**6)
+    assert big.result_urls("run0") == base_results
+    big.state.cleanup()
+
+    capped = spark_crawl(spark, pdf, "http://h0.example", cfg, frontier_cap=3)
+    rows = capped.metrics().collect()
+    enq = [r["value"] for r in rows if r["metric"] == "enqueued"]
+    dropped = sum(r["value"] for r in rows if r["metric"] == "dropped_overflow")
+    assert all(v <= 3 for v in enq), enq  # single run → ≤ cap fresh/iteration
+    assert dropped > 0
+    capped_results = capped.result_urls("run0")
+    capped.state.cleanup()
+    # a lossy crawl discovers strictly less, never something new
+    assert set(capped_results) < set(base_results)
