@@ -32,6 +32,7 @@ from .kernels.extract import classify_candidate
 from .kernels.paths import can_parse, url_seen_key
 from .kernels.xxh import spark_xxhash64
 from .operators import bloom as bloomf
+from .operators.local_wave import process_wave
 from .operators.politeness import salt_hot_hosts, schedule
 from .operators.seen import anti_join_seen, first_occurrence
 from .plans.ordering import advance_offsets, assign_flagged_indexes_bucketed
@@ -130,6 +131,8 @@ def crawl(
     direct_broadcast_seen_rows: int = 500_000,
     compact_every: int = 8,
     frontier_cap: int | None = None,
+    driver_wave_rows: int = 256,
+    driver_seen_cap: int = 200_000,
 ) -> CrawlReport:
     """Run a depth-bounded BFS crawl of ``pages`` from ``seeds``.
 
@@ -173,6 +176,21 @@ def crawl(
     into seen (crawler.go linkHandler runs tryEnqueue after the dedup
     insert), so they are never revisited; emission is unaffected (the
     reference drops emit on a different channel).
+
+    driver_wave_rows / driver_seen_cap: hybrid small-wave fast path
+    (operators/local_wave.py). Real BFS crawls spend most *iterations* on
+    tiny waves (the seed head, the convergence tail) where the per-iteration
+    Spark scheduling floor (~1 s at local[32]) dwarfs the work; a wave of
+    ≤ ``driver_wave_rows`` frontier rows runs on the driver instead — one
+    pushed-down ``url IN (...)`` corpus scan, then the exact same
+    extract/dedup/order dataflow in plain Python over a driver-resident
+    seen set. Engages only while that set is exact and ≤ ``driver_seen_cap``
+    keys: fresh crawls start with it (bootstrap is driver-side already),
+    each Spark wave's keys merge back asynchronously while small, and the
+    first wave overflowing the cap disables it permanently (pure Spark from
+    then on). Deferral (politeness quotas), ``frontier_cap``, and resume
+    runs keep the pure-Spark loop. ``driver_wave_rows=0`` disables the
+    hybrid entirely (tests pinning the distributed machinery do this).
     """
     runs = _normalize_runs(seeds, config)
     pages_n = normalize_pages(pages)
@@ -192,8 +210,12 @@ def crawl(
         if state.manifest["done"]:
             return CrawlReport(state, runs, state.manifest["iteration"])
         frontier_rows_known = None  # unknown → count once below
+        boot_frontier, boot_seen = None, None
     else:
-        rank_offsets, seq_offsets, frontier_rows_known = _bootstrap(spark, state, pages_n, runs)
+        rank_offsets, seq_offsets, boot_frontier, boot_seen = _bootstrap(
+            spark, state, pages_n, runs
+        )
+        frontier_rows_known = len(boot_frontier)
         start_iter = 1
 
     cfgs = {r: cfg for r, (seed, cfg) in runs.items()}
@@ -276,6 +298,24 @@ def crawl(
     candidates = None
     pool = ThreadPoolExecutor(max_workers=7)
 
+    # Hybrid small-wave fast path state (operators/local_wave.py). Exactness
+    # gate: the driver path runs only while `driver_seen` holds the EXACT
+    # (run_id, url_key) set — fresh crawls start with it (bootstrap is
+    # driver-side); it is None (permanently) once any wave would push it past
+    # driver_seen_cap, and never exists on resume (rebuild would cost the
+    # Spark job the path is meant to avoid). Deferral and frontier_cap keep
+    # the pure-Spark loop — their semantics live in the Spark operators.
+    hybrid_ok = (
+        driver_wave_rows > 0
+        and frontier_cap is None
+        and all(q is None for q in quotas.values())
+    )
+    driver_seen: set | None = boot_seen if hybrid_ok else None
+    driver_frontier: list | None = boot_frontier if hybrid_ok else None
+    driver_seen_n = len(driver_seen) if driver_seen is not None else 0
+    driver_seen_futs: list = []
+    driver_frontier_fut = None
+
     def _drain_pending() -> int:
         """Join the pending iteration's futures, write its metrics, commit
         its manifest. Returns its deferred count (always 0 when pipelined)."""
@@ -332,6 +372,87 @@ def crawl(
 
     try:
         while frontier_rows > 0 and iteration < max_iterations:
+            if driver_frontier is None and driver_frontier_fut is not None:
+                driver_frontier = driver_frontier_fut.result() if driver_seen is not None else None
+                driver_frontier_fut = None
+            if (
+                driver_seen is not None
+                and driver_frontier is not None
+                and len(driver_frontier) <= driver_wave_rows
+            ):
+                # -- driver-local iteration (operators/local_wave.py) --
+                # one Spark job total: the pushed-down url IN (...) page
+                # fetch; extraction/dedup/ordering run in-process against the
+                # exact driver seen set, state lands via pyarrow writes.
+                iteration += 1
+                t0 = time.monotonic()
+                _drain_pending()  # manifest commits must stay ordered
+                for f in driver_seen_futs:
+                    driver_seen.update(f.result())
+                driver_seen_futs = []
+                urls = sorted({r[2] for r in driver_frontier if r[4]})
+                by_url: dict = {}
+                if urls:
+                    for r in pages_n.filter(F.col("url").isin(urls)).collect():
+                        by_url.setdefault(r["url"], []).append(
+                            (r["html"], r["content_type"])
+                        )
+                page_rows = [
+                    (r[0], r[1], r[2], html, ct)
+                    for r in driver_frontier
+                    if r[4]
+                    for html, ct in by_url.get(r[2], ())
+                ]
+                prev_rank_hi = dict(rank_offsets)
+                out = process_wave(
+                    page_rows, driver_seen, iteration, seq_offsets,
+                    rank_offsets, cfgs, seeds_map, robots_rules, SEEN_BUCKETS,
+                )
+                seq_offsets, rank_offsets = out["seq_offsets"], out["rank_offsets"]
+                driver_seen_n = len(driver_seen)
+                if driver_seen_n > driver_seen_cap:
+                    # a small frontier can still fan out past the cap; the set
+                    # was exact through this wave (state already durable), so
+                    # hand off to pure Spark permanently
+                    driver_seen = None
+                state.write_local("results", iteration, out["results"], RESULTS_SCHEMA)
+                state.write_local("frontier", iteration, out["frontier"], FRONTIER_SCHEMA)
+                state.write_local("seen", iteration, out["seen"], SEEN_SCHEMA)
+                seen_total += out["wave_rows"]
+                if frontier_rows > 0 and out["cand_rows"] > 0:
+                    avg_links = max(1.0, out["cand_rows"] / frontier_rows)
+                state.write_local(
+                    "metrics",
+                    iteration,
+                    [
+                        (iteration, "lineage_partition_candidates", "-1", out["cand_total"]),
+                        (iteration, "candidates", "", out["cand_total"]),
+                        (iteration, "deferred", "", 0),
+                        (iteration, "frontier_in", "", frontier_rows),
+                        (iteration, "emitted", "", out["emit_n"]),
+                        (iteration, "enqueued", "", out["enq_n"]),
+                        (iteration, "dropped_overflow", "", 0),
+                        (iteration, "driver_path", "", 1),
+                        (iteration, "wall_ms", "", int((time.monotonic() - t0) * 1000)),
+                    ],
+                    METRICS_SCHEMA,
+                )
+                state.commit(
+                    iteration, rank_offsets, seq_offsets, done=out["enq_n"] == 0
+                )
+                rank_lo = prev_rank_hi
+                frontier_rows_in = frontier_rows
+                driver_frontier = out["frontier"]
+                frontier_rows = out["enq_n"]
+                carry_frontier = None
+                if debug_timing:
+                    print(
+                        f"[iter {iteration}] frontier_in={frontier_rows_in}"
+                        f" driver_path total={time.monotonic() - t0:.2f}s",
+                        flush=True,
+                    )
+                continue
+            driver_frontier = None  # consumed: the Spark path re-collects a small tail
             iteration += 1
             t0 = time.monotonic()
             # reuse the in-memory (checkpoint-backed) next-frontier plan instead
@@ -639,6 +760,29 @@ def crawl(
                 pending["done"] = frontier_rows == 0
                 carry_seen_delta = seen_df
                 carry_seen_rows = wave_rows
+            if driver_seen is not None:
+                # hybrid merge-back: fold this Spark wave's keys into the
+                # driver seen set (async — seen_df re-reads checkpoint
+                # blocks) while it stays under the cap; overflowing waves
+                # disable the driver path for the rest of the crawl
+                if driver_seen_n + wave_rows > driver_seen_cap:
+                    driver_seen = None
+                    driver_seen_futs = []
+                    driver_frontier_fut = None
+                else:
+                    driver_seen_n += wave_rows
+                    driver_seen_futs.append(
+                        pool.submit(
+                            lambda df=seen_df: {
+                                (r[0], r[1])
+                                for r in df.select("run_id", "url_key").collect()
+                            }
+                        )
+                    )
+                    if 0 < frontier_rows <= driver_wave_rows and deferred_n == 0:
+                        driver_frontier_fut = pool.submit(
+                            lambda df=next_frontier: [tuple(r) for r in df.collect()]
+                        )
             if debug_timing:
                 print(
                     f"[iter {iteration}] frontier_in={frontier_rows_in}"
@@ -729,4 +873,9 @@ def _bootstrap(spark, state: CrawlState, pages_n, runs):
         "metrics", 0, [(0, "bootstrap_frontier", "", len(frontier_rows))], METRICS_SCHEMA
     )
     state.commit(0, rank_offsets, seq_offsets, done=len(frontier_rows) == 0, bloom_upto=0)
-    return rank_offsets, seq_offsets, len(frontier_rows)
+    return (
+        rank_offsets,
+        seq_offsets,
+        frontier_rows,
+        {(run_id, key) for run_id, key, _ in seen_rows},
+    )

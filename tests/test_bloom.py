@@ -25,7 +25,7 @@ def test_seed_rediscovery_not_reemitted(spark):
     }
     cfg = CrawlConfig(depth=-1, no_head=True)
     want = interp.crawl(pages, seed, cfg)
-    report = spark_crawl(spark, pages_to_df(spark, pages), seed, cfg, bloom_prefilter=True, bloom_min_seen=0)
+    report = spark_crawl(spark, pages_to_df(spark, pages), seed, cfg, bloom_prefilter=True, bloom_min_seen=0, driver_wave_rows=0)
     assert report.result_urls("run0") == want.results
     assert seed not in report.result_urls("run0")
     report.state.cleanup()
@@ -35,8 +35,8 @@ def test_bloom_on_off_identical(spark):
     pages = synth_site()
     cfg = CrawlConfig(depth=-1, no_head=True, scan_js=True)
     df = pages_to_df(spark, pages)
-    on = spark_crawl(spark, df, "http://h0.example", cfg, bloom_prefilter=True, bloom_min_seen=0)
-    off = spark_crawl(spark, df, "http://h0.example", cfg, bloom_prefilter=False)
+    on = spark_crawl(spark, df, "http://h0.example", cfg, bloom_prefilter=True, bloom_min_seen=0, driver_wave_rows=0)
+    off = spark_crawl(spark, df, "http://h0.example", cfg, bloom_prefilter=False, driver_wave_rows=0)
     assert on.result_urls("run0") == off.result_urls("run0")
     seen_on = {r["url_key"] for r in on.seen("run0").collect()}
     seen_off = {r["url_key"] for r in off.seen("run0").collect()}
@@ -58,7 +58,7 @@ def test_bloom_resume_covers_prior_iterations(spark, tmp_path):
     want = interp.crawl(pages, "http://h0.example", cfg)
     ck = str(tmp_path / "ck")
     spark_crawl(spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-                checkpoint_dir=ck, max_iterations=2, bloom_min_seen=0)
+                checkpoint_dir=ck, max_iterations=2, bloom_min_seen=0, driver_wave_rows=0)
     resumed = spark_crawl(spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-                          checkpoint_dir=ck, resume=True, bloom_min_seen=0)
+                          checkpoint_dir=ck, resume=True, bloom_min_seen=0, driver_wave_rows=0)
     assert resumed.result_urls("run0") == want.results

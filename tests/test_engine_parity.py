@@ -17,6 +17,9 @@ from .scenarios import SCENARIOS
 
 
 def run_both(spark, pages, seed, cfg, **kw):
+    # pin the pure-Spark path: these tests validate the distributed
+    # machinery; the hybrid driver path has its own suite (test_driver_wave)
+    kw.setdefault("driver_wave_rows", 0)
     want = interp.crawl(pages, seed, cfg)
     report = spark_crawl(spark, pages_to_df(spark, pages), seed, cfg, **kw)
     got_results = report.result_urls("run0")
@@ -80,7 +83,7 @@ def test_multi_run(spark):
     pages = synth_site()
     seeds = {"a": "http://h0.example", "b": "http://h1.example/p3"}
     cfg = CrawlConfig(depth=2, no_head=True)
-    report = spark_crawl(spark, pages_to_df(spark, pages), seeds, cfg)
+    report = spark_crawl(spark, pages_to_df(spark, pages), seeds, cfg, driver_wave_rows=0)
     for run_id, seed in seeds.items():
         want = interp.crawl(pages, seed, cfg)
         assert report.result_urls(run_id) == want.results, run_id
@@ -118,12 +121,12 @@ def test_resume_mid_crawl(spark, tmp_path):
     ck = str(tmp_path / "ck")
     partial = spark_crawl(
         spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-        checkpoint_dir=ck, max_iterations=2,
+        checkpoint_dir=ck, max_iterations=2, driver_wave_rows=0,
     )
     assert partial.iterations == 2
     resumed = spark_crawl(
         spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-        checkpoint_dir=ck, resume=True,
+        checkpoint_dir=ck, resume=True, driver_wave_rows=0,
     )
     assert resumed.result_urls("run0") == want.results
     got_seen = {r["url_key"]: r["url"] for r in resumed.seen("run0").collect()}
@@ -162,7 +165,7 @@ def test_seen_partitioned_layout_and_compaction(spark, tmp_path):
     ck = str(tmp_path / "ck")
     report = spark_crawl(
         spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-        checkpoint_dir=ck, compact_every=2,
+        checkpoint_dir=ck, compact_every=2, driver_wave_rows=0,
     )
     assert report.iterations >= 3, "site too small to exercise compaction"
     # compaction committed + bucket-partitioned snapshot exists
@@ -212,7 +215,7 @@ def test_resume_after_simulated_crash(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(CrawlState, "commit", commit_drops_tail)
     crashed = spark_crawl(
         spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-        checkpoint_dir=ck,
+        checkpoint_dir=ck, driver_wave_rows=0,
     )
     assert crashed.iterations >= 3, "site too small to leave uncommitted dirs"
     monkeypatch.setattr(CrawlState, "commit", real_commit)
@@ -221,7 +224,7 @@ def test_resume_after_simulated_crash(spark, tmp_path, monkeypatch):
     assert state.load_manifest() and state.manifest["iteration"] == 1
     resumed = spark_crawl(
         spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-        checkpoint_dir=ck, resume=True,
+        checkpoint_dir=ck, resume=True, driver_wave_rows=0,
     )
     assert resumed.result_urls("run0") == want.results
     got_seen = {r["url_key"]: r["url"] for r in resumed.seen("run0").collect()}
@@ -237,12 +240,12 @@ def test_resume_after_compaction(spark, tmp_path):
     ck = str(tmp_path / "ck")
     partial = spark_crawl(
         spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-        checkpoint_dir=ck, max_iterations=4, compact_every=2,
+        checkpoint_dir=ck, max_iterations=4, compact_every=2, driver_wave_rows=0,
     )
     assert partial.state.manifest["seen_compact"] >= 0
     resumed = spark_crawl(
         spark, pages_to_df(spark, pages), "http://h0.example", cfg,
-        checkpoint_dir=ck, resume=True, compact_every=2,
+        checkpoint_dir=ck, resume=True, compact_every=2, driver_wave_rows=0,
     )
     assert resumed.result_urls("run0") == want.results
     got_seen = {r["url_key"]: r["url"] for r in resumed.seen("run0").collect()}
@@ -279,7 +282,7 @@ def test_exception_mid_crawl_releases_pool_and_cache(spark, monkeypatch):
     pages = synth_site()
     cfg = CrawlConfig(depth=-1, no_head=True)
     with pytest.raises(RuntimeError, match="injected write failure"):
-        spark_crawl(spark, pages_to_df(spark, pages), "http://h0.example", cfg)
+        spark_crawl(spark, pages_to_df(spark, pages), "http://h0.example", cfg, driver_wave_rows=0)
     assert pools, "engine did not construct its pool through the patched class"
     assert all(p._shutdown for p in pools), "thread pool leaked on exception"
     # the persisted candidate wave was released (cancel path unpersists)

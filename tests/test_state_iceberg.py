@@ -150,10 +150,10 @@ def test_iceberg_end_to_end_crawl_and_resume(spark, tmp_path, monkeypatch):
     cfg = CrawlConfig(depth=-1, no_head=True)
     want = interp.crawl(pages, "http://h0.example", cfg)
     ck = str(tmp_path / "ck")
-    report = spark_crawl(spark, pages_to_df(spark, pages), "http://h0.example", cfg, checkpoint_dir=ck)
+    report = spark_crawl(spark, pages_to_df(spark, pages), "http://h0.example", cfg, checkpoint_dir=ck, driver_wave_rows=0)
     assert report.result_urls("run0") == want.results
     # resume from the committed manifest over the Iceberg tables
     resumed = spark_crawl(
-        spark, pages_to_df(spark, pages), "http://h0.example", cfg, checkpoint_dir=ck, resume=True
+        spark, pages_to_df(spark, pages), "http://h0.example", cfg, checkpoint_dir=ck, resume=True, driver_wave_rows=0
     )
     assert resumed.result_urls("run0") == want.results

@@ -69,6 +69,7 @@ def main():
         CrawlConfig(depth=-1, no_head=True),
         bloom_min_seen=args.bloom_min_seen,
         compact_every=args.compact_every,
+        driver_wave_rows=0,  # this harness measures the Spark seen path
     )
     m = {}
     for r in report.metrics().collect():
