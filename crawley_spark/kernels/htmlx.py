@@ -121,6 +121,15 @@ _RELEVANT_TAGS = frozenset(
 from html import unescape as _unescape  # noqa: E402
 from html import parser as _hp  # noqa: E402
 
+import re as _re  # noqa: E402
+
+# Fast-path token search: '<' plus '&#'. Plain entity refs ('&amp;') cannot
+# consume a following '<' (the optional final char is backed off when it is
+# not ';'), but numeric charrefs CAN — charref's trailing [^0-9a-fA-F]* may
+# swallow '<tag ...' wholesale — so '&#' must stay interesting even when the
+# js/css flags are clear and text events are otherwise unobservable.
+_FAST_INTERESTING = _re.compile(r"<|&#")
+
 
 class _Tokenizer(HTMLParser):
     """Bridges html.parser events to the reference's token switch
@@ -145,6 +154,147 @@ class _Tokenizer(HTMLParser):
 
     def updatepos(self, i, j):
         return j
+
+    def goahead(self, end):
+        """Specialized copy of html.parser.HTMLParser.goahead (3.11, with
+        convert_charrefs=False branches removed). Control flow — branch
+        order, break/continue placement, position arithmetic — is verbatim,
+        so token boundaries match the stock event loop exactly; the only
+        transformations are:
+
+        * text-ish handler calls (handle_data/charref/entityref) and their
+          argument slices are skipped while ``is_js``/``is_css`` are both
+          clear — the handlers' sole observable effect is resetting those
+          flags, so with the flags clear they are no-ops and the O(text)
+          ``rawdata[i:j]`` copies can be elided;
+        * with the flags clear (and outside CDATA) the token search uses
+          ``<|&#`` instead of ``[&<]`` (see _FAST_INTERESTING) — plain
+          entityref advancement never changes which '<' is reached next;
+        * tag-open dispatch compares ``rawdata[i+1]`` directly instead of
+          running the startswith chain.
+
+        Equivalence with the stock loop is pinned by the differential
+        fixture+fuzz suite in tests/test_htmlfast_diff.py."""
+        rawdata = self.rawdata
+        i = 0
+        n = len(rawdata)
+        while i < n:
+            flagged = self.is_js or self.is_css
+            if self.cdata_elem:
+                match = self.interesting.search(rawdata, i)
+                if not match:
+                    break
+                j = match.start()
+                if i < j and flagged:
+                    self.handle_data(rawdata[i:j])
+            elif flagged:
+                match = _hp.interesting_normal.search(rawdata, i)
+                j = match.start() if match else n
+                if i < j:
+                    self.handle_data(rawdata[i:j])
+            else:
+                match = _FAST_INTERESTING.search(rawdata, i)
+                j = match.start() if match else n
+                # data event suppressed: handlers are no-ops with flags clear
+            i = j
+            if i == n:
+                break
+            c = rawdata[i + 1] if i + 1 < n else ""
+            if rawdata[i] == "<":
+                if "a" <= c <= "z" or "A" <= c <= "Z":
+                    k = self.parse_starttag(i)
+                elif c == "/":
+                    k = self.parse_endtag(i)
+                elif c == "!":
+                    if rawdata.startswith("<!--", i):
+                        k = self.parse_comment(i)
+                    else:
+                        k = self.parse_html_declaration(i)
+                elif c == "?":
+                    k = self.parse_pi(i)
+                elif c:
+                    if self.is_js or self.is_css:
+                        self.handle_data("<")
+                    k = i + 1
+                else:
+                    break
+                if k < 0:
+                    if not end:
+                        break
+                    k = rawdata.find(">", i + 1)
+                    if k < 0:
+                        k = rawdata.find("<", i + 1)
+                        if k < 0:
+                            k = i + 1
+                    else:
+                        k += 1
+                    if self.is_js or self.is_css:
+                        self.handle_data(rawdata[i:k])
+                i = k
+            elif c == "#":  # rawdata[i] == '&'
+                match = _hp.charref.match(rawdata, i)
+                if match:
+                    if self.is_js or self.is_css:
+                        self.handle_charref(match.group()[2:-1])
+                    k = match.end()
+                    if not rawdata.startswith(";", k - 1):
+                        k = k - 1
+                    i = k
+                    continue
+                else:
+                    if ";" in rawdata[i:]:
+                        if self.is_js or self.is_css:
+                            self.handle_data(rawdata[i : i + 2])
+                        i = i + 2
+                    break
+            else:  # rawdata[i] == '&' (reachable only when flagged)
+                match = _hp.entityref.match(rawdata, i)
+                if match:
+                    self.handle_entityref(match.group(1))
+                    k = match.end()
+                    if not rawdata.startswith(";", k - 1):
+                        k = k - 1
+                    i = k
+                    continue
+                match = _hp.incomplete.match(rawdata, i)
+                if match:
+                    if end and match.group() == rawdata[i:]:
+                        k = match.end()
+                        if k <= i:
+                            k = n
+                        i = i + 1
+                    break
+                elif (i + 1) < n:
+                    self.handle_data("&")
+                    i = i + 1
+                else:
+                    break
+        # end while
+        if end and i < n and not self.cdata_elem:
+            if self.is_js or self.is_css:
+                self.handle_data(rawdata[i:n])
+            i = n
+        self.rawdata = rawdata[i:]
+
+    def parse_endtag(self, i):
+        """Lean non-CDATA end-tag scan: our handlers ignore end tags, so all
+        that matters is position advancement (first '>' + 1 on every
+        name-ish path of the stock parse_endtag) and the bogus-comment event
+        (`</ x>` → handle_comment, observable in brute mode). The CDATA path
+        keeps the stock implementation — it controls raw-text exit and may
+        emit data events."""
+        if self.cdata_elem is not None:
+            return super().parse_endtag(i)
+        rawdata = self.rawdata
+        gt = rawdata.find(">", i + 1)
+        if gt < 0:
+            return -1
+        if _hp.tagfind_tolerant.match(rawdata, i + 2):
+            return gt + 1
+        if rawdata.startswith("</>", i):
+            return i + 3
+        self.handle_comment(rawdata[i + 2 : gt])
+        return gt + 1
 
     def parse_starttag(self, i):
         # specialized copy of html.parser.HTMLParser.parse_starttag
