@@ -158,22 +158,43 @@ def with_bucket_salt(df: DataFrame, key_cols: list, id_col: str, bucket_cap: int
     standard web-dedup treatment). ``lsh_oversized_buckets`` reports what
     was truncated.
 
-    Plan shape: the count comes from an unordered window over ``key_cols``
-    — WindowExec buffers one bucket at a time with disk spill (safe for the
-    degenerate bucket, unlike a ``collect_list`` agg buffer), and its hash
-    exchange on ``key_cols`` already satisfies the downstream
-    ``key_cols + [salt]`` clustering, so the guard adds zero extra
-    shuffles."""
-    from pyspark.sql import Window
+    Plan shape: the oversized-bucket set comes from a ``groupBy(key_cols)``
+    count — map-side partial aggregation collapses it to one row per
+    distinct bucket per map partition, so the exchanged bytes are the
+    distinct-bucket count, not the corpus. It is filtered to ``bn >
+    bucket_cap`` (on honest corpora: empty or a handful of template
+    buckets) and rides back as a **broadcast left join**; non-degenerate
+    rows fall through with ``salt = 0`` and keep their downstream
+    single-shuffle shape untouched. (An earlier shape computed ``bn`` with
+    an unordered window sharing the downstream exchange; WindowExec's
+    mandatory partition-key sort of every banded row — signatures included
+    — cost ~1.7 s at sf0.1 and scaled n·log n. The count-join shape sorts
+    nothing.)
 
-    wb = Window.partitionBy(*key_cols)
-    return df.withColumn("bn", F.count("*").over(wb)).withColumn(
-        "salt",
-        F.when(F.col("bn") <= bucket_cap, F.lit(0)).otherwise(
-            F.pmod(
-                F.xxhash64(F.col(id_col)), F.ceil(F.col("bn") / F.lit(bucket_cap)).cast("long")
-            ).cast("int")
-        ),
+    ``df`` is traversed by BOTH branches; callers that feed it from an
+    expensive stage (the Arrow signature UDFs) should cut that stage once
+    with ``localCheckpoint(eager=False)`` *before* any row-multiplying
+    explode — see :func:`near_duplicates_minhash` — so the count pass reads
+    materialized blocks instead of re-running Python. ``bn`` is exact for
+    oversized buckets and 0 otherwise — downstream only salts on it, it is
+    not a general membership count."""
+    over = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > bucket_cap)
+    )
+    return (
+        df.join(F.broadcast(over), on=key_cols, how="left")
+        .withColumn("bn", F.coalesce(F.col("bn"), F.lit(0).cast("long")))
+        .withColumn(
+            "salt",
+            F.when(F.col("bn") <= bucket_cap, F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("bn") / F.lit(bucket_cap)).cast("long"),
+                ).cast("int")
+            ),
+        )
     )
 
 
@@ -222,10 +243,19 @@ def near_duplicates_minhash(
     buffer and the in-bucket O(b²) explode stay bounded by ``bucket_cap``
     per cell; pairs crossing salt cells within such a bucket are dropped
     (documented truncation — see :func:`lsh_oversized_buckets` for the
-    metric). The window count underlying the guard reuses the same hash
-    exchange the groupBy needs, so the non-degenerate path keeps its
-    single-shuffle shape."""
-    sigs = minhash_signatures(df, text_col, id_col, shingle, seed)
+    metric).
+
+    The signature stage (the only Python stage, and at corpus scale the
+    dominant CPU) is cut with ``localCheckpoint(eager=False)`` *before* the
+    16× band explode: the guard's bucket-count pass and the pair stream
+    both read the materialized one-row-per-doc signature blocks — Spark
+    will not dedupe the two subtrees itself (self-join deduplication gives
+    each branch its own expression IDs) and without the cut the Arrow UDF
+    would run twice. Banding is a pure-JVM explode, cheap to evaluate per
+    branch. (On a multi-node cluster localCheckpoint trades lineage for
+    locality — executor loss forces a job restart; swap for
+    ``persist(MEMORY_AND_DISK)`` + explicit unpersist where that matters.)"""
+    sigs = minhash_signatures(df, text_col, id_col, shingle, seed).localCheckpoint(eager=False)
     banded = with_bucket_salt(_band_buckets(sigs, id_col), ["band", "bucket"], id_col, bucket_cap)
     grouped = (
         banded.groupBy("band", "bucket", "salt")
@@ -236,23 +266,24 @@ def near_duplicates_minhash(
         )
         .filter(F.size("ms") > 1)
     )
+    est = (
+        F.size(
+            F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(MINHASH_PERMS)
+    ).alias("est_jaccard")
+    # Score and threshold BEFORE the cross-band dedup: the duplicate-pair
+    # shuffle then carries (long, long, double) instead of two 64-long
+    # signature arrays (~1 KB/pair), and sub-threshold pairs never shuffle.
     pairs = (
         grouped.select(F.explode("ms").alias("a"), F.col("ms"))
         .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), est)
+        .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(MINHASH_PERMS)
-    ).alias("est_jaccard")
-    return pairs.select("doc_a", "doc_b", est).filter(F.col("est_jaccard") >= threshold)
+    return pairs
 
 
 def md5_low60(col) -> "F.Column":
@@ -341,8 +372,14 @@ def near_duplicates_embedding(
             _dot(F.col("a.u"), F.col("b.u")).alias("cos_sim"),
         )
     elif method == "lsh":
+        # Cut the matmul signature stage once (see near_duplicates_minhash):
+        # the salt guard's count pass, and BOTH sides of the self-join below,
+        # traverse this subtree — without the checkpoint the Arrow stage
+        # would run up to 3×.
         bk = with_bucket_salt(
-            lsh_bucketize(df, id_col, vec_col, n_planes, n_tables, 0, seed),
+            lsh_bucketize(df, id_col, vec_col, n_planes, n_tables, 0, seed).localCheckpoint(
+                eager=False
+            ),
             ["table", "bucket"],
             "id",
             bucket_cap,
