@@ -604,6 +604,153 @@ def _q_text_invariant(spark, sf_dir):
     )
 
 
+# -- Structured Streaming surface (crawley_spark/streaming) --
+#
+# Each query runs a BOUNDED stream (availableNow over a two-file drop
+# directory) to completion and returns the materialized result, so the
+# incremental operators get the same hard oracle signal as the batch ones.
+# The drop files are mtime-ordered (the file source processes them in mtime
+# order with maxFilesPerTrigger=1), which makes cross-batch state
+# (discovery seen-set, politeness slots) deterministic.
+
+_MEM_SINK_SEQ = iter(range(10**6))
+
+
+def _stream_corpus_dir(spark, sf_dir):
+    """corpus_from_documents materialized as two mtime-ordered parquet drop
+    files (roots + low docs, then high docs). Driver-side materialization is
+    bounded: this runs at the correctness sf (500 docs); in production the
+    drop directory is written by the fetch tier, not collected."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawley_spark.corpus import corpus_from_documents
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    rows = corpus_from_documents(docs).collect()
+
+    def pid(url):
+        return int(url.rsplit("/d", 1)[1]) if "/d" in url else -1
+
+    d = tempfile.mkdtemp(prefix="crawley_stream_drop_")
+    halves = [
+        [r for r in rows if pid(r["url"]) < n // 2],
+        [r for r in rows if pid(r["url"]) >= n // 2],
+    ]
+    for i, sel in enumerate(halves):
+        t = pa.table(
+            {
+                "url": [r["url"] for r in sel],
+                "warc_ts": [r["warc_ts"] for r in sel],
+                "html": [bytes(r["html"]) for r in sel],
+                "text": [r["text"] for r in sel],
+                "lang": [r["lang"] for r in sel],
+            }
+        )
+        f = os.path.join(d, f"chunk-{i:05d}.parquet")
+        pq.write_table(t, f)
+        os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+    return d, n
+
+
+def _run_memory_sink(df, output_mode: str):
+    name = f"q_stream_sink_{next(_MEM_SINK_SEQ)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+_DOCNUM = r"try_cast(regexp_extract(url, '/d(\\d+)$', 1) as long)"
+
+
+def _q_stream_discovery(spark, sf_dir):
+    """Incremental URL discovery over a two-batch page stream
+    (streaming/ingest.run_discovery): per-batch extraction →
+    first-occurrence dedup → anti-join vs the accumulated seen store. The
+    corpus link structure is pure arithmetic (corpus.py:105-159), so the
+    final per-host distinct-URL counts are SQL-derivable."""
+    import os
+    import tempfile
+
+    from crawley_spark.config import CrawlConfig
+    from crawley_spark.streaming import run_discovery, stream_pages
+
+    d, _ = _stream_corpus_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="crawley_stream_disc_")
+    q = run_discovery(
+        stream_pages(spark, d, max_files_per_trigger=1),
+        out,
+        CrawlConfig(depth=-1, no_head=True),
+        "http://h0.test",
+    )
+    q.awaitTermination()
+    disc = spark.read.parquet(os.path.join(out, "discovered"))
+    return (
+        disc.groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+        .select("host", "n_urls")
+    )
+
+
+def _q_stream_politeness(spark, sf_dir):
+    """Stateful per-host politeness pacing (streaming/ingest.pace_fetches,
+    applyInPandasWithState): slots must continue across micro-batches with
+    no gaps or duplicates. With rank = the page's doc number (roots -1) and
+    rank-ordered drop files, every row's slot is exactly its global
+    per-host rank order — an exact per-row oracle, not just an invariant."""
+    from crawley_spark.streaming import pace_fetches, stream_pages
+
+    d, _ = _stream_corpus_dir(spark, sf_dir)
+    rank = F.coalesce(F.expr(_DOCNUM), F.lit(-1))
+    paced = pace_fetches(
+        stream_pages(spark, d, max_files_per_trigger=1), delay_ms=250, rank_col=rank
+    )
+    out = _run_memory_sink(paced, "append")
+    return out.select(
+        "host",
+        "url",
+        F.col("slot").cast("bigint").alias("slot"),
+        F.col("fetch_after_ms").cast("bigint").alias("fetch_after_ms"),
+    )
+
+
+def _q_stream_metrics(spark, sf_dir):
+    """Watermarked tumbling-window per-host page counts
+    (streaming/ingest.host_window_metrics) with a synthetic event time
+    (corpus warc_ts is constant): ts = 2026-01-01 + 7s per doc. Complete
+    output mode flushes every window on the bounded stream."""
+    from crawley_spark.streaming import host_window_metrics, stream_pages
+
+    d, _ = _stream_corpus_dir(spark, sf_dir)
+    pages = (
+        stream_pages(spark, d)
+        .filter(F.col("url").rlike(r"/d\d+$"))
+        .withColumn(
+            "warc_ts",
+            F.timestamp_seconds(
+                F.to_unix_timestamp(F.lit("2026-01-01 00:00:00")) + F.expr(_DOCNUM) * 7
+            ),
+        )
+    )
+    m = host_window_metrics(pages)
+    out = _run_memory_sink(m, "complete")
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "host",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -638,6 +785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "text_invariant": _q_text_invariant,
+        "stream_discovery": _q_stream_discovery,
+        "stream_politeness": _q_stream_politeness,
+        "stream_metrics": _q_stream_metrics,
     }
 
 
@@ -954,5 +1104,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_queries,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_twin_found,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_twin_rank1
+        """,
+        # streaming discovery: the corpus link structure is arithmetic
+        # (corpus.py:105-159 — root h links docs h+7k, k<8; doc d links
+        # (d+k²) mod n, k=1..6), so the distinct discovered URLs per host
+        # are fully derivable; incremental extraction + cross-batch seen
+        # dedup must land exactly on this closed form
+        "stream_discovery": """
+        WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        hosts(h) AS (SELECT unnest(range(0, 7))),
+        rks(k) AS (SELECT unnest(range(0, 8))),
+        ks(k) AS (SELECT unnest(range(1, 7))),
+        root_links AS (
+            SELECT h.h + 7 * rks.k AS doc FROM hosts h, rks, n
+            WHERE h.h + 7 * rks.k < n.n
+        ),
+        doc_links AS (
+            SELECT (d.doc_id + ks.k * ks.k) % n.n AS doc FROM documents d, ks, n
+        ),
+        tgt AS (
+            SELECT DISTINCT doc FROM (
+                SELECT doc FROM root_links UNION ALL SELECT doc FROM doc_links
+            )
+        )
+        SELECT 'h' || CAST(doc % 7 AS VARCHAR) || '.test' AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM tgt GROUP BY 1
+        """,
+        # streaming politeness: with rank = doc number (roots -1) and
+        # rank-ordered drop files, each row's slot is its global per-host
+        # rank position — exact per-row schedule, state carried across
+        # micro-batches
+        "stream_politeness": """
+        WITH paced AS (
+            SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+                   'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test/d'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS slot
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST(h AS VARCHAR) || '.test',
+                   'http://h' || CAST(h AS VARCHAR) || '.test', 0
+            FROM (SELECT unnest(range(0, 7)) AS h)
+        )
+        SELECT host, url, CAST(slot AS BIGINT) AS slot,
+               CAST(slot * 250 AS BIGINT) AS fetch_after_ms
+        FROM paced
+        """,
+        # streaming windowed metrics: event time = 2026-01-01 + 7s per doc,
+        # 60 s tumbling windows (epoch-aligned on both engines)
+        "stream_metrics": """
+        SELECT strftime(TIMESTAMP '2026-01-01 00:00:00'
+                        + INTERVAL (((doc_id * 7) // 60) * 60) SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages
+        FROM documents
+        GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,227 @@
+"""Structured Streaming surface (crawley_spark/streaming/ingest.py).
+
+Every test runs bounded streams (``availableNow`` over a file-source
+directory) so results are deterministic, and checks the streaming result
+against the equivalent batch pipeline on the same bytes — the streaming
+operators must be the *incremental twins* of the batch ones, not a second
+implementation with its own semantics.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawley_spark.config import CrawlConfig
+from crawley_spark.corpus import synth_corpus
+from crawley_spark.streaming import (
+    extract_links_stream,
+    host_window_metrics,
+    pace_fetches,
+    run_discovery,
+    stream_pages,
+)
+
+CFG = CrawlConfig(depth=-1, no_head=True)
+SEED = "http://h0.test"
+
+
+def _write_corpus_files(spark, tmp_path, n_pages=40, n_hosts=3, splits=((0, 20), (20, 40))):
+    """Materialize a deterministic corpus into per-range parquet files with
+    strictly increasing mtimes (the file source orders batches by mtime)."""
+    corpus = synth_corpus(spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=4).cache()
+    d = str(tmp_path / "pages")
+    os.makedirs(d, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = corpus.collect()
+    by_url = {r["url"]: r for r in rows}
+
+    def pid_of(url):
+        # page ids: roots are http://h{h}.test (pid = h); others end /p{pid}
+        if "/p" in url:
+            return int(url.rsplit("/p", 1)[1])
+        return int(url.split("http://h", 1)[1].split(".", 1)[0])
+
+    files = []
+    for i, (lo, hi) in enumerate(splits):
+        sel = [r for r in rows if lo <= pid_of(r["url"]) < hi]
+        t = pa.table(
+            {
+                "url": [r["url"] for r in sel],
+                "warc_ts": [r["warc_ts"] for r in sel],
+                "html": [bytes(r["html"]) for r in sel],
+                "text": [r["text"] for r in sel],
+                "lang": [r["lang"] for r in sel],
+            }
+        )
+        f = os.path.join(d, f"chunk-{i:05d}.parquet")
+        pq.write_table(t, f)
+        os.utime(f, (1000000000 + i * 100, 1000000000 + i * 100))
+        files.append(f)
+    corpus.unpersist()
+    return d, by_url
+
+
+def _rank_from_url():
+    """Canonical per-page rank: the corpus page number (roots rank with
+    their host index, which is their page id)."""
+    return F.coalesce(
+        F.expr(r"try_cast(regexp_extract(url, '/p(\\d+)$', 1) as long)"),
+        F.expr(r"try_cast(regexp_extract(url, '^http://h(\\d+)\\.test$', 1) as long)"),
+    )
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    d, _ = _write_corpus_files(spark, tmp_path)
+    batch = spark.read.parquet(d)
+    want = {
+        (r["uri"], r["url_key"], r["emit_ok"], r["enqueue_ok"])
+        for r in extract_links_stream(batch, CFG, SEED).collect()
+    }
+    q = (
+        extract_links_stream(stream_pages(spark, d), CFG, SEED)
+        .writeStream.format("memory")
+        .queryName("xstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["uri"], r["url_key"], r["emit_ok"], r["enqueue_ok"])
+        for r in spark.table("xstream").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_discovery_incremental_and_idempotent(spark, tmp_path):
+    """Two sequential drops; cross-batch seen state suppresses re-discovery,
+    and the final discovered set equals the batch pipeline on all bytes."""
+    from crawley_spark.operators.seen import first_occurrence
+
+    d, _ = _write_corpus_files(spark, tmp_path)
+    out = str(tmp_path / "disc")
+    # stream 1: only the first file exists yet
+    only_first = str(tmp_path / "drop")
+    os.makedirs(only_first)
+    import shutil
+
+    shutil.copy(os.path.join(d, "chunk-00000.parquet"), only_first)
+    q = run_discovery(stream_pages(spark, only_first), out, CFG, SEED)
+    q.awaitTermination(120)
+    disc1 = spark.read.parquet(os.path.join(out, "discovered")).collect()
+    assert len(disc1) > 0
+    # drop the second file, resume from the same checkpoint
+    shutil.copy(os.path.join(d, "chunk-00001.parquet"), only_first)
+    q = run_discovery(stream_pages(spark, only_first), out, CFG, SEED)
+    q.awaitTermination(120)
+    disc = spark.read.parquet(os.path.join(out, "discovered")).collect()
+
+    keys = [r["url_key"] for r in disc]
+    assert len(keys) == len(set(keys)), "a URL was discovered twice across batches"
+    batch_cand = extract_links_stream(spark.read.parquet(d), CFG, SEED)
+    want = {
+        r["url_key"] for r in first_occurrence(batch_cand.filter(F.col("emit_ok"))).collect()
+    }
+    assert set(keys) == want
+    # batch 2 discovered strictly new URLs only
+    b1 = {r["url_key"] for r in disc1}
+    b2 = {r["url_key"] for r in disc if r["batch_id"] > max(x["batch_id"] for x in disc1)}
+    assert b1.isdisjoint(b2)
+
+
+def test_pace_fetches_state_continues_across_batches(spark, tmp_path):
+    """Per-host slots keep counting across micro-batches (state store), no
+    gaps, no duplicates; schedule = slot * delay."""
+    d, _ = _write_corpus_files(spark, tmp_path)
+    delay = 250
+    q = (
+        pace_fetches(
+            stream_pages(spark, d, max_files_per_trigger=1),
+            delay_ms=delay,
+            rank_col=_rank_from_url(),
+        )
+        .writeStream.format("memory")
+        .queryName("paced")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("paced").collect()
+    assert len(rows) == 40
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) == 3
+    for host, hrows in by_host.items():
+        slots = sorted(r["slot"] for r in hrows)
+        assert slots == list(range(len(hrows))), (host, slots)
+        for r in hrows:
+            assert r["fetch_after_ms"] == r["slot"] * delay
+        # slot order == rank order (batches arrive in rank order by mtime)
+        in_rank = sorted(hrows, key=lambda r: (r["rank"], r["url"]))
+        assert [r["slot"] for r in in_rank] == list(range(len(hrows)))
+
+
+def test_host_window_metrics_matches_batch(spark, tmp_path):
+    """Watermarked tumbling windows over event time == the batch windowed
+    aggregation on the same bytes (complete mode flushes every window)."""
+    d, _ = _write_corpus_files(spark, tmp_path)
+
+    def with_ts(df):
+        return df.withColumn(
+            "warc_ts",
+            F.timestamp_seconds(
+                F.to_unix_timestamp(F.lit("2026-01-01 00:00:00")) + _rank_from_url() * 7
+            ),
+        )
+
+    batch = (
+        with_ts(spark.read.parquet(d))
+        .withColumn(
+            "host",
+            F.regexp_extract(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+        )
+        .groupBy(F.window("warc_ts", "60 seconds").alias("win"), "host")
+        .agg(F.count("*").alias("n_pages"), F.sum(F.length("html")).alias("n_bytes"))
+        .select(F.col("win.start").alias("win_start"), "host", "n_pages", "n_bytes")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    q = (
+        host_window_metrics(with_ts(stream_pages(spark, d)))
+        .writeStream.format("memory")
+        .queryName("hostwin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("hostwin").collect()}
+    assert got == want and len(got) > 1
+
+
+def test_discovery_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch id (crash-replay) rewrites the same directories
+    instead of duplicating rows."""
+    d, _ = _write_corpus_files(spark, tmp_path)
+    out = str(tmp_path / "disc")
+    q = run_discovery(stream_pages(spark, d), out, CFG, SEED)
+    q.awaitTermination(120)
+    before = sorted(
+        (r["url_key"], r["batch_id"])
+        for r in spark.read.parquet(os.path.join(out, "discovered")).collect()
+    )
+    # wipe the stream checkpoint: the whole input replays as fresh batches
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    q = run_discovery(stream_pages(spark, d), out, CFG, SEED)
+    q.awaitTermination(120)
+    after = sorted(
+        (r["url_key"], r["batch_id"])
+        for r in spark.read.parquet(os.path.join(out, "discovered")).collect()
+    )
+    assert before == after
