@@ -4,11 +4,13 @@ columns with typed metadata.
 ``decode="fake"`` produces deterministic features from the bytes (so the
 Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
 tested everywhere); ``decode="real"`` decodes what the standard library can
-(WAV audio via ``wave`` — no codec deps, runs everywhere) and probes for
-codec libraries at runtime on the executors for the rest (PIL for images),
+(WAV audio via ``wave``; uncompressed RIFF/AVI video via ``struct``
+chunk-walking — no codec deps, runs everywhere) and probes for codec
+libraries at runtime on the executors for the rest (PIL for images),
 raising NotImplementedError where no decoder exists — this container ships
-no image/video codecs, so only video remains a declared stub and the image
-test skips unless PIL is present (VERDICT r02 "next" #3).
+no image codecs, so the remaining stub surface is PIL-less images and
+compressed/non-AVI video (the image test skips unless PIL is present;
+VERDICT r02 "next" #3).
 """
 
 from __future__ import annotations
@@ -93,6 +95,76 @@ def wav_features(data: bytes) -> list:
         )
         mean = float(x.mean())
     return [float(nch), float(sw * 8), fr / 1000.0, float(duration_s), rms, peak, zcr, mean]
+
+
+def avi_features(data: bytes) -> list:
+    """Decode an uncompressed RIFF/AVI payload with stdlib ``struct``
+    chunk-walking (zero codec dependencies) and return deterministic
+    features: [width, height, fps, n_frames_header, n_frames_movi,
+    duration_s, bit_count, mean_luma_first_frame]. ``mean_luma`` is
+    computed from the first ``00db`` DIB frame when the video stream is
+    BI_RGB 24/32-bit; for compressed streams (``00dc`` etc.) it is -1 —
+    parsing the container is stdlib territory, decoding codecs is not.
+    Raises ValueError on bytes that are not a RIFF/AVI stream (data error,
+    distinct from the NotImplementedError of a missing codec)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("payload is not a RIFF/AVI stream")
+
+    width = height = bitcount = 0
+    usec_per_frame = total_frames = 0
+    compression = None
+    frames = []
+    n_movi_frames = 0
+
+    def walk(buf: memoryview, off: int, end: int):
+        nonlocal width, height, bitcount, usec_per_frame, total_frames
+        nonlocal compression, n_movi_frames
+        while off + 8 <= end:
+            fourcc = bytes(buf[off : off + 4])
+            (size,) = struct.unpack_from("<I", buf, off + 4)
+            body, nxt = off + 8, off + 8 + size + (size & 1)
+            if fourcc == b"LIST" and size >= 4:
+                walk(buf, body + 4, min(body + size, end))
+            elif fourcc == b"avih" and size >= 40:
+                usec_per_frame, _, _, _, total_frames = struct.unpack_from("<5I", buf, body)
+                w, h = struct.unpack_from("<2I", buf, body + 32)
+                width, height = width or w, height or h
+            elif fourcc == b"strf" and size >= 40 and compression is None:
+                # BITMAPINFOHEADER of the first video stream
+                _, bw, bh, _, bc, comp = struct.unpack_from("<IiiHHI", buf, body)
+                width, height, bitcount, compression = abs(bw), abs(bh), bc, comp
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                n_movi_frames += 1
+                if fourcc[2:4] == b"db" and not frames:
+                    frames.append(bytes(buf[body : body + size]))
+            off = nxt
+
+    walk(memoryview(data), 12, len(data))
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    duration_s = total_frames * usec_per_frame / 1e6
+    luma = -1.0
+    if frames and compression == 0 and bitcount in (24, 32) and width and height:
+        bpp = bitcount // 8
+        stride = ((width * bpp) + 3) & ~3
+        px = np.frombuffer(frames[0], dtype=np.uint8)
+        if len(px) >= stride * height:
+            rows = px[: stride * height].reshape(height, stride)[:, : width * bpp]
+            rgb = rows.reshape(height, width, bpp)[:, :, :3]  # BGR order; mean is order-free
+            luma = float(rgb.mean()) / 255.0
+    return [
+        float(width),
+        float(height),
+        float(fps),
+        float(total_frames),
+        float(n_movi_frames),
+        float(duration_s),
+        float(bitcount),
+        luma,
+    ]
 
 
 def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
@@ -182,9 +254,12 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 return [float(x) / 255.0 for x in img.getdata()]
             if kind == "audio":
                 return wav_features(data)  # stdlib, available on every executor
+            if kind == "video" and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                return avi_features(data)  # stdlib struct chunk-walk
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
-                "install PIL (images) / ffmpeg (video); WAV audio decodes "
+                "install PIL (images) / ffmpeg (non-AVI or compressed "
+                "video); WAV audio and uncompressed RIFF/AVI video decode "
                 "via the standard library"
             )
 

@@ -383,6 +383,64 @@ def test_embed_lsh_degenerate_bucket_capped(spark):
     assert 0 < pairs < 20_000, pairs
 
 
+def _mk_avi(w=4, h=2, n_frames=3, fps=10, luma=100, compression=0):
+    """Minimal uncompressed RIFF/AVI: hdrl(avih + strl(strh,strf)) +
+    movi(00db frames of constant BGR), rows padded to 4 bytes."""
+    import struct
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\0" if len(body) % 2 else b"")
+
+    def lst(kind, inner):
+        return chunk(b"LIST", kind + inner)
+
+    usec = int(1e6 // fps)
+    avih = struct.pack("<10I", usec, 0, 0, 0, n_frames, 0, 1, 0, w, h)
+    strh = b"vids" + b"DIB " + b"\0" * 48
+    strf = struct.pack("<IiiHHI", 40, w, h, 1, 24, compression) + b"\0" * 20
+    stride = ((w * 3) + 3) & ~3
+    frame = bytes([luma]) * (stride * h)
+    tag = b"00db" if compression == 0 else b"00dc"
+    movi = lst(b"movi", b"".join(chunk(tag, frame) for _ in range(n_frames)))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + __import__("struct").pack("<I", len(payload)) + payload
+
+
+def test_media_real_decode_avi(spark):
+    """Uncompressed RIFF/AVI video decodes via stdlib struct chunk-walking
+    on every executor — no codec deps; only compressed/non-AVI video (and
+    PIL-less images) remain declared stubs."""
+    payload = _mk_avi()
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(payload), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = extract_features(media, decode="real").collect()
+    assert len(rows) == 1
+    w, h, fps, nf_hdr, nf_movi, dur, bits, luma = rows[0]["feature"]
+    assert (w, h, bits) == (4.0, 2.0, 24.0)
+    assert abs(fps - 10.0) < 1e-6 and nf_hdr == 3.0 and nf_movi == 3.0
+    assert abs(dur - 0.3) < 1e-6 and abs(luma - 100 / 255) < 1e-6
+    # kernel parity outside Spark; compressed frames parse but skip luma;
+    # garbage is a data error, mp4 magic stays NotImplementedError
+    from crawley_spark.operators.multimodal import avi_features
+
+    assert [round(float(v), 5) for v in rows[0]["feature"]] == [
+        round(v, 5) for v in avi_features(payload)
+    ]
+    comp = avi_features(_mk_avi(compression=1))
+    assert comp[4] == 3.0 and comp[7] == -1.0
+    with pytest.raises(ValueError):
+        avi_features(b"\0\0\0\x18ftypmp42 not riff")
+    mp4 = spark.createDataFrame(
+        [(10, "video", bytearray(b"\0\0\0\x18ftypmp42"), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        extract_features(mp4, decode="real").collect()
+
+
 def test_media_real_decode_wav(spark):
     """WAV audio decodes via stdlib `wave` on every executor — runs
     everywhere, no skip (VERDICT r02 "next" #3); video stays the only
