@@ -199,6 +199,19 @@ def main():
     qs = entrymod.queries()
     timings = {}
     total0 = time.monotonic()
+    # Disclosed session warmup: JVM codegen, parquet footer caches, Arrow
+    # python workers. COUNTED IN THE TOTAL (cross-round totals stay
+    # comparable — in earlier rounds this cost sat inside the first query's
+    # number) but reported separately so per-query timings mean the
+    # operator, not the session cold start.
+    def _wu(batches):
+        for pdf in batches:
+            yield pdf
+
+    docs_wu = spark.read.parquet(f"{args.sf_dir}/documents.parquet").limit(256)
+    docs_wu.mapInPandas(_wu, docs_wu.schema).write.format("noop").mode("overwrite").save()
+    spark.range(1_000_000).selectExpr("sum(id) s").collect()
+    warmup_sec = round(time.monotonic() - total0, 3)
     for name in HEADLINE:
         t0 = time.monotonic()
         df = BENCH_OVERRIDES.get(name, qs[name])(spark, args.sf_dir)
@@ -213,6 +226,7 @@ def main():
                 "metric": "headline_queries_plus_crawl_total",
                 "value": round(total, 2),
                 "unit": "sec",
+                "session_warmup_sec": warmup_sec,
                 "queries": timings,
                 "sf": sf,
                 "crawl": crawl_stats,
