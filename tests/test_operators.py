@@ -331,6 +331,20 @@ def test_ann_broadcasts_queries(spark, emb):
     assert "Broadcast" in plan
 
 
+def test_minhash_signature_stage_runs_once(spark, docs):
+    """Plan gate for the guard shape: after the localCheckpoint cut, BOTH
+    guard branches read the materialized signature blocks (ExistingRDD) —
+    the Arrow UDF must not appear in the pair plan (it ran once, in the
+    checkpoint job), and the count+broadcast-join guard must not introduce
+    a WindowExec sort of the banded rows."""
+    pairs = near_duplicates_minhash(docs, threshold=0.6)
+    assert pairs.count() > 0
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "MapInPandas" not in plan
+    assert "Window" not in plan
+
+
 # -- degenerate-bucket guard (VERDICT r02 "what's wrong" #1) --
 def test_minhash_degenerate_bucket_capped(spark):
     """A corpus of identical docs (one giant LSH bucket per band) must

@@ -166,6 +166,59 @@ def test_pace_fetches_state_continues_across_batches(spark, tmp_path):
         assert [r["slot"] for r in in_rank] == list(range(len(hrows)))
 
 
+def test_pace_fetches_state_survives_restart(spark, tmp_path):
+    """The per-host slot counter is restored from the streaming checkpoint
+    across QUERY RESTARTS, not just across micro-batches of one run: a
+    second availableNow query over a later file drop continues each host's
+    slots where the first run stopped."""
+    import shutil
+
+    d, _ = _write_corpus_files(spark, tmp_path)
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    shutil.copy(os.path.join(d, "chunk-00000.parquet"), drop)
+    ckpt = str(tmp_path / "ckpt")
+    outp = str(tmp_path / "paced_out")
+
+    def run():
+        # file sink: the recoverable-sink path (memory sink cannot resume
+        # from a checkpoint)
+        q = (
+            pace_fetches(stream_pages(spark, drop), delay_ms=100, rank_col=_rank_from_url())
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.schema(
+            "host string, url string, rank long, slot long, fetch_after_ms long"
+        ).parquet(outp).collect()
+
+    first = run()
+    shutil.copy(os.path.join(d, "chunk-00001.parquet"), drop)
+    both = run()
+    seen_urls = {r["url"] for r in first}
+    second = [r for r in both if r["url"] not in seen_urls]
+    max1 = {}
+    for r in first:
+        max1[r["host"]] = max(max1.get(r["host"], -1), r["slot"])
+    assert first and second
+    for host, rows in _group(second).items():
+        slots = sorted(r["slot"] for r in rows)
+        start = max1.get(host, -1) + 1
+        assert slots == list(range(start, start + len(rows))), (host, slots, start)
+
+
+def _group(rows):
+    by = {}
+    for r in rows:
+        by.setdefault(r["host"], []).append(r)
+    return by
+
+
 def test_host_window_metrics_matches_batch(spark, tmp_path):
     """Watermarked tumbling windows over event time == the batch windowed
     aggregation on the same bytes (complete mode flushes every window)."""
