@@ -17,6 +17,7 @@ reference driver loop (crawler.go:119-135). Never rely on partition order.
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -33,6 +34,22 @@ from .kernels.paths import can_parse, url_seen_key
 from .kernels.xxh import spark_xxhash64
 from .operators import bloom as bloomf
 from .operators.local_wave import process_wave
+
+
+def seen_filter_module():
+    """north_rule names a "partitioned Bloom/cuckoo URL-seen filter"; both
+    exist behind one module contract. ``CRAWLEY_SEEN_FILTER=cuckoo`` selects
+    the cuckoo-filter shards (operators/cuckoo.py — better FP rate at high
+    load, mergeable fingerprint tables); default is the Bloom shards
+    (vectorized build, the throughput choice). Resolved per crawl() call;
+    the choice must stay constant across resume runs of one crawl (shard
+    bytes are not interchangeable — cuckoo shards are magic-tagged and fail
+    loudly on mismatch)."""
+    if os.environ.get("CRAWLEY_SEEN_FILTER", "bloom") == "cuckoo":
+        from .operators import cuckoo as mod
+
+        return mod
+    return bloomf
 from .operators.politeness import salt_hot_hosts, schedule
 from .operators.seen import anti_join_seen, first_occurrence
 from .plans.ordering import advance_offsets, assign_flagged_indexes_bucketed
@@ -192,6 +209,7 @@ def crawl(
     runs keep the pure-Spark loop. ``driver_wave_rows=0`` disables the
     hybrid entirely (tests pinning the distributed machinery do this).
     """
+    bloomf = seen_filter_module()  # Bloom (default) or cuckoo seen-prefilter
     runs = _normalize_runs(seeds, config)
     pages_n = normalize_pages(pages)
     state = CrawlState(spark, checkpoint_dir)
@@ -864,7 +882,7 @@ def _bootstrap(spark, state: CrawlState, pages_n, runs):
         SEEN_SCHEMA,
     )
     state.write_local("frontier", 0, frontier_rows, FRONTIER_SCHEMA)
-    from .operators.bloom import build_shards_local
+    build_shards_local = seen_filter_module().build_shards_local
 
     state.write_local_binary(
         "blooms", 0, build_shards_local([(r, k) for r, k, _ in seen_rows])
