@@ -8,7 +8,7 @@ constant for a crawl's lifetime — shards of the two filters are not
 byte-compatible (cuckoo shards carry a ``CKF1`` magic and fail loudly on a
 Bloom bitmap; do not flip the env between resume runs).
 
-Partial-key cuckoo filter (Fan et al., CoNLL'14 public design): per seen
+Partial-key cuckoo filter (Fan et al., CoNEXT'14 public design): per seen
 bucket a table of ``nb`` (power of two) buckets × 4 slots × 16-bit
 fingerprints. ``fp = h1 % 65535 + 1`` (0 = empty slot), primary index
 ``i1 = h2 % nb``, alternate ``i2 = i1 XOR (fp · 0x5bd1e995) mod nb`` —
