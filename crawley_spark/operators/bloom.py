@@ -97,6 +97,13 @@ def merge_bitmaps(shards: list) -> dict:
     """[(bucket, bytes)] from any number of iterations → {bucket: np.uint8[]}"""
     merged: dict = {}
     for bucket, bm in shards:
+        if bytes(bm[:4]) == b"CKF1":
+            raise ValueError(
+                "seen-filter shard is a cuckoo filter (CKF1 magic) but the "
+                "Bloom backend is selected — this state was written with "
+                "CRAWLEY_SEEN_FILTER=cuckoo; the filter choice must not "
+                "change across resume runs of one crawl."
+            )
         arr = np.frombuffer(bm, dtype=np.uint8)
         if bucket in merged:
             merged[bucket] = merged[bucket] | arr

@@ -71,6 +71,17 @@ def test_bloom_bytes_rejected_loudly():
         ck._deserialize(b"\x00" * 64)
 
 
+def test_cuckoo_bytes_rejected_by_bloom_backend():
+    """Mis-resuming cuckoo-written state under the Bloom backend must fail
+    loudly, not silently OR garbage into a bitmap (false negatives)."""
+    from crawley_spark.operators import bloom
+
+    h1, h2 = _hashes(10, 5)
+    blob = ck._build_from_hashes(h1, h2)
+    with pytest.raises(ValueError, match="CKF1"):
+        bloom.merge_bitmaps([(0, blob)])
+
+
 def test_spark_build_matches_local(spark):
     from crawley_spark.sources.state import with_bucket
 
