@@ -751,6 +751,61 @@ def _q_stream_metrics(spark, sf_dir):
     )
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Incremental streaming MinHash-LSH dedup
+    (streaming/dedup.run_incremental_dedup): batch 0 = the documents table,
+    batch 1 = exact copies of every doc_id % 7 == 0 doc. Every planted copy
+    must be suppressed against the store of batch-0 kept docs (identical
+    text ⟹ identical signature ⟹ same buckets, and an exact copy's match
+    survives even if its original was itself suppressed by an
+    identical-signature doc — the suppressor is in the store with the same
+    signature). Outputs integer summaries whose expectations the oracle
+    derives from the data (the minhash_dedup pattern); pair-level behavior
+    is pinned in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawley_spark.streaming import run_incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    rows = docs.select("doc_id", "text").collect()
+    planted = [(r["doc_id"] + n, r["text"]) for r in rows if r["doc_id"] % 7 == 0]
+    d = tempfile.mkdtemp(prefix="crawley_stream_dedup_in_")
+    for i, batch in enumerate(([(r["doc_id"], r["text"]) for r in rows], planted)):
+        t = pa.table({"doc_id": [x[0] for x in batch], "text": [x[1] for x in batch]})
+        f = os.path.join(d, f"chunk-{i:05d}.parquet")
+        pq.write_table(t, f)
+        os.utime(f, (1600000000 + i * 100, 1600000000 + i * 100))
+    out = tempfile.mkdtemp(prefix="crawley_stream_dedup_out_")
+    q = run_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d),
+        out,
+        threshold=0.95,
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    dups = spark.read.parquet(os.path.join(out, "dups"))
+    n_kept, n_dups = kept.count(), dups.count()
+    n_planted_detected = dups.filter(F.col("doc_id") >= n).count()
+    return spark.createDataFrame(
+        [
+            (
+                n + len(planted),
+                len(planted),
+                n_planted_detected,
+                n_kept + n_dups,
+            )
+        ],
+        "n_processed long, n_planted long, n_planted_detected long, n_accounted long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -788,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_discovery": _q_stream_discovery,
         "stream_politeness": _q_stream_politeness,
         "stream_metrics": _q_stream_metrics,
+        "stream_dedup": _q_stream_dedup,
     }
 
 
@@ -1150,6 +1206,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, url, CAST(slot AS BIGINT) AS slot,
                CAST(slot * 250 AS BIGINT) AS fetch_after_ms
         FROM paced
+        """,
+        # incremental streaming dedup: every planted exact copy (batch 1)
+        # must be suppressed against the batch-0 store; counts are
+        # data-derived constants (the minhash_dedup containment pattern)
+        "stream_dedup": """
+        WITH planted AS (SELECT COUNT(*) AS p FROM documents WHERE doc_id % 7 = 0),
+        total AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT CAST(n + p AS BIGINT) AS n_processed,
+               CAST(p AS BIGINT) AS n_planted,
+               CAST(p AS BIGINT) AS n_planted_detected,
+               CAST(n + p AS BIGINT) AS n_accounted
+        FROM planted, total
         """,
         # streaming windowed metrics: event time = 2026-01-01 + 7s per doc,
         # 60 s tumbling windows (epoch-aligned on both engines)

@@ -6,6 +6,7 @@ directory (the WARC-drop pattern of a fetch tier), and the same extraction /
 dedup / politeness kernels run incrementally over the stream.
 """
 
+from .dedup import run_incremental_dedup  # noqa: F401
 from .ingest import (  # noqa: F401
     extract_links_stream,
     host_window_metrics,

@@ -256,6 +256,136 @@ def test_host_window_metrics_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 1
 
 
+def _write_doc_files(spark, tmp_path, texts_by_batch):
+    """{batch_index: [(doc_id, text)]} → drop dir of mtime-ordered files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in sorted(texts_by_batch.items()):
+        t = pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        )
+        f = os.path.join(d, f"chunk-{i:05d}.parquet")
+        pq.write_table(t, f)
+        os.utime(f, (1500000000 + i * 100, 1500000000 + i * 100))
+    return d
+
+
+def _texts(n, tag):
+    # long-ish distinct bodies so 5-shingle MinHash separates them cleanly
+    return [
+        f"document {tag} number {i} " + " ".join(f"w{tag}{i}x{j}" for j in range(40))
+        for i in range(n)
+    ]
+
+
+def test_incremental_dedup_cross_batch(spark, tmp_path):
+    """Exact duplicates arriving in a LATER batch are suppressed against the
+    store of earlier kept docs; in-batch dups keep the smallest id."""
+    from crawley_spark.streaming import run_incremental_dedup
+
+    base = _texts(12, "a")
+    batch0 = [(i, base[i]) for i in range(12)]
+    # batch 1: 4 exact copies of batch-0 docs + 4 fresh + 1 in-batch dup pair
+    fresh = _texts(4, "b")
+    batch1 = (
+        [(100 + i, base[i]) for i in range(4)]
+        + [(200 + i, fresh[i]) for i in range(4)]
+        + [(300, fresh[0])]
+    )
+    d = _write_doc_files(spark, tmp_path, {0: batch0, 1: batch1})
+    out = str(tmp_path / "dedup")
+    q = run_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d),
+        out,
+        threshold=0.9,
+    )
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "kept")).collect()}
+    dups = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+    }
+    assert set(range(12)) <= kept
+    for i in range(4):  # cross-batch exact copies suppressed, matched to originals
+        assert 100 + i in dups and dups[100 + i] == i
+    assert {200, 201, 202, 203} <= kept
+    assert dups.get(300) == 200  # in-batch dup keeps the smaller id
+    assert kept.isdisjoint(dups)
+
+
+def test_incremental_dedup_replay_idempotent(spark, tmp_path):
+    from crawley_spark.streaming import run_incremental_dedup
+
+    batch0 = [(i, t) for i, t in enumerate(_texts(8, "c"))]
+    batch1 = [(50 + i, t) for i, t in enumerate(_texts(8, "c"))]  # all dups
+    d = _write_doc_files(spark, tmp_path, {0: batch0, 1: batch1})
+    out = str(tmp_path / "dedup")
+
+    def run():
+        q = run_incremental_dedup(
+            spark.readStream.schema("doc_id long, text string").option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(d),
+            out,
+            threshold=0.9,
+        )
+        q.awaitTermination(180)
+        return (
+            sorted(
+                (r["doc_id"], r["batch_id"])
+                for r in spark.read.parquet(os.path.join(out, "kept")).collect()
+            ),
+            sorted(
+                (r["doc_id"], r["dup_of"])
+                for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+            ),
+        )
+
+    first = run()
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    assert run() == first
+    kept, dups = first
+    assert [k for k, _ in kept] == list(range(8))
+    assert [d_ for d_, _ in dups] == list(range(50, 58))
+
+
+def test_incremental_dedup_store_cap(spark, tmp_path):
+    """A degenerate stream (every doc identical) stops accreting store rows
+    at the cap but keeps suppressing against the capped members."""
+    from crawley_spark.streaming import run_incremental_dedup
+
+    same = "identical boilerplate body " + " ".join(f"t{j}" for j in range(40))
+    d = _write_doc_files(
+        spark, tmp_path,
+        {0: [(i, same) for i in range(30)], 1: [(100 + i, same) for i in range(30)]},
+    )
+    out = str(tmp_path / "dedup")
+    q = run_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d),
+        out,
+        threshold=0.9,
+        store_bucket_cap=3,
+    )
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "kept")).collect()}
+    assert kept == {0}  # one survivor, everything else suppressed
+    store = spark.read.parquet(os.path.join(out, "store")).groupBy("band", "bucket").count()
+    assert store.agg(F.max("count")).collect()[0][0] <= 3
+    import json
+
+    meta0 = json.load(open(os.path.join(out, "_meta_batch_0.json")))
+    assert meta0["store_truncated"] == 0  # only doc 0's rows were admitted
+
+
 def test_discovery_batch_replay_is_idempotent(spark, tmp_path):
     """Re-running a batch id (crash-replay) rewrites the same directories
     instead of duplicating rows."""
