@@ -213,6 +213,8 @@ def main():
     # number) but reported separately so per-query timings mean the
     # operator, not the session cold start.
     def _wu(batches):
+        import numpy  # noqa: F401  (the minhash/ANN stages' heavy import)
+
         for pdf in batches:
             yield pdf
 

@@ -140,6 +140,7 @@ def _start_python_worker_prewarm(spark: SparkSession) -> None:
     idle through all of those). Failure is ignored: purely a warm-up."""
 
     def warm_fn(batches):
+        import numpy  # noqa: F401
         import pandas as pd  # noqa: F401
 
         from .functions import extract_udf  # noqa: F401
