@@ -66,6 +66,46 @@ def test_merge_reinserts_all_fingerprints():
     assert _contains(again[0], h1, h2).all()
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 2500),
+        seed=st.integers(0, 2**31 - 1),
+        nb_pow=st.integers(4, 12),
+        n_chunks=st.integers(1, 4),
+    )
+    def test_cuckoo_no_false_negative_fuzz(n, seed, nb_pow, n_chunks):
+        """Property: for ANY key set, table size (incl. far-overloaded), and
+        any split into separately-built-then-merged shards, every inserted
+        key tests maybe-seen. This is the one invariant the engine's
+        correctness rests on."""
+        import os as _os
+
+        prev = _os.environ.get("CRAWLEY_CUCKOO_BUCKETS_PER_SHARD")
+        _os.environ["CRAWLEY_CUCKOO_BUCKETS_PER_SHARD"] = str(1 << nb_pow)
+        try:
+            h1, h2 = _hashes(n, seed)
+            bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+            blobs = [
+                (0, ck._build_from_hashes(h1[a:b], h2[a:b]))
+                for a, b in zip(bounds, bounds[1:])
+                if b > a
+            ]
+            merged = ck.merge_bitmaps(blobs)[0]
+            assert _contains(merged, h1, h2).all()
+        finally:
+            if prev is None:
+                _os.environ.pop("CRAWLEY_CUCKOO_BUCKETS_PER_SHARD", None)
+            else:
+                _os.environ["CRAWLEY_CUCKOO_BUCKETS_PER_SHARD"] = prev
+
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    pass
+
+
 def test_bloom_bytes_rejected_loudly():
     with pytest.raises(ValueError, match="magic"):
         ck._deserialize(b"\x00" * 64)
