@@ -751,6 +751,21 @@ def _q_stream_metrics(spark, sf_dir):
     )
 
 
+def _q_simhash_dedup(spark, sf_dir):
+    """SimHash Hamming-≤3 near-dup pairs (operators/dedup.py
+    near_duplicates_simhash). The pigeonhole banding is COMPLETE for
+    ≤ max_hamming, so the output is the exact pair set — and with the
+    md5_number-parity fingerprint the oracle reproduces it pair-for-pair
+    (cross join + bit_count at sf scale), a hash-exact pair-level check,
+    not a summary."""
+    from crawley_spark.operators.dedup import near_duplicates_simhash
+
+    d = _docs(spark, sf_dir)
+    return near_duplicates_simhash(
+        d.select("doc_id", "text"), max_hamming=3, hash_fn="md5"
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Incremental streaming MinHash-LSH dedup
     (streaming/dedup.run_incremental_dedup): batch 0 = the documents table,
@@ -844,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_politeness": _q_stream_politeness,
         "stream_metrics": _q_stream_metrics,
         "stream_dedup": _q_stream_dedup,
+        "simhash_dedup": _q_simhash_dedup,
     }
 
 
@@ -1057,6 +1073,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
+        """,
+        # SimHash Hamming-<=3 pairs: the banding is complete, so the oracle
+        # recomputes the md5-parity fingerprints and takes the exact
+        # cross-join pair set — hash-exact pair-level parity
+        "simhash_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST(md5_number(tok) % 1152921504606846976 AS BIGINT) AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS b,
+                   SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(range(0, 60)) AS b) b
+            GROUP BY doc_id, b.b
+        ),
+        fps AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
         # exact n-gram Jaccard verify stage (VERDICT r01 "next" #2):
         # list_intersect / list_distinct over 3-gram lists

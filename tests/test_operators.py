@@ -331,6 +331,43 @@ def test_ann_broadcasts_queries(spark, emb):
     assert "Broadcast" in plan
 
 
+def test_simhash_near_dup_pairs_match_bruteforce(spark, docs):
+    """Pigeonhole banding is complete for ≤ max_hamming, so the operator's
+    output must equal the brute-force cross-join pair set exactly."""
+    import itertools
+
+    from crawley_spark.operators.dedup import near_duplicates_simhash, simhash
+
+    for k in (0, 3, 7):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in near_duplicates_simhash(docs, max_hamming=k).collect()
+        }
+        fps = {r[0]: r[1] for r in simhash(docs).collect()}
+        want = {
+            (a, b, bin(fa ^ fb).count("1"))
+            for (a, fa), (b, fb) in itertools.combinations(sorted(fps.items()), 2)
+            if bin(fa ^ fb).count("1") <= k
+        }
+        assert got == want, k
+    # the fixture's exact dup (0,1) must appear at hamming 0
+    assert (0, 1, 0) in got
+
+
+def test_simhash_near_dup_degenerate_bucket_capped(spark):
+    """Identical docs put one fingerprint in one bucket per band; the salt
+    guard must bound the pair explosion."""
+    from crawley_spark.operators.dedup import near_duplicates_simhash
+
+    n, cap = 500, 40
+    ident = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate body for every single page").alias("text"),
+    )
+    pairs = near_duplicates_simhash(ident, max_hamming=3, bucket_cap=cap).count()
+    assert 0 < pairs < 30_000, pairs  # ≪ C(500,2)=124750
+
+
 def test_minhash_signature_stage_runs_once(spark, docs):
     """Plan gate for the guard shape: after the localCheckpoint cut, BOTH
     guard branches read the materialized signature blocks (ExistingRDD) —
