@@ -1168,12 +1168,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
         WHERE rnk <= 5
         """,
-        # minhash_dedup: the signatures are not SQL-expressible, but the
-        # summary counts are data-derived constants — every planted pair
-        # (long docs only: true J ≳ 0.96) and every exact-dup pair
-        # (identical text ⟹ identical signature ⟹ same bucket) must be
-        # recovered, and the oracle computes both expectations from the
-        # candidate set itself
+        # minhash_dedup — ASSERTED-INVARIANT oracle (ADVICE r03): this is an
+        # expected-value declaration, not an independent recomputation. The
+        # signatures are not SQL-expressible; what the oracle contributes is
+        # (a) n_planted / n_exact_pairs derived from the data (real
+        # recomputation) and (b) the DECLARATION that the Spark side must
+        # recover all of them (n_planted_found = n_planted, n_exact_found =
+        # n_exact_pairs). It is a hard regression alarm — the Spark side
+        # computes actuals — but weaker than the hash-exact entries;
+        # pair-level exactness is pinned in tests/test_operators.py.
         "minhash_dedup": """
         WITH planted AS (
             SELECT doc_id FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 200
@@ -1193,9 +1196,12 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) FROM groups) AS n_exact_pairs,
                (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) FROM groups) AS n_exact_found
         """,
-        # ann_lsh / ann_ivf: the hit count rides on seeded hyperplane /
-        # k-means randomness (not SQL-derivable), but the pass/fail against
-        # the recall threshold the tests pin is a constant the oracle states
+        # ann_lsh / ann_ivf — ASSERTED-INVARIANT oracles (ADVICE r03):
+        # expected-value declarations, not independent recomputations. The
+        # hit counts ride on seeded hyperplane / k-means randomness (not
+        # SQL-derivable); the oracle DECLARES the pass criteria the tests pin
+        # (recall_pass = 1, every twin at rank 1) and the Spark side computes
+        # the actuals — a regression alarm, weaker than the hash-exact rows.
         "ann_lsh": """
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 8) AS n_queries,
                CAST(5 AS BIGINT) AS k,

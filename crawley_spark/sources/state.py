@@ -58,8 +58,30 @@ from pyspark.sql import types as T
 # point is demonstrable, not just documented — tools/seen_scale_bench.py
 # --seen-buckets runs the evidence harness at high bucket counts (VERDICT
 # r02 "next" #5). A checkpoint written under one bucket count must be
-# resumed under the same one (the layout is physical).
+# resumed under the same one (the layout is physical): the manifest records
+# every layout-shaping parameter at bootstrap and ``load_manifest`` raises
+# on mismatch (ADVICE r03 — resuming under a different bucket count would
+# silently mis-prune the bucket-partitioned seen reads and re-emit
+# duplicates; silent wrong answers are worse than a loud abort).
 SEEN_BUCKETS = int(os.environ.get("CRAWLEY_SEEN_BUCKETS", "64"))
+
+
+def current_layout() -> dict:
+    """The physical-layout parameters a checkpoint depends on. Persisted in
+    the manifest at bootstrap; resume compares against the live process and
+    refuses to continue under a different layout (the seen table's bucket
+    dirs, the Bloom/cuckoo shard geometry, and the filter kind are all baked
+    into bytes on disk — only the filter kind previously had a loud guard,
+    the CKF1 shard magic)."""
+    from ..operators.bloom import BLOOM_BITS_PER_BUCKET
+    from ..operators.cuckoo import _nb
+
+    return {
+        "seen_buckets": SEEN_BUCKETS,
+        "bloom_bits_per_bucket": BLOOM_BITS_PER_BUCKET,
+        "cuckoo_buckets_per_shard": _nb(),
+        "seen_filter": os.environ.get("CRAWLEY_SEEN_FILTER", "bloom"),
+    }
 
 RESULTS_SCHEMA = T.StructType(
     [
@@ -137,6 +159,7 @@ class CrawlState:
         self.catalog = catalog or os.environ.get("CRAWLEY_ICEBERG_CATALOG") or None
         self.namespace = os.environ.get("CRAWLEY_ICEBERG_NAMESPACE", "crawley")
         os.makedirs(self.root, exist_ok=True)
+        self._layout = current_layout()
         self.manifest = {
             "iteration": -1,
             "rank_offsets": {},
@@ -144,6 +167,7 @@ class CrawlState:
             "done": False,
             "seen_compact": -1,
             "bloom_upto": -1,
+            "layout": self._layout,
         }
 
     # -- Iceberg routing --
@@ -197,6 +221,26 @@ class CrawlState:
             return False
         with open(self.manifest_path) as f:
             self.manifest = json.load(f)
+        persisted = self.manifest.get("layout")
+        if persisted is not None:  # pre-r04 manifests carry no layout record
+            bad = {
+                k: (persisted[k], self._layout[k])
+                for k in persisted
+                if k in self._layout and persisted[k] != self._layout[k]
+            }
+            if bad:
+                detail = ", ".join(
+                    f"{k}: checkpoint={a!r} process={b!r}" for k, (a, b) in sorted(bad.items())
+                )
+                raise ValueError(
+                    "checkpoint layout mismatch — this state dir was written "
+                    f"under a different physical layout ({detail}). Resuming "
+                    "would silently mis-prune bucket-partitioned seen reads "
+                    "and re-emit duplicates; restore the original "
+                    "CRAWLEY_SEEN_BUCKETS / CRAWLEY_BLOOM_BITS_PER_BUCKET / "
+                    "CRAWLEY_CUCKOO_BUCKETS_PER_SHARD / CRAWLEY_SEEN_FILTER "
+                    "settings (or start a fresh checkpoint)."
+                )
         return True
 
     def commit(
@@ -219,6 +263,10 @@ class CrawlState:
             "done": done,
             "seen_compact": seen_compact if seen_compact is not None else prev_compact,
             "bloom_upto": bloom_upto if bloom_upto is not None else prev_bloom,
+            # layout is immutable for a checkpoint's lifetime: preserve the
+            # bootstrap record (load_manifest already proved it matches this
+            # process) rather than restamping from the live env
+            "layout": self.manifest.get("layout", self._layout),
         }
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:

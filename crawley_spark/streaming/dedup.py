@@ -1,7 +1,19 @@
 """Incremental MinHash-LSH near-duplicate suppression over a document
 stream — the streaming twin of ``operators.dedup.near_duplicates_minhash``
-for continuously-ingested corpora (the training-data case: keep a document
-only if nothing sufficiently similar was kept before it).
+for continuously-ingested corpora (the training-data case: suppress a
+document if anything sufficiently similar arrived before it).
+
+Suppression rule, precisely (ADVICE r03): a doc is a duplicate iff it pairs
+at ≥ threshold with an earlier KEPT doc (prior batches — only kept docs
+enter the store) or with ANY smaller-id doc of its OWN batch, kept or
+itself suppressed. The in-batch half is deliberately the aggressive
+one-pass variant: in a similarity chain a~b~c with a≁c arriving in one
+batch, both b and c are suppressed (c via the suppressed b), whereas
+strict keep-first would keep c. Exact keep-first within a batch needs the
+connected-component pass (``operators.cluster.consolidate_near_duplicates``
+is the batch tool for that); one-pass is the right streaming trade — no
+per-batch iteration, and over-suppression is bounded by the batch size,
+never spans batches.
 
 Per micro-batch (``foreachBatch``):
 
@@ -12,9 +24,9 @@ Per micro-batch (``foreachBatch``):
 3. *cross-batch* pairs: join the batch's banded rows against the persistent
    bucket store ``(band, bucket, id, sig)`` of previously KEPT docs on
    ``(band, bucket)``, estimate Jaccard by signature agreement, threshold;
-4. keep-first semantics: a doc is a duplicate iff it pairs at ≥ threshold
-   with an earlier kept doc (prior batch) or a smaller-id doc of its own
-   batch; everything else is kept and its banded rows join the store.
+4. suppression (see the rule above): duplicates pair with an earlier kept
+   doc (prior batch) or any smaller-id doc of their own batch; everything
+   else is kept and its banded rows join the store.
 
 Sinks are batch-id-keyed overwrites (``kept/batch=N``, ``dups/batch=N``,
 ``store/batch=N``) — identical crash-replay idempotence to

@@ -94,3 +94,38 @@ def test_robots_crawl_equals_respect():
     # /a was never fetched (deny), so /x1 never discovered; /b was
     assert not any("x1" in r for r in out_crawl.results)
     assert any("x2" in r for r in out_crawl.results)
+
+
+def test_manifest_layout_guard(tmp_path):
+    """ADVICE r03 (medium): the checkpoint manifest records the physical
+    layout (seen buckets, Bloom/cuckoo shard geometry, filter kind) at
+    bootstrap; resuming under a different layout raises loudly instead of
+    silently mis-pruning bucket-partitioned seen reads."""
+    import json
+
+    from crawley_spark.sources.state import CrawlState, current_layout
+
+    st = CrawlState(None, str(tmp_path))
+    st.commit(0, {}, {}, False)
+    assert st.manifest["layout"] == current_layout()
+
+    # same layout → loads fine
+    st2 = CrawlState(None, str(tmp_path))
+    assert st2.load_manifest()
+
+    # tamper: pretend the checkpoint was written under 1024 buckets
+    with open(st.manifest_path) as f:
+        m = json.load(f)
+    m["layout"]["seen_buckets"] = current_layout()["seen_buckets"] + 960
+    with open(st.manifest_path, "w") as f:
+        json.dump(m, f)
+    st3 = CrawlState(None, str(tmp_path))
+    with pytest.raises(ValueError, match="layout mismatch"):
+        st3.load_manifest()
+
+    # pre-r04 manifest (no layout field): back-compat, loads without check
+    del m["layout"]
+    with open(st.manifest_path, "w") as f:
+        json.dump(m, f)
+    st4 = CrawlState(None, str(tmp_path))
+    assert st4.load_manifest()
