@@ -456,11 +456,16 @@ def near_duplicates_embedding(
         b = bk.select(
             F.col("id").alias("doc_b"), "table", "bucket", "salt", F.col("unit").alias("ub")
         )
+        # score AND threshold before the cross-table dedup (VERDICT r03
+        # "what's wrong" #1 — the minhash reshape): the duplicate-pair
+        # exchange carries (long, long, double), sub-threshold pairs never
+        # shuffle, and no unit vector crosses an exchange
         pairs = (
             a.join(b, on=["table", "bucket", "salt"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"])
             .select("doc_a", "doc_b", _dot(F.col("ua"), F.col("ub")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .dropDuplicates(["doc_a", "doc_b"])
         )
     else:
         raise ValueError(f"unknown method: {method}")

@@ -129,3 +129,43 @@ def test_seen_read_prunes_buckets(spark, tmp_path):
     want = df.filter(F.col("bucket").isin(3, 7)).count()
     got = state.seen(upto=1, buckets=[3, 7]).count()
     assert got == want > 0
+
+
+def _dedup_exchange_blocks(plan: str, key: str) -> list:
+    """Formatted-plan blocks for Exchange nodes partitioned on the candidate
+    dedup keys (query_id/doc_a...)."""
+    return [
+        b
+        for b in plan.split("\n\n")
+        if "Exchange" in b and f"hashpartitioning({key}" in b
+    ]
+
+
+def test_ann_candidate_dedup_exchange_carries_no_vectors(spark):
+    """VERDICT r03 "what's wrong" #1: scoring happens before the candidate
+    dedup, so the dedup exchange of cosine_topk_lsh / cosine_topk_ivf /
+    near_duplicates_embedding(lsh) must carry only scalar columns — never a
+    unit-vector array (dim×8 B per row at 100 TB)."""
+    from crawley_spark.operators.dedup import near_duplicates_embedding
+    from crawley_spark.operators.similarity import cosine_topk_ivf, cosine_topk_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.1, float(i % 5), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    for df, keys in (
+        (cosine_topk_lsh(emb, queries, k=3), "query_id"),
+        (cosine_topk_ivf(emb, queries, k=3, n_cells=4, nprobe=2, sample=40), "query_id"),
+        (near_duplicates_embedding(emb, threshold=0.9, method="lsh"), "doc_a"),
+    ):
+        plan = _fmt_plan(df)
+        blocks = _dedup_exchange_blocks(plan, keys)
+        assert blocks, plan  # the dedup exchange must exist
+        for b in blocks:
+            input_lines = [l for l in b.splitlines() if l.startswith("Input")]
+            assert input_lines, b
+            for l in input_lines:
+                assert "cv#" not in l and "qv#" not in l, b
+                assert "ua#" not in l and "ub#" not in l and "unit#" not in l, b
