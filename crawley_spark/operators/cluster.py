@@ -1,0 +1,167 @@
+"""Near-duplicate cluster consolidation (VERDICT r03 "next" #1) — the step
+after pair generation that a real dedup pipeline actually runs: connected
+components over the (doc_a, doc_b) outputs of
+``near_duplicates_{minhash,simhash,embedding}``, then one canonical
+keep/drop decision per cluster. This is the batch twin of
+``streaming/dedup.py``'s keep-first suppression, computed exactly.
+
+Algorithm: iterative **min-label propagation with pointer jumping** on
+DataFrames — no driver-side union-find, no GraphFrames dependency, nothing
+collected. Each round:
+
+1. *propagate*: every node's label becomes the min over its own label and
+   its neighbors' labels (one shuffle: edge⋈label join + groupBy-min with
+   map-side partial agg);
+2. *pointer-jump*: ``label[v] := label[label[v]]`` (one self-join on the
+   label table) — the path-compression step that turns the propagation's
+   O(diameter) rounds into O(log diameter): a chain of 2^k nodes converges
+   in ~k+2 rounds instead of 2^k (tests/test_cluster.py pins the bound).
+
+Labels are node ids and only ever decrease, so ``sum(label)`` is strictly
+monotone while anything changes — convergence is detected by one cheap
+aggregate per round (no compare join). Each round's label table is cut with
+``localCheckpoint(eager=True)``: the next round and the convergence agg
+read materialized blocks, and the lineage does not grow with iterations
+(the classic iterative-algorithm failure mode on Spark). On a multi-node
+cluster swap the cut for ``persist(MEMORY_AND_DISK)`` + unpersist if
+executor loss must not restart the job (same note as the engine's carry).
+
+Scale shape: the label table holds only nodes that appear in pairs — for a
+near-dup pipeline that is the duplicated minority, not the corpus. Every
+step is an equi-join/groupBy on (id | label) scalars; per-round cost is
+2-3 bounded shuffles of (long, long) rows, and the round count is
+logarithmic in the largest cluster's diameter. A degenerate giant cluster
+(template mass: millions of mutually-similar docs) has small diameter by
+construction — LSH pair generation emits near-cliques — so it converges in
+2-3 rounds; the long-chain worst case is what pointer jumping bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_ITER = 50
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = DEFAULT_MAX_ITER,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``; component =
+    the smallest node id reachable from the node (the canonical cluster
+    label). Ids must be integral (longs). ``stats`` (optional dict) receives
+    ``{"iterations": n, "nodes": n}`` for convergence-bound tests/metrics.
+
+    Raises after ``max_iter`` rounds without convergence — with pointer
+    jumping that bound is ~log2(longest chain) + 3, so 50 covers any input
+    that fits on a cluster (2^47 nodes); hitting it means a bug, not a big
+    graph."""
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    # duplicate pairs across bands/tables would multiply the propagate join
+    # output; one distinct up front bounds it (pair generators already
+    # dropDuplicates, but composed inputs may union several of them)
+    edges = edges.dropDuplicates(["u", "v"]).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    n_nodes = labels.count()
+    prev_sum = None
+    iterations = 0
+    for _ in range(max_iter):
+        iterations += 1
+        # 1. propagate: min label over self + in-neighbors
+        prop = edges.join(labels, edges.u == labels.id).select(
+            F.col("v").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.select("id", "comp")
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # 2. pointer-jump: comp := comp[comp] (comp is itself a node id, so
+        # the self-join always matches; coalesce guards the theoretical
+        # miss so a bug surfaces as a wrong label, never a dropped node)
+        jump = new.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
+        new = (
+            new.join(jump, new.comp == jump.cid, "left")
+            .select("id", F.coalesce("ccomp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only decrease ⟹ sum strictly decreases iff any changed
+        s = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        labels = new
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_nodes} nodes) — this indicates a bug, not a large graph"
+        )
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["nodes"] = n_nodes
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def consolidate_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    score_col: str | None = None,
+    max_iter: int = DEFAULT_MAX_ITER,
+    stats: dict | None = None,
+) -> DataFrame:
+    """One row per doc of ``df``: (id_col, component, keep_id, is_kept) —
+    the canonical keep/drop decision per near-dup cluster (the batch twin of
+    streaming keep-first).
+
+    * ``component``: the cluster's canonical label (min member id); docs in
+      no pair are their own singleton component.
+    * ``keep_id``: the cluster's keeper — min id by default; with
+      ``score_col`` (e.g. a quality_stats score carried on ``df``) the
+      max-score member, ties broken by min id (deterministic).
+    * ``is_kept``: the filter a pipeline applies (`WHERE is_kept`).
+
+    Shape: components over the pair minority, then two scalar equi-joins
+    (labels onto df; keeper table onto components). Nothing driver-side."""
+    comp = connected_components(pairs, src, dst, max_iter=max_iter, stats=stats)
+    ids = df.select(F.col(id_col).cast("long").alias(id_col), *( [F.col(score_col)] if score_col else [] ))
+    labeled = ids.join(comp, ids[id_col] == comp.id, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        *([F.col(score_col)] if score_col else []),
+    )
+    if score_col:
+        best = F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni"))
+        ).alias("m")
+        keepers = (
+            labeled.groupBy("component")
+            .agg(best)
+            .select("component", (-F.col("m.ni")).alias("keep_id"))
+        )
+    else:
+        keepers = labeled.groupBy("component").agg(F.min(id_col).alias("keep_id"))
+    return (
+        labeled.join(keepers, on="component")
+        .select(
+            id_col,
+            "component",
+            "keep_id",
+            (F.col(id_col) == F.col("keep_id")).alias("is_kept"),
+        )
+    )

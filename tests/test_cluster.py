@@ -1,0 +1,179 @@
+"""Near-dup cluster consolidation (operators/cluster.py, VERDICT r03 #1):
+connected components over pair outputs + canonical keep/drop per cluster.
+
+Pins: exactness vs a brute-force union-find on random graphs, the
+pointer-jumping convergence bound (~log2(longest chain) + small constant),
+degenerate giant-cluster boundedness, empty/self-loop/duplicate-edge edge
+cases, and the score-based keeper rule (max score, ties -> min id)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawley_spark.operators.cluster import (
+    connected_components,
+    consolidate_near_duplicates,
+)
+
+
+def _uf_components(n_nodes, edges):
+    """Brute-force union-find: {node: min-reachable-id} over nodes 0..n-1
+    restricted to nodes appearing in edges (matching connected_components'
+    contract)."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for u, v in edges:
+        nodes.update((u, v))
+    for x in nodes:
+        parent[x] = x
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # path-compress fully, then relabel each root to min member id
+    comp_members = {}
+    for x in nodes:
+        comp_members.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comp_members.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _pairs_df(spark, edges):
+    if not edges:
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "doc_a long, doc_b long"
+    )
+
+
+def test_components_match_union_find(spark):
+    rng = random.Random(42)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    expect = _uf_components(n, [e for e in edges if e[0] != e[1]])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(_pairs_df(spark, edges)).collect()
+    }
+    assert got == expect
+
+
+def test_chain_pointer_jump_bound(spark):
+    """A path graph of 2^k+1 nodes is the worst case for plain label
+    propagation (O(n) rounds); pointer jumping must converge in
+    ~log2(n) + small-constant rounds."""
+    n = 257  # chain 0-1-2-...-256 (diameter 256)
+    edges = [(i, i + 1) for i in range(n - 1)]
+    stats = {}
+    out = connected_components(_pairs_df(spark, edges), stats=stats)
+    rows = out.collect()
+    assert all(r["component"] == 0 for r in rows) and len(rows) == n
+    bound = math.ceil(math.log2(n)) + 4  # log rounds + init/detect slack
+    assert stats["iterations"] <= bound, stats
+
+
+def test_giant_cluster_bounded(spark):
+    """Degenerate template-mass shape: one cluster containing every node
+    (star + random chords, as LSH near-clique output looks). Must converge
+    in a handful of rounds regardless of size."""
+    rng = random.Random(7)
+    n = 2000
+    edges = [(0, i) for i in range(1, n)] + [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(500)
+    ]
+    stats = {}
+    out = connected_components(_pairs_df(spark, edges), stats=stats)
+    assert out.filter(F.col("component") != 0).count() == 0
+    assert out.count() == n
+    assert stats["iterations"] <= 5, stats
+
+
+def test_self_loops_and_duplicate_edges(spark):
+    edges = [(1, 1), (2, 3), (3, 2), (2, 3), (4, 4)]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(_pairs_df(spark, edges)).collect()
+    }
+    # self-loop-only nodes still get labeled (they appear in pairs)...
+    # actually (1,1)/(4,4) are filtered as u==v, so 1 and 4 vanish from the
+    # label table entirely — consolidate coalesces them to singletons.
+    assert got == {2: 2, 3: 2}
+
+
+def test_consolidate_default_min_id_keeper(spark):
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    pairs = _pairs_df(spark, [(3, 7), (7, 9), (2, 5)])
+    out = consolidate_near_duplicates(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 10
+    for d in (3, 7, 9):
+        assert by_id[d]["component"] == 3 and by_id[d]["keep_id"] == 3
+    for d in (2, 5):
+        assert by_id[d]["component"] == 2 and by_id[d]["keep_id"] == 2
+    # singletons keep themselves
+    for d in (0, 1, 4, 6, 8):
+        assert by_id[d]["component"] == d and by_id[d]["keep_id"] == d
+    kept = {r["doc_id"] for r in out if r["is_kept"]}
+    assert kept == {0, 1, 2, 3, 4, 6, 8}
+
+
+def test_consolidate_score_keeper_max_score_ties_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.3)],
+        "doc_id long, q double",
+    )
+    pairs = _pairs_df(spark, [(1, 2), (2, 3), (4, 5)])
+    out = {
+        r["doc_id"]: r
+        for r in consolidate_near_duplicates(
+            docs, pairs, score_col="q"
+        ).collect()
+    }
+    # cluster {1,2,3}: max score 0.9 shared by 2 and 3 -> min id 2 wins
+    for d in (1, 2, 3):
+        assert out[d]["keep_id"] == 2
+    # cluster {4,5}: 5 has the higher score
+    for d in (4, 5):
+        assert out[d]["keep_id"] == 5
+    assert {d for d, r in out.items() if r["is_kept"]} == {2, 5}
+
+
+def test_empty_pairs_all_singletons(spark):
+    docs = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    out = consolidate_near_duplicates(docs, _pairs_df(spark, [])).collect()
+    assert len(out) == 5
+    assert all(r["is_kept"] and r["component"] == r["doc_id"] for r in out)
+
+
+def test_nonconvergence_guard_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs_df(spark, [(i, i + 1) for i in range(64)]),
+                             max_iter=2)
+
+
+def test_batch_twin_of_streaming_keep_first(spark):
+    """The consolidation is the exact batch twin of streaming keep-first on
+    a transitively-closed pair set: keeper = smallest id of each component,
+    everything else suppressed — same answer the stream would give if the
+    docs arrived in id order and pair generation were complete."""
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    # chain 0~1~2 plus pair 5~6: stream keeps 0 (first), drops 1 and 2
+    # (each similar to a kept-or-earlier doc via the chain), keeps 5, drops 6
+    pairs = _pairs_df(spark, [(0, 1), (1, 2), (5, 6)])
+    out = {r["doc_id"]: r["is_kept"]
+           for r in consolidate_near_duplicates(docs, pairs).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: True,
+                   5: True, 6: False, 7: True}
