@@ -789,6 +789,62 @@ def _q_near_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """True merge-table BPE (operators/textstats.bpe_token_stats +
+    functions/bpe.py, VERDICT r03 "next" #4). Three checks in one output:
+    (a) 'planted' rows — exact token counts for six fixed texts under the
+    frozen deterministic vocab (expected values are constants in the
+    oracle, the text_invariant pattern: BPE itself is not SQL-expressible);
+    (b) 'roundtrip' — decode(encode(text)) must equal text byte-exactly
+    for EVERY document (losslessness is structural, so n_mismatch = 0);
+    (c) 'docs' — the roundtrip row count, independently derivable
+    (COUNT(*))."""
+    from crawley_spark.operators.textstats import bpe_token_stats
+
+    planted = spark.createDataFrame(
+        [
+            (0, "the morning light comes over the hills and the town wakes"),
+            (1, "hello world"),
+            (2, "Prices rose 12,345 percent in 2026!"),
+            (3, "naive cafe resume judgement"),
+            (4, "a"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    p = bpe_token_stats(planted).select(
+        F.lit("planted").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.col("n_tokens_bpe").alias("val"),
+    )
+    d = bpe_token_stats(
+        _docs(spark, sf_dir).select("doc_id", "text"), check_roundtrip=True
+    )
+    summary = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("roundtrip_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )
+    s = summary.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("roundtrip").alias("kind"),
+                    F.lit(0).cast("bigint").alias("id"),
+                    F.col("n_mismatch").alias("val"),
+                ),
+                F.struct(
+                    F.lit("docs").alias("kind"),
+                    F.lit(0).cast("bigint").alias("id"),
+                    F.col("n_docs").alias("val"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.kind", "r.id", "r.val")
+    return p.unionByName(s)
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Incremental streaming MinHash-LSH dedup
     (streaming/dedup.run_incremental_dedup): batch 0 = the documents table,
@@ -884,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
+        "bpe_tokens": _q_bpe_tokens,
     }
 
 
@@ -1173,6 +1230,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(k.keep_id AS BIGINT) AS keep_id,
                c.doc_id = k.keep_id AS is_kept
         FROM comps c JOIN keepers k USING (component)
+        """,
+        # bpe_tokens — 'planted' rows are ASSERTED-INVARIANT constants
+        # (exact counts under the frozen deterministic vocab; BPE is not
+        # SQL-expressible), 'roundtrip' asserts structural losslessness
+        # (n_mismatch must be 0 on every doc), 'docs' is independently
+        # derived (COUNT(*))
+        "bpe_tokens": """
+        SELECT kind, CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val
+        FROM (VALUES
+            ('planted', 0, 14), ('planted', 1, 6), ('planted', 2, 28),
+            ('planted', 3, 24), ('planted', 4, 1), ('planted', 5, 0),
+            ('roundtrip', 0, 0),
+            ('docs', 0, (SELECT COUNT(*) FROM documents))
+        ) AS t(kind, id, val)
         """,
         # exact n-gram Jaccard verify stage (VERDICT r01 "next" #2):
         # list_intersect / list_distinct over 3-gram lists

@@ -33,6 +33,56 @@ def token_count_bpe(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
 
 
+def bpe_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list | None = None,
+    check_roundtrip: bool = False,
+) -> DataFrame:
+    """True merge-table BPE token count (VERDICT r03 #4) — the real encoder
+    (functions/bpe.py: byte-level, GPT-2-shaped pre-tokenizer, deterministic
+    built-in vocab or a caller-supplied merge list), kept alongside the
+    ``token_count_bpe`` regexp estimate.
+
+    Arrow-batched ``mapInPandas``: the merge table travels in the closure
+    (a few KB), one encoder with a per-word memo is built per task, and the
+    scan projects only (id, text) so column pruning holds. With
+    ``check_roundtrip`` each doc is also decoded back and compared
+    byte-exactly (BPE is lossless by construction) — the operator's
+    self-verifying invariant, priced at one extra pass per doc."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    out_schema = f"{id_col} long, n_tokens_bpe long" + (
+        ", roundtrip_ok boolean" if check_roundtrip else ""
+    )
+    merge_list = merges  # closure capture; None -> deterministic default
+
+    def run(batches):
+        from ..functions.bpe import decode, make_encoder
+
+        enc = make_encoder(merge_list)
+        for pdf in batches:
+            texts = pdf[text_col]
+            counts, rts = [], []
+            for t in texts:
+                if t is None:
+                    counts.append(None)
+                    rts.append(None)
+                    continue
+                toks = enc(t)
+                counts.append(len(toks))
+                if check_roundtrip:
+                    rts.append(decode(toks) == t)
+            out = {id_col: pdf[id_col], "n_tokens_bpe": pd.array(counts, dtype="Int64")}
+            if check_roundtrip:
+                out["roundtrip_ok"] = pd.array(rts, dtype="boolean")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def occurrences(text: Column, sub: str) -> Column:
     """Occurrence count of a literal substring via the length/replace trick
     (portable to ANSI SQL)."""
