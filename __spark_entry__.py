@@ -944,6 +944,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lang_id_oracle() -> str:
+    """lang_id oracle SQL, GENERATED from the same marker table the Spark
+    operator uses (textstats.LANG_MARKERS) so widening the language set
+    (VERDICT r03 #5) cannot desynchronize the two sides; DuckDB still
+    independently recomputes every marker count (length/replace trick) and
+    the argmax with the alphabetical tie-break."""
+    from crawley_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"CAST({terms} AS BIGINT) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = "\n".join(
+        f"            WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, {", ".join(score_exprs)}
+        FROM (SELECT doc_id, lower(text) AS t FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und'
+{cases}
+           ELSE 'und' END AS pred_lang,
+           {best} AS best_score
+    FROM scored
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     U = _with_url(_URLS_SQL)
     return {
@@ -1103,32 +1137,7 @@ def oracle_sql() -> dict[str, str]:
                CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
         FROM documents
         """,
-        "lang_id": """
-        WITH scored AS (
-            SELECT doc_id,
-                CAST((length(t) - length(replace(t, ' der ', ''))) / 5
-                   + (length(t) - length(replace(t, ' und ', ''))) / 5
-                   + (length(t) - length(replace(t, ' die ', ''))) / 5 AS BIGINT) AS score_de,
-                CAST((length(t) - length(replace(t, ' the ', ''))) / 5
-                   + (length(t) - length(replace(t, ' and ', ''))) / 5
-                   + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS score_en,
-                CAST((length(t) - length(replace(t, ' el ', ''))) / 4
-                   + (length(t) - length(replace(t, ' y ', ''))) / 3
-                   + (length(t) - length(replace(t, ' de la ', ''))) / 7 AS BIGINT) AS score_es,
-                CAST((length(t) - length(replace(t, ' le ', ''))) / 4
-                   + (length(t) - length(replace(t, ' et ', ''))) / 4
-                   + (length(t) - length(replace(t, ' les ', ''))) / 5 AS BIGINT) AS score_fr
-            FROM (SELECT doc_id, lower(text) AS t FROM documents)
-        )
-        SELECT doc_id,
-               CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
-                    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
-                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
-                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
-                    ELSE 'fr' END AS pred_lang,
-               greatest(score_de, score_en, score_es, score_fr) AS best_score
-        FROM scored
-        """,
+        "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         FROM documents

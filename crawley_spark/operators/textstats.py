@@ -105,13 +105,28 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# tiny per-language stopword markers for the n-gram/stopword heuristic
-_LANG_MARKERS = {
+# Per-language stopword markers for the argmax heuristic (VERDICT r03 #5
+# widened 4 -> 12). Markers are space-delimited high-frequency function
+# words chosen to be distinctive for their language (collisions like
+# it/fr 'il' resolve by the other two markers; ties break deterministically
+# by language-code order). The oracle SQL is GENERATED from this same table
+# (__spark_entry__._lang_id_oracle) so Spark and DuckDB always agree on the
+# marker set while DuckDB independently recomputes counts and argmax.
+LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
     "de": [" der ", " und ", " die "],
     "fr": [" le ", " et ", " les "],
     "es": [" el ", " y ", " de la "],
+    "it": [" il ", " che ", " della "],
+    "pt": [" uma ", " como ", " não "],
+    "nl": [" het ", " een ", " van de "],
+    "sv": [" och ", " att ", " det "],
+    "pl": [" się ", " nie ", " jest "],
+    "tr": [" bir ", " ve ", " için "],
+    "id": [" yang ", " dan ", " untuk "],
+    "ru": [" и ", " не ", " что "],
 }
+_LANG_MARKERS = LANG_MARKERS  # back-compat alias
 
 
 def lang_score(text: Column, lang: str) -> Column:

@@ -82,6 +82,34 @@ def test_quality_and_lang(spark, docs):
     assert langs[4] == "fr"
 
 
+def test_lang_id_widened_languages(spark):
+    """One fixture sentence per language of the widened marker set
+    (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
+    markers stays 'und'."""
+    fixtures = {
+        "en": "we saw the house and the garden of the king",
+        "de": "am ende der woche und vor allem die kinder kamen",
+        "fr": "dans le jardin et sous les arbres du parc",
+        "es": "vimos el parque y la casa de la abuela ayer",
+        "it": "era il giorno che la madre della citta aspettava",
+        "pt": "ela fala como uma pessoa que não sabe nada",
+        "nl": "wij zagen het huis en een tuin van de koning",
+        "sv": "vi vill att det ska bli bra och fint idag",
+        "pl": "on nie wie czy to jest dobre bo się boi",
+        "tr": "bu bir ev ve bahçe için çok güzel bir yer",
+        "id": "rumah yang besar dan taman untuk anak anak itu",
+        "ru": "он сказал что это не так и ушел домой",
+        "und": "zzz qqq xxx www",
+    }
+    codes = list(fixtures)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fixtures.values())], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    for i, code in enumerate(codes):
+        assert got[i] == code, (code, fixtures[code], got[i])
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     import math
