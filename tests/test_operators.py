@@ -563,3 +563,140 @@ def test_media_real_decode_wav(spark):
     ]
     with pytest.raises(ValueError):
         wav_features(b"not a wav at all")
+
+
+def _mk_bmp(w=5, h=3, bc=24, luma=90, compression=0):
+    """Minimal Windows BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + constant
+    pixel rows padded to 4 bytes."""
+    import struct
+
+    bpp = bc // 8
+    stride = ((w * bpp) + 3) & ~3
+    px = bytes([luma]) * (stride * h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bc, compression, len(px), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(px), 0, 0, 14 + 40)
+    return hdr + info + px
+
+
+def _png_forward_filter(px, nch, ftypes):
+    """Apply PNG forward filtering (the encoder side) row by row, cycling
+    through the given filter types — exercises every unfilter branch."""
+    import numpy as np
+
+    h, stride = px.shape
+    bpp = nch
+    out = bytearray()
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        row = px[y].astype(np.int32)
+        prev = px[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = row - left
+        elif ft == 2:
+            f = row - prev
+        elif ft == 3:
+            f = row - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            f = row - pred
+        out.append(ft)
+        out.extend((f & 0xFF).astype(np.uint8).tobytes())
+    return bytes(out)
+
+
+def _mk_png(px, nch, depth=8, interlace=0):
+    """Minimal PNG from an (h, w*nch) uint8 array, filters cycling 0..4."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    h, stride = px.shape
+    w = stride // nch
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    idat = zlib.compress(_png_forward_filter(px, nch, [0, 1, 2, 3, 4]))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_media_real_decode_png(spark):
+    """FULL PNG decode via stdlib zlib + filter reversal (VERDICT r03 #7):
+    every filter type (0-4) exercised, grayscale/RGB/RGBA, alpha excluded
+    from luma; 16-bit depth keeps real header metadata with luma=-1."""
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import png_features
+
+    rng = np.random.RandomState(3)
+    # RGB 6x7 random gradient — filters 0..4 across the 7 rows
+    w, h, nch = 6, 7, 3
+    px = rng.randint(0, 256, size=(h, w * nch)).astype(np.uint8)
+    feats = png_features(_mk_png(px, nch))
+    assert feats[:5] == [float(w), float(h), 8.0, 2.0, 0.0]
+    assert abs(feats[5] - float(px.mean()) / 255.0) < 1e-9
+    # grayscale
+    g = rng.randint(0, 256, size=(4, 5)).astype(np.uint8)
+    fg = png_features(_mk_png(g, 1))
+    assert fg[:5] == [5.0, 4.0, 8.0, 0.0, 0.0]
+    assert abs(fg[5] - float(g.mean()) / 255.0) < 1e-9
+    # RGBA: alpha must not contaminate luma
+    a = np.zeros((2, 3 * 4), dtype=np.uint8)
+    a[:, 0::4] = 10
+    a[:, 1::4] = 20
+    a[:, 2::4] = 30
+    a[:, 3::4] = 255  # alpha
+    fa = png_features(_mk_png(a, 4))
+    assert fa[3] == 6.0 and abs(fa[5] - 20.0 / 255.0) < 1e-9
+    # 16-bit: metadata real, luma stub(-1)
+    f16 = png_features(_mk_png(px, 3, depth=16))
+    assert f16[2] == 16.0 and f16[5] == -1.0
+    with pytest.raises(ValueError):
+        png_features(b"GIF89a not a png")
+    # through Spark, decode="real", no PIL needed
+    media = spark.createDataFrame(
+        [(11, "image", bytearray(_mk_png(px, nch)), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = extract_features(media, decode="real").collect()
+    assert [round(float(v), 6) for v in rows[0]["feature"]] == [
+        round(v, 6) for v in feats
+    ]
+
+
+def test_media_real_decode_bmp(spark):
+    """BMP decodes via stdlib struct (VERDICT r03 #7): 24-bit luma exact,
+    RLE-compressed parses header with luma=-1, garbage is a data error."""
+    from crawley_spark.operators.multimodal import bmp_features
+
+    f = bmp_features(_mk_bmp(w=5, h=3, luma=90))
+    assert f == [5.0, 3.0, 24.0, 0.0, 90.0 / 255.0]
+    rle = bmp_features(_mk_bmp(compression=1))
+    assert rle[:4] == [5.0, 3.0, 24.0, 1.0] and rle[4] == -1.0
+    with pytest.raises(ValueError):
+        bmp_features(b"not a bmp")
+    media = spark.createDataFrame(
+        [(12, "image", bytearray(_mk_bmp(w=4, h=2, luma=200)), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = extract_features(media, decode="real").collect()
+    assert [round(float(v), 6) for v in rows[0]["feature"]] == [
+        4.0,
+        2.0,
+        24.0,
+        0.0,
+        round(200.0 / 255.0, 6),
+    ]
