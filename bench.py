@@ -78,6 +78,54 @@ BENCH_OVERRIDES = {
 
 CRAWL_PAGES_PER_DOC = 4  # corpus pages per documents row at the bench sf
 
+STREAM_BATCHES = 8
+
+
+def run_stream_bench(spark, n_pages: int = 8000, n_batches: int = STREAM_BATCHES) -> dict:
+    """Micro-batch ingestion throughput (VERDICT r03 "next" #8): pages/s
+    through streaming run_discovery — synth corpus written as ``n_batches``
+    parquet drop files, availableNow + maxFilesPerTrigger=1 so every file is
+    its own micro-batch (extraction UDF + in-batch dedup + anti-join against
+    all previous batches' seen dirs + idempotent two-sink write, per batch).
+    Timed from query start to drain; corpus materialization is excluded."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawley_spark.config import CrawlConfig
+    from crawley_spark.corpus import synth_corpus
+    from crawley_spark.streaming import run_discovery, stream_pages
+
+    drop = tempfile.mkdtemp(prefix="crawley_stream_bench_in_")
+    out = tempfile.mkdtemp(prefix="crawley_stream_bench_out_")
+    try:
+        synth_corpus(spark, n_pages=n_pages, n_hosts=20).repartition(
+            n_batches
+        ).write.mode("overwrite").parquet(drop)
+        t0 = time.monotonic()
+        q = run_discovery(
+            stream_pages(spark, drop, max_files_per_trigger=1),
+            out,
+            CrawlConfig(depth=-1, no_head=True),
+            "http://h0.test/",
+        )
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+        disc = spark.read.parquet(os.path.join(out, "discovered"))
+        n_disc = disc.count()
+        n_b = disc.select(F.countDistinct("batch_id")).collect()[0][0]
+        return {
+            "pages": n_pages,
+            "batches": int(n_b),
+            "discovered": int(n_disc),
+            "wall_sec": round(wall, 3),
+            "pages_per_sec": round(n_pages / wall, 1),
+        }
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
 
 def run_crawl(spark, n_pages: int, seed_hosts: int = 2, links_per_page: int = 8, body_words: int = 24, n_hosts: int = 20, warmup: bool = False, corpus_parquet: str | None = None):
     """Synthetic-corpus crawl; returns throughput stats. warmup=True first
@@ -230,6 +278,10 @@ def main():
     crawl_stats = run_crawl(spark, n_pages)
     timings["crawl_bfs_synth"] = crawl_stats["wall_sec"]
     total = time.monotonic() - total0
+    # Streaming ingestion throughput (VERDICT r03 #8) — measured OUTSIDE the
+    # headline total so cross-round totals stay comparable (this stage did
+    # not exist before r04); reported under its own key.
+    stream_stats = run_stream_bench(spark, n_pages=min(n_pages, 8000))
     print(
         json.dumps(
             {
@@ -240,6 +292,7 @@ def main():
                 "queries": timings,
                 "sf": sf,
                 "crawl": crawl_stats,
+                "stream": stream_stats,
             }
         )
     )
