@@ -36,6 +36,10 @@ HEADLINE = [
     "minhash_dedup",
     "ann_brute",
     "ann_lsh",
+    # r04 additions — new operators, timed for regression visibility; the
+    # r03-comparable subset is everything above (BENCH.md round-4 notes)
+    "near_dup_clusters",
+    "bpe_tokens",
 ]
 
 
@@ -71,9 +75,50 @@ def _bench_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _bench_near_dup_clusters(spark, sf_dir):
+    """Times the raw consolidation operator on a synthetic pair graph at
+    20x the sf0.1 doc count (100k docs, ~45k in pairs: 1875 chains of 8 +
+    300 stars of 100 — the small-diameter shape LSH pair generation
+    actually emits; the adversarial long-chain case is pinned by
+    tests/test_cluster.py's convergence-bound test instead), so the number
+    measures the CC iterations and the keeper joins — not simhash pair
+    generation, which the `simhash` entry already times. The queries()
+    entry keeps the end-to-end oracle shape."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.cluster import consolidate_near_duplicates
+
+    docs = spark.range(100_000).select(F.col("id").alias("doc_id"))
+    chains = (
+        spark.range(1875 * 8)
+        .select(
+            F.col("id").alias("doc_a"),
+            (F.col("id") + 1).alias("doc_b"),
+        )
+        .filter((F.col("id") % 8) != 7)  # break chains every 8 nodes
+    )
+    stars = spark.range(1875 * 8, 1875 * 8 + 300 * 100).select(
+        ((F.col("id") - 1875 * 8) / 100).cast("long").alias("hub"),
+        F.col("id").alias("doc_b"),
+    ).select((F.lit(1875 * 8) + F.col("hub") * 100).alias("doc_a"), "doc_b")
+    pairs = chains.unionByName(stars)
+    return consolidate_near_duplicates(docs, pairs)
+
+
+def _bench_bpe_tokens(spark, sf_dir):
+    """Times the raw merge-table BPE encode over the documents table (the
+    queries() entry adds the planted/roundtrip verification harness)."""
+    from crawley_spark.operators.textstats import bpe_token_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_stats(d.select("doc_id", "text"))
+
+
 BENCH_OVERRIDES = {
     "minhash_dedup": _bench_minhash_dedup,
     "ann_lsh": _bench_ann_lsh,
+    "near_dup_clusters": _bench_near_dup_clusters,
+    "bpe_tokens": _bench_bpe_tokens,
 }
 
 CRAWL_PAGES_PER_DOC = 4  # corpus pages per documents row at the bench sf
