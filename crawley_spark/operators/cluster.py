@@ -69,8 +69,16 @@ def connected_components(
     )
     # duplicate pairs across bands/tables would multiply the propagate join
     # output; one distinct up front bounds it (pair generators already
-    # dropDuplicates, but composed inputs may union several of them)
-    edges = edges.dropDuplicates(["u", "v"]).localCheckpoint(eager=False)
+    # dropDuplicates, but composed inputs may union several of them).
+    # Repartition by the join key, then persist — NOT localCheckpoint:
+    # InMemoryTableScan preserves the cached plan's outputPartitioning, so
+    # every iteration's propagate join sees edges already hash(u)-clustered
+    # and exchanges only the label table (nodes-in-pairs sized), while this
+    # build's LogicalRDD (what localCheckpoint produces) drops the
+    # partitioning and would re-shuffle the FULL edge set (the big side:
+    # band pairs can be many × nodes) every round, log(diameter) times.
+    # Verified by tests/test_cluster.py::test_propagate_join_exchanges_labels_only.
+    edges = edges.dropDuplicates(["u", "v"]).repartition(F.col("u")).persist()
     labels = (
         edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -112,6 +120,9 @@ def connected_components(
     if stats is not None:
         stats["iterations"] = iterations
         stats["nodes"] = n_nodes
+    # the final labels are an eager localCheckpoint (independent of the
+    # edge cache), so the cache can be released before returning
+    edges.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

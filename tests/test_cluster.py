@@ -8,6 +8,7 @@ cases, and the score-based keeper rule (max score, ties -> min id)."""
 
 import math
 import random
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -177,3 +178,94 @@ def test_batch_twin_of_streaming_keep_first(spark):
            for r in consolidate_near_duplicates(docs, pairs).collect()}
     assert out == {0: True, 1: False, 2: False, 3: True, 4: True,
                    5: True, 6: False, 7: True}
+
+
+def test_minhash_pairs_to_consolidation_pipeline(spark):
+    """End-to-end composition a dedup pipeline actually runs: planted
+    near-dup families -> near_duplicates_minhash pairs ->
+    consolidate_near_duplicates. Each family must collapse to one kept doc
+    (the min id), and unrelated docs must stay kept singletons."""
+    from crawley_spark.operators.dedup import near_duplicates_minhash
+
+    # each family gets its OWN long base text (disjoint word streams) so
+    # families are near-dups internally but nowhere near each other
+    bases = [
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm stone wall near the old mill by the river where water "
+        "runs clear and cold over the rocks all day long in the summer sun",
+        "seven silver ships sailed slowly southward past stormy seas and "
+        "spice islands carrying cargo of copper cloth and candles to the "
+        "capital city where crowded markets traded coins for cinnamon bark",
+        "under winter moonlight the mountain village lit small lanterns "
+        "along frozen paths while children counted falling snowflakes and "
+        "elders told ancient stories beside the crackling cedar fireplace",
+    ]
+    rows = []
+    # families 0..2: ids (10f, 10f+1, 10f+2) share a long text + tiny tails
+    for f in range(3):
+        fam = f"{bases[f]} family {f} marker {'x' * f}"
+        rows += [
+            (10 * f, fam),
+            (10 * f + 1, fam + " tail one"),
+            (10 * f + 2, fam + " tail two"),
+        ]
+    # unrelated singletons with disjoint vocabularies
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "uno dos tres cuatro cinco seis siete ocho nueve diez once"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = near_duplicates_minhash(docs, threshold=0.6)
+    out = {
+        r["doc_id"]: r
+        for r in consolidate_near_duplicates(docs, pairs).collect()
+    }
+    assert len(out) == 11
+    for f in range(3):
+        ids = [10 * f, 10 * f + 1, 10 * f + 2]
+        comps = {out[i]["component"] for i in ids}
+        assert comps == {10 * f}, (f, comps)
+        assert all(out[i]["keep_id"] == 10 * f for i in ids)
+        assert [out[i]["is_kept"] for i in ids] == [True, False, False]
+    for i in (100, 101):
+        assert out[i]["component"] == i and out[i]["is_kept"]
+
+
+def test_propagate_join_exchanges_labels_only(spark):
+    """The scale property of the iteration: edges are hash(u)-clustered once
+    at prep (repartition + persist — InMemoryTableScan preserves the cached
+    plan's outputPartitioning; localCheckpoint's LogicalRDD does NOT in this
+    build), so the per-round propagate join plan adds exactly ONE new
+    exchange — the label table — and the full edge set never re-shuffles.
+    The cached plan's own REPARTITION_BY_COL exchange prints inside
+    InMemoryRelation; only ENSURE_REQUIREMENTS exchanges are live per-round
+    work, so that's what is counted."""
+    raw = _pairs_df(spark, [(i, i + 1) for i in range(200)])
+    edges = (
+        raw.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(raw.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .repartition(F.col("u"))
+        .persist()
+    )
+    try:
+        edges.count()
+        labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+            "comp", F.col("id")
+        ).localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = edges.join(labels, edges.u == labels.id)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "InMemoryTableScan" in plan, plan
+        # a live edges re-shuffle would be a single-key hash(u)
+        # ENSURE_REQUIREMENTS exchange; the cached plan's own internal
+        # exchanges (printed inside InMemoryRelation) are keyed (u, v) or
+        # REPARTITION_BY_COL, so this regex matches none of them
+        assert not re.search(
+            r"Exchange hashpartitioning\(u#\d+L?, \d+\), ENSURE_REQUIREMENTS", plan
+        ), plan
+    finally:
+        edges.unpersist()
