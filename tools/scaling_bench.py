@@ -75,6 +75,30 @@ def run_once(cores: int, pages: int, corpus: str) -> dict:
     return r
 
 
+def run_host_probe(cores_needed: list) -> dict | None:
+    """Same-window host-ceiling measurement (tools/host_probe.py): identical
+    pure-Python copies of the real extraction kernel at each core count,
+    OUTSIDE Spark. Returns {procs: per_proc_efficiency_vs_1} or None on
+    failure. Co-tenant memory-bandwidth contention does not show up as
+    steal%, but it does show up here — recording it beside each round makes
+    a degraded-host window distinguishable from an engine regression."""
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "host_probe.py"),
+                "--pages", "4000",
+                "--procs", ",".join(str(c) for c in cores_needed),
+            ],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)["results"]
+        return {int(k): v["per_proc_efficiency_vs_1"] for k, v in res.items()}
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
@@ -86,7 +110,8 @@ def main():
     corpus = materialize_corpus(args.pages)
     cores_needed = sorted({int(c) for pair in args.pairs.split(",") for c in pair.split(":")})
     results = {c: {"runs": []} for c in cores_needed}
-    # interleave: one round = one run at every core count
+    probes = []
+    # interleave: one round = one run at every core count + one host probe
     for i in range(args.repeats):
         for cores in cores_needed:
             r = run_once(cores, args.pages, corpus)
@@ -94,6 +119,14 @@ def main():
             print(
                 f"round={i} cores={cores}: {r['wall_sec']}s "
                 f"{r['frontier_urls_per_sec']} urls/s steal={r['steal_pct']}%",
+                flush=True,
+            )
+        probe = run_host_probe(cores_needed)
+        probes.append(probe)
+        if probe:
+            print(
+                "round=%d host-probe per-proc eff: %s"
+                % (i, ", ".join(f"{k}p={v}" for k, v in sorted(probe.items()))),
                 flush=True,
             )
     for cores in cores_needed:
@@ -134,6 +167,42 @@ def main():
             f"- local[{n}] → local[{n4}]: {thr_n} → {thr_4n} URLs/s, "
             f"scaling efficiency = ({thr_4n}/{thr_n})/{n4 // n} = **{eff:.2f}**"
         )
+    good_probes = [p for p in probes if p]
+    if good_probes:
+        lines += [
+            "",
+            "### Same-window host ceiling (tools/host_probe.py, one per round)",
+            "",
+            "Identical pure-Python copies of the real extraction kernel",
+            "(tokenizer + canonicalizer) at each core count, OUTSIDE Spark —",
+            "per-process efficiency vs 1 process. This is what the socket +",
+            "co-tenants allow a perfectly parallel engine that round",
+            "(bandwidth contention does not appear as steal%, it appears",
+            "here):",
+            "",
+            "| round | " + " | ".join(f"{c}p" for c in cores_needed) + " |",
+            "|---|" + "---|" * len(cores_needed),
+        ]
+        for i, p in enumerate(probes):
+            if p:
+                lines.append(
+                    f"| {i} | " + " | ".join(str(p.get(c, "-")) for c in cores_needed) + " |"
+                )
+        med_probe = {
+            c: statistics.median(p[c] for p in good_probes if c in p)
+            for c in cores_needed
+        }
+        for pair in args.pairs.split(","):
+            n, n4 = (int(c) for c in pair.split(":"))
+            thr_n = results[n]["median_urls_per_sec"]
+            thr_4n = results[n4]["median_urls_per_sec"]
+            eff = (thr_4n / thr_n) / (n4 / n)
+            host_term = med_probe[n4] / med_probe[n]
+            lines.append(
+                f"- {n}:{n4} host term (median probe eff {n4}p/{n}p) = "
+                f"{host_term:.2f}; measured {eff:.2f} → host-normalized "
+                f"**{eff / host_term:.2f}** (engine term incl. serial floor)"
+            )
     lines += [
         "",
         "Single-node caveat (documented, not excuse-making): all 'executors'",
