@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 
 DEFAULT_MAX_ITER = 50
 
+# node count above which the per-round propagate join stops broadcasting the
+# label table (≈ Spark's 10 MB autoBroadcastJoinThreshold at 2 longs/row,
+# conservatively low) — only then does pre-clustering the edge table by the
+# join key pay for its one extra shuffle + cache
+BIG_GRAPH_NODES = 200_000
+
 
 def connected_components(
     pairs: DataFrame,
@@ -50,6 +56,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = DEFAULT_MAX_ITER,
     stats: dict | None = None,
+    big_graph_nodes: int = BIG_GRAPH_NODES,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; component =
     the smallest node id reachable from the node (the canonical cluster
@@ -69,20 +76,29 @@ def connected_components(
     )
     # duplicate pairs across bands/tables would multiply the propagate join
     # output; one distinct up front bounds it (pair generators already
-    # dropDuplicates, but composed inputs may union several of them).
-    # Repartition by the join key, then persist — NOT localCheckpoint:
-    # InMemoryTableScan preserves the cached plan's outputPartitioning, so
-    # every iteration's propagate join sees edges already hash(u)-clustered
-    # and exchanges only the label table (nodes-in-pairs sized), while this
-    # build's LogicalRDD (what localCheckpoint produces) drops the
-    # partitioning and would re-shuffle the FULL edge set (the big side:
-    # band pairs can be many × nodes) every round, log(diameter) times.
-    # Verified by tests/test_cluster.py::test_propagate_join_exchanges_labels_only.
-    edges = edges.dropDuplicates(["u", "v"]).repartition(F.col("u")).persist()
+    # dropDuplicates, but composed inputs may union several of them)
+    edges = edges.dropDuplicates(["u", "v"]).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
     n_nodes = labels.count()
+    edges_cached = None
+    if n_nodes > big_graph_nodes:
+        # Big graph: the label table no longer broadcasts, so every round's
+        # propagate join would re-shuffle the FULL edge set (the big side:
+        # band pairs can be many × nodes), log(diameter) times. Cluster the
+        # edges by the join key ONCE, via repartition + persist — NOT
+        # localCheckpoint: InMemoryTableScan preserves the cached plan's
+        # outputPartitioning, while this build's LogicalRDD (what
+        # localCheckpoint produces) drops it (verified empirically by
+        # tests/test_cluster.py::test_propagate_join_exchanges_labels_only).
+        # Below the threshold the labels broadcast each round, the edge
+        # partitioning is irrelevant, and the checkpointed row blocks scan
+        # faster than the columnar cache — a warm A/B on the bench pair
+        # graph measured persist ~10-15% slower there (BENCH.md r04), so
+        # the repartition+persist is gated, not unconditional.
+        edges_cached = edges.repartition(F.col("u")).persist()
+        edges = edges_cached
     prev_sum = None
     iterations = 0
     for _ in range(max_iter):
@@ -121,8 +137,9 @@ def connected_components(
         stats["iterations"] = iterations
         stats["nodes"] = n_nodes
     # the final labels are an eager localCheckpoint (independent of the
-    # edge cache), so the cache can be released before returning
-    edges.unpersist()
+    # edge cache), so the big-graph cache can be released before returning
+    if edges_cached is not None:
+        edges_cached.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

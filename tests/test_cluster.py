@@ -72,6 +72,23 @@ def test_components_match_union_find(spark):
     assert got == expect
 
 
+def test_components_big_graph_path_identical(spark):
+    """big_graph_nodes=0 forces the edges repartition+persist path (the
+    shape the operator takes when the label table is too big to broadcast);
+    results must be identical to the default broadcast-era path."""
+    rng = random.Random(7)
+    n = 250
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(180)]
+    expect = _uf_components(n, [e for e in edges if e[0] != e[1]])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            _pairs_df(spark, edges), big_graph_nodes=0
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_chain_pointer_jump_bound(spark):
     """A path graph of 2^k+1 nodes is the worst case for plain label
     propagation (O(n) rounds); pointer jumping must converge in
