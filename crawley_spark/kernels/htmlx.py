@@ -306,6 +306,17 @@ class _Tokenizer(HTMLParser):
         k = match.end()
         self.lasttag = tag = match.group(1).lower()
         want_attrs = tag in _RELEVANT_TAGS
+        if not want_attrs and not (self.is_js or self.is_css):
+            # Irrelevant tag with the js/css flags clear: every outcome of
+            # the stock attribute scan is an observable no-op here — the
+            # junk-end handle_data fallback only resets already-clear flags,
+            # handle_starttag/startendtag leave state untouched for tags
+            # extract_token ignores (all CDATA elements are relevant, so no
+            # cdata-mode entry is skipped) — and every path returns endpos,
+            # which check_for_whole_start_tag already computed. Real-web
+            # HTML is mostly div/span soup, so this skips the per-attribute
+            # regex loop for the majority of start tags there.
+            return endpos
         attrs = []
         while k < endpos:
             m = _hp.attrfind_tolerant.match(rawdata, k)

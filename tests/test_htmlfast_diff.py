@@ -115,6 +115,11 @@ def _fuzz_bodies(n=400, seed=42):
         " ", "\n", "text", "<", "&", "<video><source srcset=", "<picture>",
         "<iframe src=", "<form action=", "<track src=", "<object data=",
         "<audio src=", "z.w", "#f", "?q=1", "é", "]]>", "<![CDATA[",
+        # irrelevant tags (attribute scan skipped when js/css flags are
+        # clear) — with clean, junk, and self-closing ends, to pin the
+        # skip path against the pristine loop in every flag state
+        "<div class=", "<p>", "<span data-x='1'>", "<br/>", "<b !junk>",
+        "</div>", "<div a=1 b=2>",
     ]
     out = []
     for _ in range(n):
