@@ -7,7 +7,12 @@ Radford et al. 2019): text is pre-tokenized with a GPT-2-shaped regex
 encoded and mapped byte→printable-unicode (the GPT-2 byte table, so merges
 operate on visible chars and every byte sequence is representable), then
 merges apply lowest-rank-first. Encoding is LOSSLESS: decode(encode(t)) ==
-t for any string — the roundtrip is the operator's oracle invariant.
+t for any *valid-Unicode* string — which covers every string Spark can hand
+the UDF, since Arrow-backed Spark strings are valid UTF-8. (Python strings
+containing lone surrogates outside U+DC80-DCFF — unreachable from Spark —
+are not encodable: ``str.encode("utf-8", "surrogateescape")`` raises on
+them by design rather than silently corrupting the roundtrip.) The
+roundtrip is the operator's oracle invariant.
 
 No external vocab file: the default merge table is LEARNED AT FIRST USE
 from a fixed seed text embedded below (standard BPE training: repeatedly

@@ -101,45 +101,51 @@ def connected_components(
         edges = edges_cached
     prev_sum = None
     iterations = 0
-    for _ in range(max_iter):
-        iterations += 1
-        # 1. propagate: min label over self + in-neighbors
-        prop = edges.join(labels, edges.u == labels.id).select(
-            F.col("v").alias("id"), F.col("comp")
-        )
-        new = (
-            labels.select("id", "comp")
-            .unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # 2. pointer-jump: comp := comp[comp] (comp is itself a node id, so
-        # the self-join always matches; coalesce guards the theoretical
-        # miss so a bug surfaces as a wrong label, never a dropped node)
-        jump = new.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
-        new = (
-            new.join(jump, new.comp == jump.cid, "left")
-            .select("id", F.coalesce("ccomp", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        # labels only decrease ⟹ sum strictly decreases iff any changed
-        s = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-        labels = new
-        if s == prev_sum:
-            break
-        prev_sum = s
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({n_nodes} nodes) — this indicates a bug, not a large graph"
-        )
+    # try/finally: the non-convergence raise (or any mid-loop failure) must
+    # not leak the persisted big-graph edge table in the cache for the
+    # session's lifetime (ADVICE r04)
+    try:
+        for _ in range(max_iter):
+            iterations += 1
+            # 1. propagate: min label over self + in-neighbors
+            prop = edges.join(labels, edges.u == labels.id).select(
+                F.col("v").alias("id"), F.col("comp")
+            )
+            new = (
+                labels.select("id", "comp")
+                .unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # 2. pointer-jump: comp := comp[comp] (comp is itself a node id,
+            # so the self-join always matches; coalesce guards the
+            # theoretical miss so a bug surfaces as a wrong label, never a
+            # dropped node)
+            jump = new.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
+            new = (
+                new.join(jump, new.comp == jump.cid, "left")
+                .select("id", F.coalesce("ccomp", "comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            # labels only decrease ⟹ sum strictly decreases iff any changed
+            s = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+            labels = new
+            if s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({n_nodes} nodes) — this indicates a bug, not a large graph"
+            )
+    finally:
+        # the final labels are an eager localCheckpoint (independent of the
+        # edge cache), so the big-graph cache is always releasable here
+        if edges_cached is not None:
+            edges_cached.unpersist()
     if stats is not None:
         stats["iterations"] = iterations
         stats["nodes"] = n_nodes
-    # the final labels are an eager localCheckpoint (independent of the
-    # edge cache), so the big-graph cache can be released before returning
-    if edges_cached is not None:
-        edges_cached.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

@@ -222,7 +222,25 @@ class CrawlState:
         with open(self.manifest_path) as f:
             self.manifest = json.load(f)
         persisted = self.manifest.get("layout")
-        if persisted is not None:  # pre-r04 manifests carry no layout record
+        if persisted is None:
+            # pre-r04 manifests carry no layout record: the check cannot run,
+            # and the next commit() will stamp the CURRENT process layout as
+            # authoritative. Warn loudly so the operator confirms the env
+            # (CRAWLEY_SEEN_BUCKETS etc.) matches what the checkpoint was
+            # originally written under before that adoption bakes in
+            # (ADVICE r04).
+            import warnings
+
+            warnings.warn(
+                "resuming a legacy checkpoint with no layout record "
+                f"({self.manifest_path}): the current process layout "
+                f"{current_layout()} will be adopted as authoritative on the "
+                "next commit — confirm it matches the layout this checkpoint "
+                "was originally written under (a mismatch silently mis-prunes "
+                "bucket-partitioned seen reads).",
+                stacklevel=2,
+            )
+        else:
             bad = {
                 k: (persisted[k], self._layout[k])
                 for k in persisted
