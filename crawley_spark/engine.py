@@ -534,9 +534,13 @@ def crawl(
                 fetched = fetchable.join(pages_n, on="url", how="inner")
 
             # 3. extract + classify (X1-X6, N1-N3, P1-P10) — one Arrow stage
+            # (mapInArrow: RecordBatches in/out, no pandas assembly; warm
+            # A/B vs the r04 mapInPandas path in BENCH.md — the pandas
+            # marshalling was NOT the in-Spark overhead, the switch is
+            # neutral-to-slightly-faster and drops the pandas dependency)
             candidates = fetched.select(
                 "run_id", "rank", "url", "html", "content_type"
-            ).mapInPandas(extract_fn, CANDIDATES_SCHEMA)
+            ).mapInArrow(extract_fn, CANDIDATES_SCHEMA)
             candidates = candidates.persist()
 
             # 4. dedup (D2 in-wave, D1 vs seen): in-wave first occurrence, then

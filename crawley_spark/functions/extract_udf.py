@@ -1,10 +1,27 @@
 """Arrow-batched page-extraction UDF (X1-X6 + N1-N3 + P1-P10 in one pass).
 
-``mapInPandas`` over the fetch join's output: each batch of (run_id, rank,
-url, html, content_type) rows becomes a batch of classified link candidates.
-One Python stage per iteration — extraction, canonicalization, hashing-key
-projection and all per-candidate predicates happen here so everything else
-in the iteration stays JVM-side (joins, windows, writes).
+``mapInArrow`` over the fetch join's output: each ``pyarrow.RecordBatch`` of
+(run_id, rank, url, html, content_type) rows becomes a batch of classified
+link candidates. One Python stage per iteration — extraction,
+canonicalization, hashing-key projection and all per-candidate predicates
+happen here so everything else in the iteration stays JVM-side (joins,
+windows, writes).
+
+Why ``mapInArrow`` and not ``mapInPandas`` (VERDICT r04 "next" #1): the
+round-4 event-log decomposition proved the big crawl waves are 100%
+Python-worker-bound with zero shuffle, and the same kernel ran ~40% faster
+bare than inside Spark. The hypothesis was that pandas assembly on both
+sides of the Arrow boundary carried that gap; the controlled stage-isolated
+warm A/B (tools/arrow_ab.py, results in BENCH.md) REFUTED it — the switch
+is neutral on heavy pages (1.00×) and marginal on light ones (1.03×), so
+the bare-vs-Spark gap lives in the Arrow IPC boundary itself (columnar→
+Arrow conversion, worker socket transfer) plus kernel time, not in pandas.
+The conversion is kept because it is output-identical, never slower, and
+removes pandas (Series construction, ``pd.DataFrame(rows)`` block
+consolidation, NaN-vs-None ambiguity for content_type) from the hot path:
+input columns come out as plain Python lists (``to_pylist`` — the binary
+html column yields ``bytes`` with no bytearray hop), output columns go
+back as ``pa.array(...)`` per column with an explicit type.
 
 Config + robots rules are closure-captured (driver-known, static per crawl —
 no per-row config columns crossing Arrow).
@@ -51,6 +68,28 @@ CANDIDATES_SCHEMA = T.StructType(
 
 _COLS = [f.name for f in CANDIDATES_SCHEMA.fields]
 
+
+def _arrow_schema():
+    """pyarrow twin of CANDIDATES_SCHEMA (built lazily so importing this
+    module never forces pyarrow onto the driver path)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("run_id", pa.string()),
+            ("parent_rank", pa.int64()),
+            ("ord", pa.int32()),
+            ("uri", pa.string()),
+            ("url_key", pa.string()),
+            ("host", pa.string()),
+            ("enqueue_ok", pa.bool_()),
+            ("can_fetch", pa.bool_()),
+            ("emit_ok", pa.bool_()),
+            ("src_pid", pa.int32()),
+            ("dup_count", pa.int64()),
+        ]
+    )
+
 # Bound the per-partition combine dict; when exceeded the partition flushes
 # early (partial combine — the downstream window keeps exactness). Sized so
 # a 128 MB corpus partition's unique links fit comfortably.
@@ -59,11 +98,11 @@ _MEMO_MAX = int(os.environ.get("CRAWLEY_CLASSIFY_MEMO_MAX", "1000000"))
 
 
 def build_extract_candidates(cfgs: dict, seeds: dict, robots: dict):
-    """Returns a mapInPandas function. cfgs: run_id → CrawlConfig (validated);
+    """Returns a mapInArrow function. cfgs: run_id → CrawlConfig (validated);
     seeds: run_id → raw seed string; robots: run_id → RobotsTXT."""
 
     def fn(batches):
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
 
         from ..functions.tags import prepare_filter
@@ -87,6 +126,9 @@ def build_extract_candidates(cfgs: dict, seeds: dict, robots: dict):
                 filters[run_id] = prepare_filter(cfgs[run_id].tags)
             return cfgs[run_id], bases[run_id], filters[run_id]
 
+        out_schema = _arrow_schema()
+        out_types = [f.type for f in out_schema]
+
         # (run_id, fetch_cls, uri) -> Candidate; pure per (run, class, uri)
         memo: dict = {}
         # (run_id, url_key) -> [parent_rank, ord, row_list]; row carries its
@@ -96,15 +138,26 @@ def build_extract_candidates(cfgs: dict, seeds: dict, robots: dict):
         def flush():
             rows = [e[2] for e in best.values()]
             best.clear()
-            return pd.DataFrame(rows, columns=_COLS)
+            # column-wise assembly straight into typed Arrow arrays — the
+            # zip(*) transpose is C-speed; no pandas DataFrame, no block
+            # consolidation, no dtype inference
+            cols = list(zip(*rows)) if rows else [[] for _ in out_types]
+            return pa.RecordBatch.from_arrays(
+                [pa.array(c, type=t) for c, t in zip(cols, out_types)],
+                schema=out_schema,
+            )
 
-        for pdf in batches:
+        for batch in batches:
+            names = batch.schema.names
+            col = {n: batch.column(i) for i, n in enumerate(names)}
+            # to_pylist: strings -> str, binary html -> bytes (no bytearray
+            # hop), int64 rank -> int, nulls -> None — ready for the kernel
             it = zip(
-                pdf["run_id"].values,
-                pdf["rank"].values,
-                pdf["url"].values,
-                pdf["html"].values,
-                pdf["content_type"].values,
+                col["run_id"].to_pylist(),
+                col["rank"].to_pylist(),
+                col["url"].to_pylist(),
+                col["html"].to_pylist(),
+                col["content_type"].to_pylist(),
             )
             for run_id, rank, url, html, ctype in it:
                 cfg, base, tag_filter = run_ctx(run_id)
@@ -112,12 +165,11 @@ def build_extract_candidates(cfgs: dict, seeds: dict, robots: dict):
                     u = gourl.parse(url)
                 except URLError:
                     continue
-                ct = effective_content_type(url, None if ctype is None or ctype != ctype else ctype)
+                ct = effective_content_type(url, ctype)
                 if html is None or not fetch_gate(u, url, ct, cfg):
                     continue
-                body = bytes(html).decode("utf-8", "surrogateescape")
+                body = html.decode("utf-8", "surrogateescape")
                 rb = robots[run_id]
-                rank = int(rank)
                 scan_js, scan_css = cfg.scan_js, cfg.scan_css
                 for ordi, (tag, uri) in enumerate(page_candidates(url, u, body, ct, cfg, tag_filter)):
                     fetch_cls = (

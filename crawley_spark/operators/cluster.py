@@ -34,6 +34,13 @@ logarithmic in the largest cluster's diameter. A degenerate giant cluster
 (template mass: millions of mutually-similar docs) has small diameter by
 construction — LSH pair generation emits near-cliques — so it converges in
 2-3 rounds; the long-chain worst case is what pointer jumping bounds.
+
+Small graphs (≤ ``SMALL_GRAPH_NODES`` nodes) skip the rounds entirely: an
+exact driver-local union-find over the collected edge list (VERDICT r04
+"next" #5) — at that size the iterative path is pure Spark-job-scheduling
+floor, and per-micro-batch callers (streaming keep-first dedup) need the
+consolidation to cost one collect, not log(n) jobs. Both paths are
+parity-forced in tests.
 """
 
 from __future__ import annotations
@@ -49,6 +56,42 @@ DEFAULT_MAX_ITER = 50
 # join key pay for its one extra shuffle + cache
 BIG_GRAPH_NODES = 200_000
 
+# VERDICT r04 "next" #5: below this node count the whole pair graph is a
+# driver-trivial object (≤ 4096 nodes × 2 longs), and the iterative
+# DataFrame rounds are pure Spark-job floor — each round costs ~0.2-0.5 s of
+# scheduling for microseconds of actual work. A driver-local union-find is
+# exact (parity forced through both paths in tests/test_cluster.py) and
+# turns the consolidation's per-round floor into one collect. The edge
+# cap guards the degenerate small-n/dense-clique case where n² edges would
+# make the collect itself the problem; past it the distributed path runs.
+SMALL_GRAPH_NODES = 4096
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _driver_components(edge_rows):
+    """Exact union-find with path compression over collected (u, v) rows;
+    union-by-min-root keeps the invariant that every tree's root is the
+    minimum id of its component, so ``find(x)`` IS the canonical label."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return [(x, find(x)) for x in parent]
+
 
 def connected_components(
     pairs: DataFrame,
@@ -57,11 +100,18 @@ def connected_components(
     max_iter: int = DEFAULT_MAX_ITER,
     stats: dict | None = None,
     big_graph_nodes: int = BIG_GRAPH_NODES,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; component =
     the smallest node id reachable from the node (the canonical cluster
     label). Ids must be integral (longs). ``stats`` (optional dict) receives
-    ``{"iterations": n, "nodes": n}`` for convergence-bound tests/metrics.
+    ``{"iterations": n, "nodes": n, "mode": "driver"|"distributed"}`` for
+    convergence-bound tests/metrics.
+
+    Graphs with ≤ ``small_graph_nodes`` nodes (and a bounded edge count)
+    take an exact driver-local union-find instead of the iterative rounds —
+    the per-round Spark job floor dominates tiny graphs; pass 0 to force
+    the distributed path (tests do, to pin its convergence bounds).
 
     Raises after ``max_iter`` rounds without convergence — with pointer
     jumping that bound is ~log2(longest chain) + 3, so 50 covers any input
@@ -82,6 +132,20 @@ def connected_components(
         edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
     n_nodes = labels.count()
+    if n_nodes <= small_graph_nodes:
+        # one direction suffices for union-find; halves the collect
+        half = edges.filter(F.col("u") < F.col("v"))
+        edge_rows = half.limit(SMALL_GRAPH_EDGES + 1).collect()
+        if len(edge_rows) <= SMALL_GRAPH_EDGES:
+            comp = _driver_components([(r[0], r[1]) for r in edge_rows])
+            if stats is not None:
+                stats["iterations"] = 0
+                stats["nodes"] = n_nodes
+                stats["mode"] = "driver"
+            spark = pairs.sparkSession
+            return spark.createDataFrame(comp, "id long, component long")
+        # fell through: tiny node set but a near-complete clique — the
+        # distributed rounds handle it in O(1) iterations anyway
     edges_cached = None
     if n_nodes > big_graph_nodes:
         # Big graph: the label table no longer broadcasts, so every round's
@@ -146,6 +210,7 @@ def connected_components(
     if stats is not None:
         stats["iterations"] = iterations
         stats["nodes"] = n_nodes
+        stats["mode"] = "distributed"
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
@@ -158,6 +223,7 @@ def consolidate_near_duplicates(
     score_col: str | None = None,
     max_iter: int = DEFAULT_MAX_ITER,
     stats: dict | None = None,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
 ) -> DataFrame:
     """One row per doc of ``df``: (id_col, component, keep_id, is_kept) —
     the canonical keep/drop decision per near-dup cluster (the batch twin of
@@ -172,7 +238,10 @@ def consolidate_near_duplicates(
 
     Shape: components over the pair minority, then two scalar equi-joins
     (labels onto df; keeper table onto components). Nothing driver-side."""
-    comp = connected_components(pairs, src, dst, max_iter=max_iter, stats=stats)
+    comp = connected_components(
+        pairs, src, dst, max_iter=max_iter, stats=stats,
+        small_graph_nodes=small_graph_nodes,
+    )
     ids = df.select(F.col(id_col).cast("long").alias(id_col), *( [F.col(score_col)] if score_col else [] ))
     labeled = ids.join(comp, ids[id_col] == comp.id, "left").select(
         F.col(id_col),

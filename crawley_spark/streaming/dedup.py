@@ -3,17 +3,27 @@ stream — the streaming twin of ``operators.dedup.near_duplicates_minhash``
 for continuously-ingested corpora (the training-data case: suppress a
 document if anything sufficiently similar arrived before it).
 
-Suppression rule, precisely (ADVICE r03): a doc is a duplicate iff it pairs
-at ≥ threshold with an earlier KEPT doc (prior batches — only kept docs
-enter the store) or with ANY smaller-id doc of its OWN batch, kept or
-itself suppressed. The in-batch half is deliberately the aggressive
-one-pass variant: in a similarity chain a~b~c with a≁c arriving in one
-batch, both b and c are suppressed (c via the suppressed b), whereas
-strict keep-first would keep c. Exact keep-first within a batch needs the
-connected-component pass (``operators.cluster.consolidate_near_duplicates``
-is the batch tool for that); one-pass is the right streaming trade — no
-per-batch iteration, and over-suppression is bounded by the batch size,
-never spans batches.
+Suppression rule, precisely (VERDICT r04 "next" #2 — the exact batch-twin
+rule, replacing r03's one-pass approximation): per micro-batch, build the
+pair graph over (a) in-batch pairs at ≥ threshold and (b) cross-batch pairs
+between batch docs and previously-KEPT store docs, then take connected
+components (``operators.cluster.connected_components`` — batches are small
+graphs, so its driver-local union-find fast path applies and the
+consolidation costs one collect, not log(n) Spark jobs). Per component:
+
+* contains ≥ 1 store doc → every batch doc in it is suppressed
+  (``dup_of`` = the smallest such store doc — it was kept in an earlier
+  batch and cannot be retracted);
+* else → the smallest batch id is kept, the rest suppressed
+  (``dup_of`` = that keeper).
+
+This is byte-identical to what ``consolidate_near_duplicates`` would decide
+had the whole component arrived in one batch (stream≡batch parity is
+pinned in tests/test_streaming.py): in a chain a~b~c with a≁c, b AND c are
+suppressed with ``dup_of`` = a — one keeper per cluster, the
+training-data-dedup contract. ``est_jaccard`` on a suppressed doc is its
+best DIRECT pair estimate (max over its own edges — evidence, not the
+similarity to the possibly-transitive keeper).
 
 Per micro-batch (``foreachBatch``):
 
@@ -51,6 +61,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.cluster import connected_components
 from ..operators.dedup import (
     MINHASH_PERMS,
     _band_buckets,
@@ -106,9 +117,7 @@ def run_incremental_dedup(
         in_pairs = near_duplicates_minhash(
             docs, text_col=text_col, id_col=id_col, shingle=shingle,
             threshold=threshold, seed=seed,
-        ).select(
-            F.col("doc_b").alias(id_col), F.col("doc_a").alias("dup_of"), "est_jaccard"
-        )
+        ).localCheckpoint(eager=True)  # read 3×: edges + both direct sides
         sigs = minhash_signatures(docs, text_col, id_col, shingle, seed).localCheckpoint(
             eager=False
         )
@@ -123,37 +132,72 @@ def run_incremental_dedup(
                 .join(store.alias("o"), on=["band", "bucket"])
                 .select(
                     F.col(f"n.{id_col}").alias(id_col),
-                    F.col("o.doc_id").alias("dup_of"),
+                    F.col("o.doc_id").alias("store_id"),
                     _est(F.col("n.sig"), F.col("o.sig")).alias("est_jaccard"),
                 )
                 .filter(F.col("est_jaccard") >= threshold)
-                .dropDuplicates([id_col, "dup_of"])
+                .dropDuplicates([id_col, "store_id"])
             )
             counts = store.groupBy("band", "bucket").agg(F.count("*").alias("stored"))
         else:
-            cross = spark.createDataFrame([], f"{id_col} long, dup_of long, est_jaccard double")
-            counts = None
-        # best (highest-est, then smallest dup_of) match per duplicated doc
-        dups = (
-            in_pairs.unionByName(cross)
-            .groupBy(id_col)
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("est_jaccard").alias("e"), (-F.col("dup_of")).alias("nd")
-                    )
-                ).alias("m")
+            cross = spark.createDataFrame(
+                [], f"{id_col} long, store_id long, est_jaccard double"
             )
+            counts = None
+        cross = cross.localCheckpoint(eager=True)
+        # exact batch-twin consolidation (module docstring): components over
+        # in-batch + cross edges; store-anchored components are wholly
+        # suppressed, others keep their min batch id. Batches are small
+        # graphs, so connected_components takes its driver-local fast path.
+        edges = in_pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).unionByName(cross.select(F.col(id_col).alias("u"), F.col("store_id").alias("v")))
+        comp = connected_components(edges, src="u", dst="v")
+        anchors = (
+            comp.join(
+                cross.select(F.col("store_id").alias("id")).distinct(), on="id"
+            )
+            .groupBy("component")
+            .agg(F.min("id").alias("store_keep"))
+        )
+        labeled = (
+            docs.select(id_col)
+            .join(comp, docs[id_col] == comp.id, "left")
             .select(
                 F.col(id_col),
-                (-F.col("m.nd")).alias("dup_of"),
-                F.col("m.e").alias("est_jaccard"),
+                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            )
+        )
+        min_batch = labeled.groupBy("component").agg(F.min(id_col).alias("batch_keep"))
+        keepers = (
+            labeled.join(F.broadcast(min_batch), on="component")
+            .join(F.broadcast(anchors), on="component", how="left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("store_keep"), F.col("batch_keep")).alias("keep_id"),
+            )
+        )
+        # evidence column: each suppressed doc's best DIRECT pair estimate
+        direct = (
+            in_pairs.select(F.col("doc_a").alias(id_col), "est_jaccard")
+            .unionByName(in_pairs.select(F.col("doc_b").alias(id_col), "est_jaccard"))
+            .unionByName(cross.select(F.col(id_col), "est_jaccard"))
+            .groupBy(id_col)
+            .agg(F.max("est_jaccard").alias("est_jaccard"))
+        )
+        dups = (
+            keepers.filter(F.col(id_col) != F.col("keep_id"))
+            .join(direct, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.col("keep_id").alias("dup_of"),
+                F.col("est_jaccard"),
                 F.lit(batch_id).alias("batch_id"),
             )
             .localCheckpoint(eager=True)
         )
         kept = (
-            docs.join(dups.select(id_col), on=id_col, how="left_anti")
+            keepers.filter(F.col(id_col) == F.col("keep_id"))
             .select(F.col(id_col), F.lit(batch_id).alias("batch_id"))
             .localCheckpoint(eager=True)
         )

@@ -7,7 +7,7 @@ Four surfaces, each the incremental twin of an existing batch operator:
   files to a directory; each micro-batch is the newly-arrived files.
 * :func:`extract_links_stream` — the engine's Arrow extraction UDF
   (functions/extract_udf.py — X1-X6/N1-N3/P1-P10 in one Python stage) mapped
-  over the page stream. ``mapInPandas`` composes with streaming unchanged,
+  over the page stream. ``mapInArrow`` composes with streaming unchanged,
   so the batch and streaming paths share one kernel byte-for-byte.
 * :func:`run_discovery` — ``foreachBatch`` incremental URL discovery: per
   micro-batch extract → in-batch first-occurrence dedup → anti-join against
@@ -107,7 +107,7 @@ def extract_links_stream(
             else F.lit(None).cast("string")
         ).alias("content_type"),
     )
-    return prep.mapInPandas(fn, CANDIDATES_SCHEMA)
+    return prep.mapInArrow(fn, CANDIDATES_SCHEMA)
 
 
 DISCOVERED_SCHEMA = T.StructType(

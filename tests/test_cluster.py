@@ -61,15 +61,30 @@ def _pairs_df(spark, edges):
 
 
 def test_components_match_union_find(spark):
+    """Parity forced through BOTH paths (VERDICT r04 #5): the driver-local
+    union-find fast path (default at 300 nodes) and the distributed
+    iterative path (small_graph_nodes=0) must both equal the brute-force
+    reference on the same random graphs."""
     rng = random.Random(42)
     n = 300
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
     expect = _uf_components(n, [e for e in edges if e[0] != e[1]])
-    got = {
+    stats_drv, stats_dist = {}, {}
+    got_driver = {
         r["id"]: r["component"]
-        for r in connected_components(_pairs_df(spark, edges)).collect()
+        for r in connected_components(
+            _pairs_df(spark, edges), stats=stats_drv
+        ).collect()
     }
-    assert got == expect
+    got_dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            _pairs_df(spark, edges), stats=stats_dist, small_graph_nodes=0
+        ).collect()
+    }
+    assert stats_drv["mode"] == "driver" and stats_dist["mode"] == "distributed"
+    assert got_driver == expect
+    assert got_dist == expect
 
 
 def test_components_big_graph_path_identical(spark):
@@ -83,7 +98,7 @@ def test_components_big_graph_path_identical(spark):
     got = {
         r["id"]: r["component"]
         for r in connected_components(
-            _pairs_df(spark, edges), big_graph_nodes=0
+            _pairs_df(spark, edges), big_graph_nodes=0, small_graph_nodes=0
         ).collect()
     }
     assert got == expect
@@ -96,7 +111,8 @@ def test_chain_pointer_jump_bound(spark):
     n = 257  # chain 0-1-2-...-256 (diameter 256)
     edges = [(i, i + 1) for i in range(n - 1)]
     stats = {}
-    out = connected_components(_pairs_df(spark, edges), stats=stats)
+    out = connected_components(_pairs_df(spark, edges), stats=stats,
+                               small_graph_nodes=0)
     rows = out.collect()
     assert all(r["component"] == 0 for r in rows) and len(rows) == n
     bound = math.ceil(math.log2(n)) + 4  # log rounds + init/detect slack
@@ -113,7 +129,8 @@ def test_giant_cluster_bounded(spark):
         (rng.randrange(n), rng.randrange(n)) for _ in range(500)
     ]
     stats = {}
-    out = connected_components(_pairs_df(spark, edges), stats=stats)
+    out = connected_components(_pairs_df(spark, edges), stats=stats,
+                               small_graph_nodes=0)
     assert out.filter(F.col("component") != 0).count() == 0
     assert out.count() == n
     assert stats["iterations"] <= 5, stats
@@ -169,6 +186,44 @@ def test_consolidate_score_keeper_max_score_ties_min_id(spark):
     assert {d for d, r in out.items() if r["is_kept"]} == {2, 5}
 
 
+def test_consolidate_parity_both_paths(spark):
+    """consolidate_near_duplicates must give byte-identical keep/drop
+    decisions through the driver fast path and the distributed rounds."""
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    pairs = _pairs_df(spark, [(3, 7), (7, 9), (2, 5), (0, 11)])
+    a = sorted(
+        map(tuple, consolidate_near_duplicates(docs, pairs).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            consolidate_near_duplicates(
+                docs, pairs, small_graph_nodes=0
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_edge_cap_falls_through_to_distributed(spark, monkeypatch):
+    """Small node count but an edge list past SMALL_GRAPH_EDGES must skip
+    the driver collect and run the distributed rounds (the dense-clique
+    guard), with identical results."""
+    from crawley_spark.operators import cluster as cl
+
+    monkeypatch.setattr(cl, "SMALL_GRAPH_EDGES", 3)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)]
+    stats = {}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            _pairs_df(spark, edges), stats=stats
+        ).collect()
+    }
+    assert stats["mode"] == "distributed"
+    assert got == _uf_components(7, edges)
+
+
 def test_empty_pairs_all_singletons(spark):
     docs = spark.range(0, 5).select(F.col("id").alias("doc_id"))
     out = consolidate_near_duplicates(docs, _pairs_df(spark, [])).collect()
@@ -179,7 +234,7 @@ def test_empty_pairs_all_singletons(spark):
 def test_nonconvergence_guard_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_pairs_df(spark, [(i, i + 1) for i in range(64)]),
-                             max_iter=2)
+                             max_iter=2, small_graph_nodes=0)
 
 
 def test_batch_twin_of_streaming_keep_first(spark):

@@ -356,6 +356,117 @@ def test_incremental_dedup_replay_idempotent(spark, tmp_path):
     assert [d_ for d_, _ in dups] == list(range(50, 58))
 
 
+def _chain_texts():
+    """Three texts with pair graph exactly 5~9, 9~3, NO 5~3 at threshold
+    0.70 under the operator's char-shingle MinHash (probed: est(5,9)=0.81,
+    est(3,9)=0.77, (3,5) not banded/thresholded). Sliding 10-of-12 word
+    blocks; deterministic via the fixed RNG seed."""
+    import random
+
+    rng = random.Random(12345)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(200)]
+    blocks = [" ".join(words[i * 12 : (i + 1) * 12]) for i in range(14)]
+    a = " ".join(blocks[0:10])   # id 5
+    b = " ".join(blocks[1:11])   # id 9
+    c = " ".join(blocks[2:12])   # id 3
+    return a, b, c
+
+
+def test_incremental_dedup_keep_first_chain(spark, tmp_path):
+    """VERDICT r04 "next" #2 pinned divergence: a similarity chain 5~9~3
+    (5≁3) in ONE batch. The r03 one-pass rule kept {5, 3} (9 suppressed by
+    5; 3's only pair is the larger id 9). The batch-twin component rule
+    must keep exactly the component's min id: {3}, with 5 and 9 both
+    attributed to keeper 3."""
+    from crawley_spark.streaming import run_incremental_dedup
+
+    a, b, c = _chain_texts()
+    d = _write_doc_files(spark, tmp_path, {0: [(5, a), (9, b), (3, c)]})
+    out = str(tmp_path / "dedup")
+    q = run_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d),
+        out,
+        threshold=0.70,
+    )
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "kept")).collect()}
+    dups = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+    }
+    assert kept == {3}
+    assert dups == {5: 3, 9: 3}
+
+
+def test_incremental_dedup_stream_equals_batch_consolidation(spark, tmp_path):
+    """Stream≡batch parity (the updated r04 contract): a single micro-batch
+    must reproduce consolidate_near_duplicates' keep/drop decisions exactly
+    — same keeper per component, same suppressed set."""
+    from crawley_spark.operators.cluster import consolidate_near_duplicates
+    from crawley_spark.operators.dedup import near_duplicates_minhash
+    from crawley_spark.streaming import run_incremental_dedup
+
+    a, b, c = _chain_texts()
+    fresh = _texts(3, "z")
+    rows = [(5, a), (9, b), (3, c)] + [(20 + i, t) for i, t in enumerate(fresh)] + [
+        (40, fresh[0])  # exact in-batch dup of 20
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: (r["keep_id"], bool(r["is_kept"]))
+        for r in consolidate_near_duplicates(
+            docs, near_duplicates_minhash(docs, threshold=0.70)
+        ).collect()
+    }
+    d = _write_doc_files(spark, tmp_path, {0: rows})
+    out = str(tmp_path / "dedup")
+    q = run_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d),
+        out,
+        threshold=0.70,
+    )
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "kept")).collect()}
+    dups = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+    }
+    assert kept == {i for i, (_, k) in batch.items() if k}
+    assert dups == {i: kid for i, (kid, k) in batch.items() if not k}
+
+
+def test_incremental_dedup_store_anchored_component(spark, tmp_path):
+    """A batch doc connected to the store only TRANSITIVELY (via another
+    batch doc) is still suppressed — the whole component is anchored by the
+    earlier-kept store doc. Batch 0 keeps text A (id 5). Batch 1 carries B
+    (id 9, pairs with stored A and with C) and C (id 3, pairs with B only):
+    both must be suppressed with dup_of = 5, even though min batch id is 3."""
+    from crawley_spark.streaming import run_incremental_dedup
+
+    a, b, c = _chain_texts()
+    d = _write_doc_files(spark, tmp_path, {0: [(5, a)], 1: [(9, b), (3, c)]})
+    out = str(tmp_path / "dedup")
+    q = run_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d),
+        out,
+        threshold=0.70,
+    )
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "kept")).collect()}
+    dups = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+    }
+    assert kept == {5}
+    assert dups == {9: 5, 3: 5}
+
+
 def test_incremental_dedup_store_cap(spark, tmp_path):
     """A degenerate stream (every doc identical) stops accreting store rows
     at the cap but keeps suppressing against the capped members."""
