@@ -789,6 +789,34 @@ def _q_near_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_near_dup_clusters_score(spark, sf_dir):
+    """Score-based keeper variant of near_dup_clusters (VERDICT r04 "next"
+    #3): same exact SimHash pair set and connected components, but the
+    keeper per cluster is the MAX-QUALITY member (score = n_chars, the
+    quality_stats length signal) with min-id tiebreak — the rule a real
+    pipeline uses when it prefers the longest/highest-quality copy over the
+    first-seen one. Hash-exact independent oracle: DuckDB recomputes pairs,
+    components (recursive CTE), and argmax-per-component via row_number."""
+    from crawley_spark.operators.cluster import consolidate_near_duplicates
+    from crawley_spark.operators.dedup import near_duplicates_simhash
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    pairs = near_duplicates_simhash(
+        d.select("doc_id", "text"), max_hamming=3, hash_fn="md5"
+    )
+    out = consolidate_near_duplicates(
+        d.select("doc_id", "n_chars"), pairs, id_col="doc_id", score_col="n_chars"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("is_kept"),
+    )
+
+
 def _q_bpe_tokens(spark, sf_dir):
     """True merge-table BPE (operators/textstats.bpe_token_stats +
     functions/bpe.py, VERDICT r03 "next" #4). Three checks in one output:
@@ -940,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_clusters_score": _q_near_dup_clusters_score,
         "bpe_tokens": _q_bpe_tokens,
     }
 
@@ -1233,6 +1262,60 @@ def oracle_sql() -> dict[str, str]:
         ),
         keepers AS (
             SELECT component, MIN(doc_id) AS keep_id FROM comps GROUP BY component
+        )
+        SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+               CAST(c.component AS BIGINT) AS component,
+               CAST(k.keep_id AS BIGINT) AS keep_id,
+               c.doc_id = k.keep_id AS is_kept
+        FROM comps c JOIN keepers k USING (component)
+        """,
+        # score-based keeper variant — same pairs + recursive-CTE
+        # components, keeper = argmax(length(text)) per component with
+        # min-doc_id tiebreak (row_number), independently recomputed
+        "near_dup_clusters_score": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST(md5_number(tok) % 1152921504606846976 AS BIGINT) AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS b,
+                   SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(range(0, 60)) AS b) b
+            GROUP BY doc_id, b.b
+        ),
+        fps AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+            FROM bits GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM fps a JOIN fps b
+              ON a.doc_id <> b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+        ),
+        reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT p.v, r.comp FROM reach r JOIN pairs p ON p.u = r.id
+        ),
+        comps AS (
+            SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+        ),
+        ranked AS (
+            SELECT c.doc_id, c.component,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY length(d.text) DESC, c.doc_id ASC
+                   ) AS rk
+            FROM comps c JOIN documents d USING (doc_id)
+        ),
+        keepers AS (
+            SELECT component, doc_id AS keep_id FROM ranked WHERE rk = 1
         )
         SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
                CAST(c.component AS BIGINT) AS component,

@@ -114,12 +114,16 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # marker set while DuckDB independently recomputes counts and argmax.
 LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
-    "de": [" der ", " und ", " die "],
+    # de/nl and es/pt are the confusable pairs (VERDICT r04 #7): 'die' is
+    # both the German article and a Dutch demonstrative, es/pt share
+    # 'como'/'de' — each of the four carries a 4th pair-disambiguating
+    # marker (negation particles and plural articles are near-disjoint)
+    "de": [" der ", " und ", " die ", " nicht "],
     "fr": [" le ", " et ", " les "],
-    "es": [" el ", " y ", " de la "],
+    "es": [" el ", " y ", " de la ", " los "],
     "it": [" il ", " che ", " della "],
-    "pt": [" uma ", " como ", " não "],
-    "nl": [" het ", " een ", " van de "],
+    "pt": [" uma ", " como ", " não ", " para o "],
+    "nl": [" het ", " een ", " van de ", " niet "],
     "sv": [" och ", " att ", " det "],
     "pl": [" się ", " nie ", " jest "],
     "tr": [" bir ", " ve ", " için "],

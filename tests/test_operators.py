@@ -110,6 +110,37 @@ def test_lang_id_widened_languages(spark):
         assert got[i] == code, (code, fixtures[code], got[i])
 
 
+def test_lang_id_confusable_pairs_and_tiebreak(spark):
+    """Adversarial short texts for the confusable pairs (VERDICT r04 #7):
+    es/pt share 'como'/'de', de/nl share 'die'. The 4th markers
+    (' los ', ' para o ', ' nicht ', ' niet ') must carry these; exact
+    1-1 marker ties pin the deterministic alphabetical tie-break."""
+    from crawley_spark.operators.textstats import lang_id
+
+    cases = [
+        # Dutch sentence containing the German marker ' die ' — the nl
+        # markers ' een ' + ' van de ' must outvote it
+        (0, "wij zagen die huizen en een tuin van de koning", "nl"),
+        # German with doubled ' die ' plus ' und '/' nicht '
+        (1, "am morgen sind die kinder und die eltern nicht da", "de"),
+        # Spanish containing the Portuguese marker ' como '
+        (2, "vimos como el rey y los soldados de la ciudad", "es"),
+        # Portuguese with zero Spanish markers but shared vocabulary
+        (3, "ela fala como uma rainha e não vai para o mercado", "pt"),
+        # exact 1-1 tie es(' y ') vs pt(' como ') -> alphabetical: es
+        (4, "vamos y cantamos como sempre", "es"),
+        # exact 1-1 tie de(' die ') vs nl(' niet ') -> alphabetical: de
+        # (documents the tie-break, not a claim the text is German)
+        (5, "zij die niet komen vandaag", "de"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    for i, text, want in cases:
+        assert got[i] == want, (text, want, got[i])
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     import math
@@ -700,3 +731,103 @@ def test_media_real_decode_bmp(spark):
         0.0,
         round(200.0 / 255.0, 6),
     ]
+
+
+def _mk_jpeg(w, h, progressive=False, ncomp=3, precision=8, restart=False):
+    """Minimal JPEG marker stream: SOI, APP0/JFIF, optional standalone RST
+    marker (tests the no-length-segment walk), SOFn, EOI."""
+    import struct
+
+    sof = 0xC2 if progressive else 0xC0
+    comps = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp))
+    seg = struct.pack(">BHHB", precision, h, w, ncomp) + comps
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    rst = b"\xff\xd0" if restart else b""
+    return (
+        b"\xff\xd8"
+        + app0
+        + rst
+        + b"\xff"
+        + bytes([sof])
+        + struct.pack(">H", 2 + len(seg))
+        + seg
+        + b"\xff\xd9"
+    )
+
+
+def _mk_gif(w, h, version=b"9a", gct_bits=None):
+    """Minimal GIF header + logical screen descriptor (+ GCT when sized)."""
+    import struct
+
+    packed = 0
+    body = b""
+    if gct_bits is not None:
+        packed = 0x80 | (gct_bits & 0x07)
+        body = b"\x00" * (3 * (2 << (gct_bits & 0x07)))
+    return b"GIF8" + version + struct.pack("<HHBBB", w, h, packed, 0, 0) + body
+
+
+def test_media_jpeg_header_metadata(spark):
+    """JPEG SOF frame-header metadata parses with stdlib struct (VERDICT
+    r04 #6): dimensions, precision, component count, the progressive flag;
+    pixel luma stays -1 (entropy-coded data needs a real codec). Runs
+    everywhere — no PIL."""
+    from crawley_spark.operators.multimodal import jpeg_header_features
+
+    f = jpeg_header_features(_mk_jpeg(640, 480))
+    assert f == [640.0, 480.0, 8.0, 3.0, 0.0, -1.0]
+    p = jpeg_header_features(_mk_jpeg(31, 17, progressive=True, ncomp=1))
+    assert p == [31.0, 17.0, 8.0, 1.0, 1.0, -1.0]
+    # standalone (no-length) marker before SOF must not derail the walk
+    r = jpeg_header_features(_mk_jpeg(8, 8, restart=True))
+    assert r[:2] == [8.0, 8.0]
+    with pytest.raises(ValueError):
+        jpeg_header_features(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_header_features(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+    media = spark.createDataFrame(
+        [(13, "image", bytearray(_mk_jpeg(320, 200)), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = extract_features(media, decode="real").collect()
+    try:
+        import PIL  # noqa: F401
+
+        assert len(rows[0]["feature"]) >= 6  # PIL pixel path took over
+    except ImportError:
+        assert [float(v) for v in rows[0]["feature"]] == [
+            320.0, 200.0, 8.0, 3.0, 0.0, -1.0,
+        ]
+
+
+def test_media_gif_header_metadata(spark):
+    """GIF logical-screen-descriptor metadata parses with stdlib struct
+    (VERDICT r04 #6): dimensions, version, global-color-table flag+size;
+    LZW pixel luma stays -1. Runs everywhere — no PIL."""
+    from crawley_spark.operators.multimodal import gif_header_features
+
+    f = gif_header_features(_mk_gif(99, 44, gct_bits=7))
+    assert f == [99.0, 44.0, 89.0, 1.0, 256.0, -1.0]
+    g87 = gif_header_features(_mk_gif(2, 3, version=b"7a"))
+    assert g87 == [2.0, 3.0, 87.0, 0.0, 0.0, -1.0]
+    with pytest.raises(ValueError):
+        gif_header_features(b"GIF90a??????????")
+    with pytest.raises(ValueError):
+        gif_header_features(b"JFIF")
+    media = spark.createDataFrame(
+        [(14, "image", bytearray(_mk_gif(12, 34, gct_bits=1)), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = extract_features(media, decode="real").collect()
+    try:
+        import PIL  # noqa: F401
+
+        assert len(rows[0]["feature"]) >= 6
+    except ImportError:
+        assert [float(v) for v in rows[0]["feature"]] == [
+            12.0, 34.0, 89.0, 1.0, 4.0, -1.0,
+        ]

@@ -4,8 +4,10 @@ round-robin order (so a host steal episode hits all queries, not one
 query's whole block), per-run steal% from /proc/stat, medians reported.
 
 Usage: python tools/warm_ab.py [--sf-dir D] [--reps N] [query ...]
-Defaults: sf0.1, 7 reps, simhash ann_lsh minhash_dedup (the two r03
-nominal regressions plus the control that already has a warm methodology).
+Defaults: sf0.1, 7 reps, simhash ann_lsh minhash_dedup ann_brute (the r03
+nominal regressions, the warm-methodology control, and — per VERDICT r04
+"what's wrong" #1 — ann_brute, whose +1.05 s driver-bench move was never
+attributed).
 """
 
 from __future__ import annotations
@@ -32,7 +34,10 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=7)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("queries", nargs="*", default=["simhash", "ann_lsh", "minhash_dedup"])
+    ap.add_argument(
+        "queries", nargs="*",
+        default=["simhash", "ann_lsh", "minhash_dedup", "ann_brute"],
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
