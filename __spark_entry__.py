@@ -876,15 +876,23 @@ def _q_bpe_tokens(spark, sf_dir):
 def _q_stream_dedup(spark, sf_dir):
     """Incremental streaming MinHash-LSH dedup
     (streaming/dedup.run_incremental_dedup): batch 0 = the documents table,
-    batch 1 = exact copies of every doc_id % 7 == 0 doc. Every planted copy
-    must be suppressed against the store of batch-0 kept docs (identical
-    text ⟹ identical signature ⟹ same buckets, and an exact copy's match
-    survives even if its original was itself suppressed by an
-    identical-signature doc — the suppressor is in the store with the same
-    signature). Outputs integer summaries whose expectations the oracle
-    derives from the data (the minhash_dedup pattern); pair-level behavior
-    is pinned in tests/test_streaming.py."""
+    batch 1 = exact copies of every doc_id % 7 == 0 doc PLUS a planted
+    similarity chain. Every planted copy must be suppressed against the
+    store of batch-0 kept docs (identical text ⟹ identical signature ⟹
+    same buckets, and an exact copy's match survives even if its original
+    was itself suppressed by an identical-signature doc — the suppressor is
+    in the store with the same signature).
+
+    The chain (VERDICT r04 "next" #2 done-criterion) pins the exact
+    batch-twin keep-first rule IN THE ORACLE: three in-batch docs with pair
+    graph exactly mid~hi, hi~lo, NO mid~lo (ids chosen so the component
+    minimum pairs only with the middle doc). The component rule keeps
+    exactly the min id and suppresses the other two with dup_of = keeper;
+    the r03 one-pass rule would have kept two of them (n_chain_dups = 1,
+    not 2), so the oracle constant distinguishes the rules. Pair-level
+    behavior is further pinned in tests/test_streaming.py."""
     import os
+    import random
     import tempfile
 
     import pyarrow as pa
@@ -896,8 +904,22 @@ def _q_stream_dedup(spark, sf_dir):
     n = docs.count()
     rows = docs.select("doc_id", "text").collect()
     planted = [(r["doc_id"] + n, r["text"]) for r in rows if r["doc_id"] % 7 == 0]
+    # chain texts: sliding 10-of-12 disjoint-vocabulary word blocks ⟹
+    # est(a,b)=0.81, est(b,c)=0.77, (a,c) below threshold 0.70 (probed,
+    # deterministic under the operator's fixed hash seed); vocabulary is
+    # synthetic w<digits> tokens, nowhere near the corpus text
+    rng = random.Random(12345)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(200)]
+    blocks = [" ".join(words[i * 12 : (i + 1) * 12]) for i in range(14)]
+    base = 10 * n
+    chain = [
+        (base + 5, " ".join(blocks[0:10])),   # a: pairs with b only
+        (base + 9, " ".join(blocks[1:11])),   # b: pairs with a and c
+        (base + 3, " ".join(blocks[2:12])),   # c (component min): with b only
+    ]
+    batch1 = planted + chain
     d = tempfile.mkdtemp(prefix="crawley_stream_dedup_in_")
-    for i, batch in enumerate(([(r["doc_id"], r["text"]) for r in rows], planted)):
+    for i, batch in enumerate(([(r["doc_id"], r["text"]) for r in rows], batch1)):
         t = pa.table({"doc_id": [x[0] for x in batch], "text": [x[1] for x in batch]})
         f = os.path.join(d, f"chunk-{i:05d}.parquet")
         pq.write_table(t, f)
@@ -908,23 +930,32 @@ def _q_stream_dedup(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(d),
         out,
-        threshold=0.95,
+        threshold=0.70,
     )
     q.awaitTermination()
     kept = spark.read.parquet(os.path.join(out, "kept"))
     dups = spark.read.parquet(os.path.join(out, "dups"))
     n_kept, n_dups = kept.count(), dups.count()
-    n_planted_detected = dups.filter(F.col("doc_id") >= n).count()
+    n_planted_detected = dups.filter(
+        (F.col("doc_id") >= n) & (F.col("doc_id") < base)
+    ).count()
+    chain_kept = kept.filter(F.col("doc_id") >= base)
+    chain_dups = dups.filter(F.col("doc_id") >= base)
+    n_chain_kept_min = chain_kept.filter(F.col("doc_id") == base + 3).count()
+    n_chain_dups_of_min = chain_dups.filter(F.col("dup_of") == base + 3).count()
     return spark.createDataFrame(
         [
             (
-                n + len(planted),
+                n + len(batch1),
                 len(planted),
                 n_planted_detected,
                 n_kept + n_dups,
+                n_chain_kept_min,   # exactly the component-min doc kept: 1
+                n_chain_dups_of_min,  # both others suppressed TO it: 2
             )
         ],
-        "n_processed long, n_planted long, n_planted_detected long, n_accounted long",
+        "n_processed long, n_planted long, n_planted_detected long, "
+        "n_accounted long, n_chain_kept_min long, n_chain_dups_of_min long",
     )
 
 
@@ -1495,13 +1526,18 @@ def oracle_sql() -> dict[str, str]:
         # incremental streaming dedup: every planted exact copy (batch 1)
         # must be suppressed against the batch-0 store; counts are
         # data-derived constants (the minhash_dedup containment pattern)
+        # the chain constants are the rule pin (VERDICT r04 #2): exactly the
+        # component-min doc survives (1) and BOTH others attribute to it
+        # (2); the r03 one-pass rule would have produced (2, 1) here
         "stream_dedup": """
         WITH planted AS (SELECT COUNT(*) AS p FROM documents WHERE doc_id % 7 = 0),
         total AS (SELECT COUNT(*) AS n FROM documents)
-        SELECT CAST(n + p AS BIGINT) AS n_processed,
+        SELECT CAST(n + p + 3 AS BIGINT) AS n_processed,
                CAST(p AS BIGINT) AS n_planted,
                CAST(p AS BIGINT) AS n_planted_detected,
-               CAST(n + p AS BIGINT) AS n_accounted
+               CAST(n + p + 3 AS BIGINT) AS n_accounted,
+               CAST(1 AS BIGINT) AS n_chain_kept_min,
+               CAST(2 AS BIGINT) AS n_chain_dups_of_min
         FROM planted, total
         """,
         # streaming windowed metrics: event time = 2026-01-01 + 7s per doc,
