@@ -877,11 +877,16 @@ def _q_stream_dedup(spark, sf_dir):
     """Incremental streaming MinHash-LSH dedup
     (streaming/dedup.run_incremental_dedup): batch 0 = the documents table,
     batch 1 = exact copies of every doc_id % 7 == 0 doc PLUS a planted
-    similarity chain. Every planted copy must be suppressed against the
-    store of batch-0 kept docs (identical text ⟹ identical signature ⟹
-    same buckets, and an exact copy's match survives even if its original
-    was itself suppressed by an identical-signature doc — the suppressor is
-    in the store with the same signature).
+    similarity chain. The robust guarantee of the exact batch-twin rule is
+    the DISJUNCTION (r05 review fix — the old ``n_planted_detected = p``
+    pin silently relied on every original's suppressor being in the store,
+    which the component rule does not promise when an original was
+    TRANSITIVELY suppressed through a non-kept neighbor): a copy of a KEPT
+    original shares all its buckets with the store at est 1.0 and must be
+    suppressed, so for every planted copy, copy ∈ dups OR its original ∈
+    dups (contrapositive: copy kept ⟹ original absent from the store ⟹
+    original was suppressed in batch 0). ``n_planted_ok`` counts copies
+    satisfying the disjunction and is pinned = p for ANY corpus.
 
     The chain (VERDICT r04 "next" #2 done-criterion) pins the exact
     batch-twin keep-first rule IN THE ORACLE: three in-batch docs with pair
@@ -892,7 +897,6 @@ def _q_stream_dedup(spark, sf_dir):
     not 2), so the oracle constant distinguishes the rules. Pair-level
     behavior is further pinned in tests/test_streaming.py."""
     import os
-    import random
     import tempfile
 
     import pyarrow as pa
@@ -904,18 +908,17 @@ def _q_stream_dedup(spark, sf_dir):
     n = docs.count()
     rows = docs.select("doc_id", "text").collect()
     planted = [(r["doc_id"] + n, r["text"]) for r in rows if r["doc_id"] % 7 == 0]
-    # chain texts: sliding 10-of-12 disjoint-vocabulary word blocks ⟹
-    # est(a,b)=0.81, est(b,c)=0.77, (a,c) below threshold 0.70 (probed,
-    # deterministic under the operator's fixed hash seed); vocabulary is
-    # synthetic w<digits> tokens, nowhere near the corpus text
-    rng = random.Random(12345)
-    words = [f"w{rng.randrange(10**6)}" for _ in range(200)]
-    blocks = [" ".join(words[i * 12 : (i + 1) * 12]) for i in range(14)]
+    # chain texts: the canonical shared fixture (crawley_spark.fixtures —
+    # single definition with tests/test_streaming.py so the probed pair
+    # graph a~b 0.81, b~c 0.77, NO a~c at 0.70 cannot desynchronize)
+    from crawley_spark.fixtures import chain_texts
+
+    a_txt, b_txt, c_txt = chain_texts()
     base = 10 * n
     chain = [
-        (base + 5, " ".join(blocks[0:10])),   # a: pairs with b only
-        (base + 9, " ".join(blocks[1:11])),   # b: pairs with a and c
-        (base + 3, " ".join(blocks[2:12])),   # c (component min): with b only
+        (base + 5, a_txt),   # a: pairs with b only
+        (base + 9, b_txt),   # b: pairs with a and c
+        (base + 3, c_txt),   # c (component min): pairs with b only
     ]
     batch1 = planted + chain
     d = tempfile.mkdtemp(prefix="crawley_stream_dedup_in_")
@@ -936,8 +939,16 @@ def _q_stream_dedup(spark, sf_dir):
     kept = spark.read.parquet(os.path.join(out, "kept"))
     dups = spark.read.parquet(os.path.join(out, "dups"))
     n_kept, n_dups = kept.count(), dups.count()
-    n_planted_detected = dups.filter(
+    # the robust invariant (docstring): copy suppressed OR original was
+    n_copies_dup = dups.filter(
         (F.col("doc_id") >= n) & (F.col("doc_id") < base)
+    ).count()
+    orig_dup_ids = dups.filter(F.col("doc_id") < n).select("doc_id")
+    kept_copy_origs = kept.filter(
+        (F.col("doc_id") >= n) & (F.col("doc_id") < base)
+    ).select((F.col("doc_id") - n).alias("doc_id"))
+    n_planted_ok = n_copies_dup + kept_copy_origs.join(
+        orig_dup_ids, on="doc_id", how="left_semi"
     ).count()
     chain_kept = kept.filter(F.col("doc_id") >= base)
     chain_dups = dups.filter(F.col("doc_id") >= base)
@@ -948,13 +959,13 @@ def _q_stream_dedup(spark, sf_dir):
             (
                 n + len(batch1),
                 len(planted),
-                n_planted_detected,
+                n_planted_ok,
                 n_kept + n_dups,
                 n_chain_kept_min,   # exactly the component-min doc kept: 1
                 n_chain_dups_of_min,  # both others suppressed TO it: 2
             )
         ],
-        "n_processed long, n_planted long, n_planted_detected long, "
+        "n_processed long, n_planted long, n_planted_ok long, "
         "n_accounted long, n_chain_kept_min long, n_chain_dups_of_min long",
     )
 
@@ -1523,9 +1534,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(slot * 250 AS BIGINT) AS fetch_after_ms
         FROM paced
         """,
-        # incremental streaming dedup: every planted exact copy (batch 1)
-        # must be suppressed against the batch-0 store; counts are
-        # data-derived constants (the minhash_dedup containment pattern)
+        # incremental streaming dedup: for every planted exact copy (batch
+        # 1), copy ∈ dups OR its batch-0 original ∈ dups — the disjunction
+        # is what the exact batch-twin rule promises for ANY corpus (a copy
+        # of a KEPT original must be suppressed at est 1.0; a copy may
+        # legitimately survive only when its original was itself
+        # transitively suppressed), so n_planted_ok = p structurally;
         # the chain constants are the rule pin (VERDICT r04 #2): exactly the
         # component-min doc survives (1) and BOTH others attribute to it
         # (2); the r03 one-pass rule would have produced (2, 1) here
@@ -1534,7 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         total AS (SELECT COUNT(*) AS n FROM documents)
         SELECT CAST(n + p + 3 AS BIGINT) AS n_processed,
                CAST(p AS BIGINT) AS n_planted,
-               CAST(p AS BIGINT) AS n_planted_detected,
+               CAST(p AS BIGINT) AS n_planted_ok,
                CAST(n + p + 3 AS BIGINT) AS n_accounted,
                CAST(1 AS BIGINT) AS n_chain_kept_min,
                CAST(2 AS BIGINT) AS n_chain_dups_of_min

@@ -70,25 +70,14 @@ _COLS = [f.name for f in CANDIDATES_SCHEMA.fields]
 
 
 def _arrow_schema():
-    """pyarrow twin of CANDIDATES_SCHEMA (built lazily so importing this
-    module never forces pyarrow onto the driver path)."""
-    import pyarrow as pa
+    """pyarrow twin of CANDIDATES_SCHEMA, derived (not hand-duplicated) so
+    a schema edit cannot drift between the Spark and Arrow declarations;
+    built lazily so importing this module never forces pyarrow onto the
+    driver path. The positional row lists in ``fn`` below are the one
+    remaining coupled site — they follow _COLS order."""
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    return pa.schema(
-        [
-            ("run_id", pa.string()),
-            ("parent_rank", pa.int64()),
-            ("ord", pa.int32()),
-            ("uri", pa.string()),
-            ("url_key", pa.string()),
-            ("host", pa.string()),
-            ("enqueue_ok", pa.bool_()),
-            ("can_fetch", pa.bool_()),
-            ("emit_ok", pa.bool_()),
-            ("src_pid", pa.int32()),
-            ("dup_count", pa.int64()),
-        ]
-    )
+    return to_arrow_schema(CANDIDATES_SCHEMA)
 
 # Bound the per-partition combine dict; when exceeded the partition flushes
 # early (partial combine — the downstream window keeps exactness). Sized so

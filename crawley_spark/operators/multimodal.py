@@ -213,8 +213,9 @@ def jpeg_header_features(data: bytes) -> list:
     """Parse JPEG frame-header metadata with stdlib ``struct`` only
     (VERDICT r04 "next" #6): walk the marker segments to the first SOFn and
     return [width, height, sample_precision, n_components, progressive,
-    mean_luma]. ``progressive`` is 1.0 for SOF2 (progressive DCT), 0.0 for
-    the other frame types. ``mean_luma`` is -1: entropy-coded pixel data
+    mean_luma]. ``progressive`` is 1.0 for the progressive-DCT frame types
+    (SOF2/6/10/14 — Huffman or arithmetic, non-differential or
+    differential), 0.0 for the other frame types. ``mean_luma`` is -1: entropy-coded pixel data
     needs a real codec (PIL when present) — the header metadata itself is
     plain struct territory, shrinking the no-PIL stub to pixel data only.
     Raises ValueError on bytes that are not a JPEG stream (data error,
@@ -248,7 +249,7 @@ def jpeg_header_features(data: bytes) -> list:
                 float(height),
                 float(precision),
                 float(ncomp),
-                1.0 if marker == 0xC2 else 0.0,
+                1.0 if marker in (0xC2, 0xC6, 0xCA, 0xCE) else 0.0,
                 -1.0,
             ]
         if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen

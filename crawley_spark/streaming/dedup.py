@@ -17,6 +17,14 @@ consolidation costs one collect, not log(n) Spark jobs). Per component:
 * else → the smallest batch id is kept, the rest suppressed
   (``dup_of`` = that keeper).
 
+Two identity edge rules (r05 review fixes): a batch doc whose id was
+already KEPT in an earlier batch (exact-id replay — the (X, X) cross pair
+is a self-loop components would drop) is routed straight to ``dups`` with
+``dup_of`` = its own id and NULL ``est_jaccard``, and never re-enters the
+store; a NULL-id doc cannot participate in identity-keyed dedup and passes
+through as kept. Both preserve the invariant that every processed doc
+lands in exactly one of kept/dups.
+
 This is byte-identical to what ``consolidate_near_duplicates`` would decide
 had the whole component arrived in one batch (stream≡batch parity is
 pinned in tests/test_streaming.py): in a chain a~b~c with a≁c, b AND c are
@@ -110,7 +118,34 @@ def run_incremental_dedup(
         ]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select(id_col, text_col)
+        raw = batch_df.select(id_col, text_col)
+        # NULL-id rows cannot participate in identity-keyed dedup; pass
+        # them through as kept (the pre-r05 left_anti path's behavior)
+        # so every processed doc lands in exactly one of kept/dups.
+        null_kept = raw.filter(F.col(id_col).isNull()).select(
+            F.col(id_col), F.lit(batch_id).alias("batch_id")
+        )
+        docs = raw.filter(F.col(id_col).isNotNull())
+        prev = _prev_dirs(store_root, batch_id)
+        replayed = None
+        if prev:
+            store = spark.read.schema(STORE_SCHEMA).parquet(*prev)
+            # exact-id replay: a batch doc whose id was already KEPT in an
+            # earlier batch must not be re-kept (double emission) or re-enter
+            # the store (bucket inflation toward store_bucket_cap). The
+            # (X, X) cross pair is a self-loop connected_components drops,
+            # so handle identity directly: route replays to dups with
+            # dup_of = their own id (prior delivery), est_jaccard NULL (no
+            # signature comparison made). One extra distinct-ids semi/anti
+            # join per batch — the store is already scanned twice below
+            # (cross + counts), and it stays join-only, never collected.
+            store_ids = store.select(F.col("doc_id").alias(id_col)).distinct()
+            replayed = (
+                docs.select(id_col)
+                .join(store_ids, on=id_col, how="left_semi")
+                .localCheckpoint(eager=True)
+            )
+            docs = docs.join(store_ids, on=id_col, how="left_anti")
         # in-batch pairs: the batch operator end to end (signatures are
         # recomputed below for banding — at batch sizes this beats plumbing
         # the checkpoint through the operator's internals)
@@ -124,9 +159,7 @@ def run_incremental_dedup(
         banded = _band_buckets(sigs, id_col).select(
             F.col("band"), F.col("bucket"), F.col(id_col), F.col("sig")
         )
-        prev = _prev_dirs(store_root, batch_id)
         if prev:
-            store = spark.read.schema(STORE_SCHEMA).parquet(*prev)
             cross = (
                 banded.alias("n")
                 .join(store.alias("o"), on=["band", "bucket"])
@@ -185,20 +218,28 @@ def run_incremental_dedup(
             .groupBy(id_col)
             .agg(F.max("est_jaccard").alias("est_jaccard"))
         )
-        dups = (
-            keepers.filter(F.col(id_col) != F.col("keep_id"))
-            .join(direct, on=id_col, how="left")
-            .select(
-                F.col(id_col),
-                F.col("keep_id").alias("dup_of"),
-                F.col("est_jaccard"),
-                F.lit(batch_id).alias("batch_id"),
-            )
-            .localCheckpoint(eager=True)
+        dups = keepers.filter(F.col(id_col) != F.col("keep_id")).join(
+            direct, on=id_col, how="left"
+        ).select(
+            F.col(id_col),
+            F.col("keep_id").alias("dup_of"),
+            F.col("est_jaccard"),
+            F.lit(batch_id).alias("batch_id"),
         )
+        if replayed is not None:
+            dups = dups.unionByName(
+                replayed.select(
+                    F.col(id_col),
+                    F.col(id_col).alias("dup_of"),
+                    F.lit(None).cast("double").alias("est_jaccard"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
+        dups = dups.localCheckpoint(eager=True)
         kept = (
             keepers.filter(F.col(id_col) == F.col("keep_id"))
             .select(F.col(id_col), F.lit(batch_id).alias("batch_id"))
+            .unionByName(null_kept)
             .localCheckpoint(eager=True)
         )
         # store additions: banded rows of kept docs, per-bucket capped.

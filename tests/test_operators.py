@@ -733,12 +733,13 @@ def test_media_real_decode_bmp(spark):
     ]
 
 
-def _mk_jpeg(w, h, progressive=False, ncomp=3, precision=8, restart=False):
+def _mk_jpeg(w, h, progressive=False, ncomp=3, precision=8, restart=False, sof=None):
     """Minimal JPEG marker stream: SOI, APP0/JFIF, optional standalone RST
     marker (tests the no-length-segment walk), SOFn, EOI."""
     import struct
 
-    sof = 0xC2 if progressive else 0xC0
+    if sof is None:
+        sof = 0xC2 if progressive else 0xC0
     comps = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp))
     seg = struct.pack(">BHHB", precision, h, w, ncomp) + comps
     app0 = (
@@ -782,6 +783,11 @@ def test_media_jpeg_header_metadata(spark):
     assert f == [640.0, 480.0, 8.0, 3.0, 0.0, -1.0]
     p = jpeg_header_features(_mk_jpeg(31, 17, progressive=True, ncomp=1))
     assert p == [31.0, 17.0, 8.0, 1.0, 1.0, -1.0]
+    # all four progressive-DCT frame types flag 1.0 (SOF2/6/10/14 — r05
+    # review fix: previously only SOF2); arithmetic SEQUENTIAL (SOF9) is 0.0
+    for m in (0xC6, 0xCA, 0xCE):
+        assert jpeg_header_features(_mk_jpeg(31, 17, ncomp=1, sof=m))[4] == 1.0
+    assert jpeg_header_features(_mk_jpeg(31, 17, ncomp=1, sof=0xC9))[4] == 0.0
     # standalone (no-length) marker before SOF must not derail the walk
     r = jpeg_header_features(_mk_jpeg(8, 8, restart=True))
     assert r[:2] == [8.0, 8.0]

@@ -357,19 +357,13 @@ def test_incremental_dedup_replay_idempotent(spark, tmp_path):
 
 
 def _chain_texts():
-    """Three texts with pair graph exactly 5~9, 9~3, NO 5~3 at threshold
-    0.70 under the operator's char-shingle MinHash (probed: est(5,9)=0.81,
-    est(3,9)=0.77, (3,5) not banded/thresholded). Sliding 10-of-12 word
-    blocks; deterministic via the fixed RNG seed."""
-    import random
+    """Shared canonical chain fixture (pair graph exactly 5~9, 9~3, NO 5~3
+    at threshold 0.70) — single definition in crawley_spark.fixtures so the
+    oracle pin (__spark_entry__._q_stream_dedup) and these pair-level tests
+    cannot desynchronize. a→id 5, b→id 9, c→id 3."""
+    from crawley_spark.fixtures import chain_texts
 
-    rng = random.Random(12345)
-    words = [f"w{rng.randrange(10**6)}" for _ in range(200)]
-    blocks = [" ".join(words[i * 12 : (i + 1) * 12]) for i in range(14)]
-    a = " ".join(blocks[0:10])   # id 5
-    b = " ".join(blocks[1:11])   # id 9
-    c = " ".join(blocks[2:12])   # id 3
-    return a, b, c
+    return chain_texts()
 
 
 def test_incremental_dedup_keep_first_chain(spark, tmp_path):
@@ -465,6 +459,53 @@ def test_incremental_dedup_store_anchored_component(spark, tmp_path):
     }
     assert kept == {5}
     assert dups == {9: 5, 3: 5}
+
+
+def test_incremental_dedup_null_id_and_exact_id_replay(spark, tmp_path):
+    """r05 review fixes: (a) a NULL-id doc passes through as kept — it
+    cannot participate in identity-keyed dedup — instead of vanishing from
+    BOTH sinks (the component partition's NULL-propagating filters dropped
+    it); (b) a later batch re-delivering an ALREADY-KEPT doc_id is routed to
+    dups (dup_of = its own id, NULL est_jaccard: the (X, X) cross pair is a
+    self-loop connected components drop) and its banded rows must NOT
+    re-enter the store. Every processed doc lands in exactly one sink."""
+    from crawley_spark.streaming import run_incremental_dedup
+
+    base = _texts(4, "n")
+    batch0 = [(i, base[i]) for i in range(4)] + [(None, base[0] + " nulltail")]
+    batch1 = [(0, base[0]), (700, _texts(1, "fresh")[0])]  # replay of kept id 0
+    d = _write_doc_files(spark, tmp_path, {0: batch0, 1: batch1})
+    out = str(tmp_path / "dedup")
+    q = run_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d),
+        out,
+        threshold=0.9,
+    )
+    q.awaitTermination(180)
+    kept_rows = spark.read.parquet(os.path.join(out, "kept")).collect()
+    dup_rows = spark.read.parquet(os.path.join(out, "dups")).collect()
+    kept = {r["doc_id"] for r in kept_rows}
+    assert kept == {0, 1, 2, 3, None, 700}
+    assert len(kept_rows) == 6  # id 0 kept exactly once, not re-kept on replay
+    assert [(r["doc_id"], r["dup_of"], r["est_jaccard"]) for r in dup_rows] == [
+        (0, 0, None)
+    ]
+    assert len(kept_rows) + len(dup_rows) == len(batch0) + len(batch1)
+    store = spark.read.parquet(os.path.join(out, "store"))
+    # doc 0's banded rows were stored by batch 0 only — no replay inflation
+    n_doc0 = store.filter(F.col("doc_id") == 0).count()
+    n_doc0_b1 = (
+        spark.read.parquet(os.path.join(out, "store", "batch=1"))
+        .filter(F.col("doc_id") == 0)
+        .count()
+        if os.path.isdir(os.path.join(out, "store", "batch=1"))
+        else 0
+    )
+    assert n_doc0 > 0 and n_doc0_b1 == 0
+    # NULL-id doc is never banded into the store; replay added nothing
+    assert store.select("doc_id").distinct().count() == 5
 
 
 def test_incremental_dedup_store_cap(spark, tmp_path):
