@@ -5,14 +5,14 @@ columns with typed metadata.
 Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
 tested everywhere); ``decode="real"`` decodes what the standard library can
 (WAV audio via ``wave``; uncompressed RIFF/AVI video via ``struct``
-chunk-walking; FULL PNG decode via ``zlib`` + filter reversal; BMP via
-``struct``; JPEG SOF frame-header and GIF logical-screen-descriptor
-metadata via ``struct`` — no codec deps, runs everywhere) and probes for
-codec libraries at runtime on the executors for the rest (PIL for pixel
-data of JPEG/GIF and other formats), raising NotImplementedError where no
-decoder exists. The remaining stub surface is pixel data of
-entropy-/LZW-coded images without PIL and compressed/non-AVI video
-(VERDICT r02 "next" #3, r03 #7, r04 #6).
+chunk-walking; FULL PNG decode via ``zlib`` + filter reversal; FULL GIF
+first-frame decode via a pure-Python LZW decoder; BMP via ``struct``; JPEG
+SOF frame-header metadata via ``struct`` — no codec deps, runs everywhere)
+and probes for codec libraries at runtime on the executors for the rest
+(PIL for JPEG pixel data and other formats), raising NotImplementedError
+where no decoder exists. The remaining stub surface is JPEG
+entropy-coded pixel data without PIL and compressed/non-AVI video
+(VERDICT r02 "next" #3, r03 #7, r04 #6; GIF LZW added r05).
 """
 
 from __future__ import annotations
@@ -258,13 +258,57 @@ def jpeg_header_features(data: bytes) -> list:
     raise ValueError("no SOF frame header found in JPEG stream")
 
 
+def _gif_lzw_decode(mcs: int, data: bytes, n_expected: int) -> bytes:
+    """Decode a GIF LZW code stream (variable code width mcs+1..12, clear/
+    end codes, growth when the table fills the current width, deferred
+    clear at 4096 entries) into at most ``n_expected`` palette indices.
+    Pure stdlib; raises ValueError on codes outside the live table."""
+    clear = 1 << mcs
+    end = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    code_size = mcs + 1
+    out = bytearray()
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while len(out) < n_expected and bitpos + code_size <= nbits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            table = list(init)
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream: code {code} outside table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == 1 << code_size and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:n_expected])
+
+
 def gif_header_features(data: bytes) -> list:
-    """Parse the GIF logical screen descriptor with stdlib ``struct`` only
-    (VERDICT r04 "next" #6): [width, height, version (87/89),
-    has_global_color_table, global_color_table_size, mean_luma]. LZW pixel
-    data needs a real codec (PIL when present), so ``mean_luma`` is -1 —
-    header metadata only, same pattern as the JPEG/AVI/BMP parsers. Raises
-    ValueError on bytes that are not a GIF stream."""
+    """Parse the GIF logical screen descriptor with stdlib ``struct`` and
+    decode the FIRST image frame's LZW pixel data with a pure-stdlib LZW
+    decoder (VERDICT r04 "next" #6, pixel decode added r05): [width,
+    height, version (87/89), has_global_color_table,
+    global_color_table_size, mean_luma]. ``mean_luma`` is the mean of the
+    first frame's palette-mapped RGB bytes / 255 (order-free, so interlace
+    needs no row shuffle; transparency is not special-cased — the raw
+    palette entry counts, documented); it stays -1 when no image descriptor
+    or color table is present. Raises ValueError on bytes that are not a
+    GIF stream or whose block/LZW structure is corrupt."""
     import struct
 
     if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
@@ -272,8 +316,52 @@ def gif_header_features(data: bytes) -> list:
     version = 87.0 if data[4:6] == b"7a" else 89.0
     width, height, packed = struct.unpack_from("<HHB", data, 6)
     has_gct = (packed >> 7) & 1
-    gct_size = float(2 << (packed & 0x07)) if has_gct else 0.0
-    return [float(width), float(height), version, float(has_gct), gct_size, -1.0]
+    n_gct = (2 << (packed & 0x07)) if has_gct else 0
+    gct = data[13 : 13 + 3 * n_gct] if has_gct else b""
+    luma = -1.0
+    off = 13 + 3 * n_gct
+    # block walk to the first image descriptor; header-only payloads
+    # (no image block before EOF/trailer) keep luma -1
+    while off < len(data):
+        block = data[off]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            off += 2
+            while off < len(data) and data[off] != 0:
+                off += 1 + data[off]
+            off += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"corrupt GIF block stream: 0x{block:02x}")
+        if off + 10 > len(data):
+            break  # truncated descriptor: header metadata only
+        _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, off + 1)
+        off += 10
+        if (ipacked >> 7) & 1:  # local color table overrides the global
+            n_lct = 2 << (ipacked & 0x07)
+            gct = data[off : off + 3 * n_lct]
+            off += 3 * n_lct
+        if off >= len(data):
+            break
+        mcs = data[off]
+        off += 1
+        sub = bytearray()
+        while off < len(data) and data[off] != 0:
+            n = data[off]
+            sub += data[off + 1 : off + 1 + n]
+            off += 1 + n
+        if gct and 2 <= mcs <= 8 and iw and ih:
+            import numpy as np
+
+            idx = np.frombuffer(_gif_lzw_decode(mcs, bytes(sub), iw * ih), np.uint8)
+            pal = np.frombuffer(gct[: 3 * (len(gct) // 3)], np.uint8).reshape(-1, 3)
+            valid = idx < len(pal)
+            if valid.any():
+                luma = float(pal[idx[valid]].mean()) / 255.0
+        break
+    gct_size = float(n_gct) if has_gct else 0.0
+    return [float(width), float(height), version, float(has_gct), gct_size, luma]
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> "object":
@@ -442,6 +530,8 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     return png_features(data)  # stdlib zlib + unfilter
                 if data[:2] == b"BM":
                     return bmp_features(data)  # stdlib struct
+                if data[:4] == b"GIF8":
+                    return gif_header_features(data)  # stdlib LZW decode
                 if pil_image is not None:
                     import io
 
@@ -449,18 +539,16 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     return [float(x) / 255.0 for x in img.getdata()]
                 if data[:2] == b"\xff\xd8":
                     return jpeg_header_features(data)  # stdlib SOF walk
-                if data[:4] == b"GIF8":
-                    return gif_header_features(data)  # stdlib LSD parse
             if kind == "audio":
                 return wav_features(data)  # stdlib, available on every executor
             if kind == "video" and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
                 return avi_features(data)  # stdlib struct chunk-walk
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
-                "install PIL (pixel data of JPEG/GIF and other non-PNG/BMP "
-                "images) / ffmpeg (non-AVI or compressed video); PNG and BMP "
-                "decode fully, JPEG/GIF header metadata parses, WAV audio "
-                "and uncompressed RIFF/AVI video decode — all stdlib"
+                "install PIL (JPEG pixel data and other non-PNG/BMP/GIF "
+                "images) / ffmpeg (non-AVI or compressed video); PNG, GIF "
+                "and BMP decode fully, JPEG header metadata parses, WAV "
+                "audio and uncompressed RIFF/AVI video decode — all stdlib"
             )
 
         for pdf in batches:
