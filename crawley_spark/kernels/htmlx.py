@@ -130,6 +130,28 @@ import re as _re  # noqa: E402
 # js/css flags are clear and text events are otherwise unobservable.
 _FAST_INTERESTING = _re.compile(r"<|&#")
 
+# Whole-start-tag fast path: one match replaces check_for_whole_start_tag +
+# tagfind_tolerant + the attrfind_tolerant loop + the end-junk check for the
+# overwhelmingly common shape — lowercase tag name, zero or more
+# ASCII-whitespace-separated lowercase attributes with double-quoted,
+# entity-free values, closed by '>' or '/>'. Every restriction (case,
+# quoting, no '&', no '/' between attrs, no valueless attrs, ASCII
+# whitespace only) makes the regex FAIL to match and fall back to the
+# stock-copy path below, so the fast path can only ever handle inputs on
+# which its events are provably identical to the stock scan:
+# * quoted values may contain '<' and '>' exactly like locatestarttagend;
+# * no '&' in values means html.unescape is the identity and can be
+#   skipped; attr names are already lowercase so .lower() is a no-op;
+# * the residue after the last attr is '\s*/?>' so the stock junk-end
+#   handle_data fallback is unreachable on matched input.
+# Equivalence is pinned by tests/test_htmlfast_diff.py (fixtures + fuzz).
+_FAST_START = _re.compile(
+    r"<([a-z][a-z0-9]*)"
+    r"((?:[\t\n\r\f ]+[a-z][a-z0-9_-]*=\"[^\"&]*\")*)"
+    r"[\t\n\r\f ]*(/?)>"
+)
+_FAST_ATTR = _re.compile(r"([a-z][a-z0-9_-]*)=\"([^\"]*)\"")
+
 
 class _Tokenizer(HTMLParser):
     """Bridges html.parser events to the reference's token switch
@@ -289,7 +311,10 @@ class _Tokenizer(HTMLParser):
         gt = rawdata.find(">", i + 1)
         if gt < 0:
             return -1
-        if _hp.tagfind_tolerant.match(rawdata, i + 2):
+        c = rawdata[i + 2]
+        # tagfind_tolerant matches here iff the first name char is an ASCII
+        # letter (pattern '[a-zA-Z][...]*'), so test that directly
+        if "a" <= c <= "z" or "A" <= c <= "Z":
             return gt + 1
         if rawdata.startswith("</>", i):
             return i + 3
@@ -297,6 +322,26 @@ class _Tokenizer(HTMLParser):
         return gt + 1
 
     def parse_starttag(self, i):
+        rawdata = self.rawdata
+        m = _FAST_START.match(rawdata, i)
+        if m:
+            tag = m.group(1)
+            if tag not in _RELEVANT_TAGS:
+                if not (self.is_js or self.is_css):
+                    # same observable no-op argument as the stock-copy skip
+                    # below; endpos comes from the match instead
+                    return m.end()
+                attrs = []
+            else:
+                attrs = _FAST_ATTR.findall(m.group(2))
+            self.lasttag = tag
+            if m.group(3):
+                self.handle_startendtag(tag, attrs)
+            else:
+                self.handle_starttag(tag, attrs)
+                if tag in self.CDATA_CONTENT_ELEMENTS:
+                    self.set_cdata_mode(tag)
+            return m.end()
         # specialized copy of html.parser.HTMLParser.parse_starttag
         endpos = self.check_for_whole_start_tag(i)
         if endpos < 0:
