@@ -6,14 +6,14 @@ Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
 tested everywhere); ``decode="real"`` decodes what the standard library can
 (WAV audio via ``wave``; uncompressed RIFF/AVI video via ``struct``
 chunk-walking; FULL PNG decode via ``zlib`` + filter reversal; FULL GIF
-first-frame decode via a pure-Python LZW decoder; FULL baseline-JPEG
-luminance decode via pure-Python Huffman + numpy IDCT; BMP via ``struct``
-— no codec deps, runs everywhere) and probes for codec libraries at
-runtime on the executors for the rest (PIL for progressive JPEG and other
-formats), raising NotImplementedError where no decoder exists. The
-remaining stub surface is progressive/arithmetic-JPEG pixel data without
-PIL and compressed/non-AVI video (VERDICT r02 "next" #3, r03 #7, r04 #6;
-GIF LZW and baseline-JPEG decode added r05).
+first-frame decode via a pure-Python LZW decoder; FULL baseline AND
+progressive JPEG luminance decode via pure-Python Huffman + numpy IDCT;
+BMP via ``struct`` — no codec deps, runs everywhere) and probes for codec
+libraries at runtime on the executors for the rest, raising
+NotImplementedError where no decoder exists. The remaining stub surface is
+arithmetic-coded/lossless/12-bit JPEG pixel data without PIL and
+compressed/non-AVI video (VERDICT r02 "next" #3, r03 #7, r04 #6; GIF LZW
++ baseline-JPEG decode added r05, progressive-JPEG decode late r05).
 """
 
 from __future__ import annotations
@@ -288,9 +288,11 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def jpeg_decode_luma(data: bytes) -> float:
-    """Decode the luminance plane of a BASELINE/extended-sequential
-    Huffman JPEG (SOF0/SOF1) with stdlib + numpy only (r05: the JPEG pixel
-    stub shrinks to progressive/arithmetic/12-bit shapes) and return mean
+    """Decode the luminance plane of a baseline/extended-sequential
+    (SOF0/SOF1 — streaming single-pass below) or progressive (SOF2 —
+    dispatched to ``_jpeg_decode_progressive_luma``) Huffman JPEG with
+    stdlib + numpy only (r05: the JPEG pixel stub shrinks to
+    arithmetic-coded/lossless/12-bit shapes) and return mean
     luma in [0, 1]. Re-derived from the published ITU T.81 spec: DQT/DHT/
     SOF/SOS/DRI parse, canonical Huffman entropy decode with 0xFF00
     unstuffing and restart handling, dequantization, float IDCT via the
@@ -356,10 +358,12 @@ def jpeg_decode_luma(data: bytes) -> float:
                     code <<= 1
                 huff[(tc, th)] = table
         elif marker in _SOF_MARKERS:
+            if marker == 0xC2:
+                return _jpeg_decode_progressive_luma(data)
             if marker not in (0xC0, 0xC1):
                 raise NotImplementedError(
-                    f"JPEG frame type SOF{marker - 0xC0} (progressive/"
-                    "arithmetic/differential) needs a full codec (PIL)"
+                    f"JPEG frame type SOF{marker - 0xC0} (arithmetic/"
+                    "lossless/differential) needs a full codec (PIL)"
                 )
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
             if precision != 8:
@@ -443,6 +447,305 @@ def jpeg_decode_luma(data: bytes) -> float:
     return float(crop.mean()) / 255.0
 
 
+def _jpeg_skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next true marker. Inside a
+    scan, 0xFF can only be followed by 0x00 (stuffing) or 0xD0-0xD7
+    (restart), so the first 0xFF with any other successor IS the next
+    marker — scans whose coefficients we don't need (chroma AC) can be
+    skipped without entropy-decoding them."""
+    n = len(data)
+    while pos < n:
+        i = data.find(0xFF, pos)
+        if i < 0 or i + 1 >= n:
+            raise ValueError("truncated JPEG entropy-coded segment")
+        nxt = data[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos = i + 2
+            continue
+        return i
+    raise ValueError("truncated JPEG entropy-coded segment")
+
+
+def _jpeg_decode_progressive_luma(data: bytes) -> float:
+    """Decode the luminance plane of a PROGRESSIVE Huffman JPEG (SOF2) and
+    return mean luma in [0, 1] — stdlib + numpy only. Re-derived from ITU
+    T.81 Annex G (spectral selection + successive approximation): DC first/
+    refinement scans (interleaved or single-component), AC first/refinement
+    scans (always single-component) with EOB-run decoding and in-band
+    correction bits, restart handling, then one dequant + IDCT pass over
+    the accumulated Y coefficients. Mean luma needs only Y, so chroma AC
+    scans are skipped via marker search (entropy data cannot contain a bare
+    0xFF) and chroma DC bits are entropy-decoded only where interleaving
+    forces it (values discarded). Raises ValueError on corrupt streams."""
+    import struct
+
+    import numpy as np
+
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    by_id: dict[int, tuple[int, int, int]] = {}
+    restart_interval = 0
+    y_id = None
+    ystore = None  # (rows, cols, 64) int64, zigzag order
+    y_bw = y_bh = 0  # non-interleaved Y block grid
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
+    off = 2
+    while off + 2 <= len(data):
+        if data[off] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker stream at offset {off}")
+        marker = data[off + 1]
+        if marker == 0xFF:
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        if marker == 0xD9:
+            break
+        if off + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack_from(">H", data, off + 2)
+        body = data[off + 4 : off + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq:
+                    qt[tq] = list(struct.unpack_from(f">{64}H", body, p))
+                    p += 128
+                else:
+                    qt[tq] = list(body[p : p + 64])
+                    p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                counts = body[p + 1 : p + 17]
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = body[p]
+                        code += 1
+                        p += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC2:  # SOF2
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG needs a full codec")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+            y_id = comps[0][0]
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            yh, yv = by_id[y_id][0], by_id[y_id][1]
+            xi = -(-(width * yh) // hmax)  # Y component dims (T.81 A.1.1)
+            yi = -(-(height * yv) // vmax)
+            y_bw = -(-xi // 8)  # non-interleaved block grid (A.2.2)
+            y_bh = -(-yi // 8)
+            ystore = np.zeros((mcuy * yv, mcux * yh, 64), dtype=np.int64)
+        elif marker in _SOF_MARKERS:
+            raise ValueError("unexpected second JPEG frame header")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body)
+        elif marker == 0xDA:  # SOS
+            if ystore is None:
+                raise ValueError("JPEG scan before frame header")
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            scan_start = off + 2 + seg_len
+            if ss > se or se > 63 or (ss == 0) != (se == 0):
+                raise ValueError("invalid JPEG spectral selection")
+            if ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            saw_scan = True
+            if all(cid != y_id for cid, _ in scan):
+                off = _jpeg_skip_entropy(data, scan_start)
+                continue
+            off = _jpeg_decode_prog_scan(
+                data, scan_start, scan, ss, se, ah, al,
+                by_id, y_id, ystore, y_bw, y_bh, mcux, mcuy, huff,
+                restart_interval,
+            )
+            continue
+        off += 2 + seg_len
+    if ystore is None or not saw_scan:
+        raise ValueError("no decodable JPEG scan found")
+    ytq = by_id[y_id][2]
+    if ytq not in qt:
+        raise ValueError("JPEG Y component references an undefined quant table")
+    # dequantize (zigzag order), scatter to natural order, IDCT every block
+    q = np.asarray(qt[ytq], dtype=np.float64)
+    deq = ystore.astype(np.float64) * q
+    nat = np.zeros_like(deq)
+    nat[:, :, _ZIGZAG] = deq
+    bh, bw = deq.shape[0], deq.shape[1]
+    blocks = nat.reshape(bh, bw, 8, 8)
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    c[0] /= np.sqrt(2.0)
+    plane = np.einsum("ij,xyjk,kl->xiyl", c.T, blocks, c).reshape(bh * 8, bw * 8)
+    plane += 128.0
+    yh, yv = by_id[y_id][0], by_id[y_id][1]
+    xi = -(-width * yh // hmax)
+    yi = -(-height * yv // vmax)
+    crop = np.clip(plane[:yi, :xi], 0.0, 255.0)
+    return float(crop.mean()) / 255.0
+
+
+def _jpeg_decode_prog_scan(
+    data, pos, scan, ss, se, ah, al,
+    by_id, y_id, ystore, y_bw, y_bh, mcux, mcuy, huff, restart_interval,
+):
+    """Decode one progressive scan containing the Y component into
+    ``ystore`` (T.81 G.1.2 / the published libjpeg jdphuff control flow);
+    returns the offset of the next marker. Non-Y blocks inside interleaved
+    DC scans are entropy-decoded to keep stream position but their values
+    are discarded."""
+    bits = _JpegBits(data, pos)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    if ss == 0:
+        # DC scan — interleaved (MCU order) or single-component
+        members = []
+        for cid, tables in scan:
+            h, v, _ = by_id[cid]
+            dc_t = None
+            if ah == 0:
+                dc_t = huff.get((0, tables >> 4))
+                if dc_t is None:
+                    raise ValueError("JPEG DC scan references an undefined Huffman table")
+            members.append((cid, h, v, dc_t))
+        pred = {cid: 0 for cid, *_ in members}
+        interleaved = len(scan) > 1
+
+        def dc_block(cid, dc_t, row, col):
+            if ah == 0:
+                t = _jpeg_huff_decode(bits, dc_t)
+                diff = _jpeg_extend(bits.receive(t), t)
+                pred[cid] += diff
+                if cid == y_id:
+                    ystore[row, col, 0] = pred[cid] << al
+            else:
+                if bits.receive(1) and cid == y_id:
+                    ystore[row, col, 0] |= p1
+
+        n_unit = 0
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n_unit and n_unit % restart_interval == 0:
+                        bits.restart()
+                        pred = {cid: 0 for cid, *_ in members}
+                    n_unit += 1
+                    for cid, h, v, dc_t in members:
+                        for by in range(v):
+                            for bx in range(h):
+                                dc_block(cid, dc_t, my * v + by, mx * h + bx)
+        else:
+            cid, h, v, dc_t = members[0]
+            # non-interleaved grid of the component's own blocks
+            bw, bh = (y_bw, y_bh) if cid == y_id else (0, 0)
+            if cid != y_id:  # unreachable (Y-less scans are skipped upstream)
+                raise ValueError("non-Y single-component DC scan not skipped")
+            for row in range(bh):
+                for col in range(bw):
+                    if restart_interval and n_unit and n_unit % restart_interval == 0:
+                        bits.restart()
+                        pred = {cid: 0}
+                    n_unit += 1
+                    dc_block(cid, dc_t, row, col)
+    else:
+        # AC scan — always one component; upstream guarantees it is Y
+        cid, tables = scan[0]
+        ac_t = huff.get((1, tables & 15))
+        if ac_t is None:
+            raise ValueError("JPEG AC scan references an undefined Huffman table")
+        n_unit = 0
+        for row in range(y_bh):
+            for col in range(y_bw):
+                if restart_interval and n_unit and n_unit % restart_interval == 0:
+                    bits.restart()
+                    eobrun = 0
+                n_unit += 1
+                b = ystore[row, col]
+                if ah == 0:  # AC first scan (T.81 G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(bits, ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            b[k] = _jpeg_extend(bits.receive(s), s) << al
+                            k += 1
+                        else:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += bits.receive(r)
+                                break
+                            k += 16
+                else:  # AC refinement scan (T.81 G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _jpeg_huff_decode(bits, ac_t)
+                            r, s = rs >> 4, rs & 15
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError("invalid JPEG AC refinement symbol")
+                                val = p1 if bits.receive(1) else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.receive(r)
+                                break
+                            # advance over r zero-history coefficients,
+                            # absorbing correction bits of nonzero ones
+                            while k <= se:
+                                c0 = int(b[k])
+                                if c0 != 0:
+                                    if bits.receive(1) and (c0 & p1) == 0:
+                                        b[k] = c0 + (p1 if c0 >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError("JPEG AC refinement overrun")
+                                b[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            c0 = int(b[k])
+                            if c0 != 0 and bits.receive(1) and (c0 & p1) == 0:
+                                b[k] = c0 + (p1 if c0 >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    return _jpeg_skip_entropy(data, bits.pos)
+
+
 def jpeg_header_features(data: bytes) -> list:
     """Parse JPEG frame-header metadata with stdlib ``struct`` only
     (VERDICT r04 "next" #6): walk the marker segments to the first SOFn and
@@ -450,10 +753,10 @@ def jpeg_header_features(data: bytes) -> list:
     mean_luma]. ``progressive`` is 1.0 for the progressive-DCT frame types
     (SOF2/6/10/14 — Huffman or arithmetic, non-differential or
     differential), 0.0 for the other frame types. ``mean_luma`` is decoded
-    for baseline/extended-sequential Huffman frames via
+    for baseline/extended-sequential AND progressive Huffman frames via
     ``jpeg_decode_luma`` (r05 — full entropy decode + IDCT of the Y
     plane); it stays -1 for frame types the pure-Python path cannot decode
-    (progressive, arithmetic, 12-bit) or when no scan is present.
+    (arithmetic-coded, lossless, 12-bit) or when no scan is present.
     Raises ValueError on bytes that are not a JPEG stream (data error,
     distinct from the NotImplementedError of a missing codec)."""
     import struct
@@ -481,7 +784,7 @@ def jpeg_header_features(data: bytes) -> list:
                 ">BHHB", data, off + 4
             )
             luma = -1.0
-            if marker in (0xC0, 0xC1) and precision == 8:
+            if marker in (0xC0, 0xC1, 0xC2) and precision == 8:
                 try:
                     luma = jpeg_decode_luma(data)
                 except (ValueError, NotImplementedError):
@@ -780,8 +1083,8 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     img = pil_image.open(io.BytesIO(data)).convert("L").resize((4, 4))
                     return [float(x) / 255.0 for x in img.getdata()]
                 if data[:2] == b"\xff\xd8":
-                    # baseline frames decode luma fully; progressive/
-                    # arithmetic keep header metadata with luma -1
+                    # baseline + progressive frames decode luma fully;
+                    # arithmetic/lossless keep header metadata, luma -1
                     return jpeg_header_features(data)
             if kind == "audio":
                 return wav_features(data)  # stdlib, available on every executor
@@ -789,10 +1092,11 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 return avi_features(data)  # stdlib struct chunk-walk
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
-                "install PIL (progressive-JPEG pixels and other exotic "
-                "image formats) / ffmpeg (non-AVI or compressed video); "
-                "PNG, GIF, BMP and baseline JPEG decode fully, WAV audio "
-                "and uncompressed RIFF/AVI video decode — all pure Python"
+                "install PIL (arithmetic/lossless-JPEG pixels and other "
+                "exotic image formats) / ffmpeg (non-AVI or compressed "
+                "video); PNG, GIF, BMP and baseline+progressive JPEG "
+                "decode fully, WAV audio and uncompressed RIFF/AVI video "
+                "decode — all pure Python"
             )
 
         for pdf in batches:
