@@ -909,15 +909,19 @@ def gif_header_features(data: bytes) -> list:
     return [float(width), float(height), version, float(has_gct), gct_size, luma]
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> "object":
-    """Reverse PNG row filtering (RFC 2083 filters 0-4 incl. Paeth) for
-    8-bit-depth images; returns an (height, width*nch) uint8 array. Pure
-    stdlib+numpy — row loop in Python, byte loop only for the sequential
-    sub/avg/paeth recurrences on the tiny per-row byte strings."""
+def _png_unfilter(raw: bytes, width: int, height: int, nch: int, stride: int | None = None) -> "object":
+    """Reverse PNG row filtering (RFC 2083 filters 0-4 incl. Paeth);
+    returns an (height, stride) uint8 array. ``stride`` defaults to
+    width*nch (8-bit samples); paletted sub-byte depths pass the packed
+    bytes-per-row explicitly (filtering is byte-wise with bpp=1 there,
+    which nch=1 already gives). Pure stdlib+numpy — row loop in Python,
+    byte loop only for the sequential sub/avg/paeth recurrences on the
+    tiny per-row byte strings."""
     import numpy as np
 
     bpp = nch
-    stride = width * nch
+    if stride is None:
+        stride = width * nch
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
     for y in range(height):
@@ -954,19 +958,25 @@ def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> "object":
 def png_features(data: bytes) -> list:
     """FULL PNG decode with the standard library only (VERDICT r03 "next"
     #7): chunk walk -> IHDR metadata, IDAT concatenation -> stdlib
-    ``zlib.decompress`` -> filter reversal (sub/up/average/Paeth) for 8-bit
-    non-interlaced grayscale/RGB(A) — the dominant PNG shapes. Returns
-    [width, height, bit_depth, color_type, interlace, mean_luma]; for
-    shapes outside the decoded set (16-bit, paletted, interlaced) the
-    header metadata is still real and ``mean_luma`` is -1 (alpha excluded
-    from luma). Raises ValueError on non-PNG bytes."""
+    ``zlib.decompress`` -> filter reversal (sub/up/average/Paeth) for
+    non-interlaced 8-bit grayscale/RGB(A) AND paletted images at every
+    legal palette depth (1/2/4/8 — MSB-first sub-byte unpack, PLTE
+    lookup; late r05). Returns [width, height, bit_depth, color_type,
+    interlace, mean_luma]; for shapes outside the decoded set (16-bit,
+    interlaced) the header metadata is still real and ``mean_luma`` is
+    -1 (alpha/tRNS excluded from luma, matching the GIF convention of a
+    palette-mapped RGB mean). Raises ValueError on non-PNG bytes and on
+    palette indices outside the PLTE."""
     import struct
     import zlib
+
+    import numpy as np
 
     if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("payload is not a PNG stream")
     width = height = depth = ctype = interlace = 0
     idat = b""
+    plte = b""
     off = 8
     while off + 8 <= len(data):
         (size,) = struct.unpack_from(">I", data, off)
@@ -974,6 +984,8 @@ def png_features(data: bytes) -> list:
         body = data[off + 8 : off + 8 + size]
         if tag == b"IHDR":
             width, height, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -987,6 +999,25 @@ def png_features(data: bytes) -> list:
             px = _png_unfilter(raw, width, height, nch).reshape(height, width, nch)
             color = px[:, :, : (3 if nch >= 3 else 1)]  # drop alpha from luma
             luma = float(color.mean()) / 255.0
+    elif (
+        idat and ctype == 3 and depth in (1, 2, 4, 8) and interlace == 0
+        and width and height and plte and len(plte) % 3 == 0
+    ):
+        raw = zlib.decompress(idat)
+        stride = (width * depth + 7) // 8
+        if len(raw) >= height * (1 + stride):
+            rows = _png_unfilter(raw, width, height, 1, stride=stride)
+            if depth == 8:
+                idx = rows[:, :width].astype(np.int64)
+            else:
+                # PNG packs sub-byte pixels MSB-first within each byte
+                bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                idx = bits.reshape(height, width, depth) @ weights
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if int(idx.max()) >= len(pal):
+                raise ValueError("PNG palette index out of range")
+            luma = float(pal[idx].mean()) / 255.0
     return [float(width), float(height), float(depth), float(ctype), float(interlace), luma]
 
 

@@ -664,6 +664,42 @@ def _mk_png(px, nch, depth=8, interlace=0):
     )
 
 
+def _mk_png_pal(idx, palette, depth):
+    """Paletted PNG (color type 3) from an (h, w) index array + an
+    [(r, g, b), ...] palette: indices packed MSB-first at the given bit
+    depth (PNG sub-byte packing), filters cycling 0..4 (byte-wise)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = idx.shape
+    if depth == 8:
+        packed = idx.astype(np.uint8)
+    else:
+        bits = (
+            (idx[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, w * depth)
+        pad = (-bits.shape[1]) % 8
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+        packed = np.packbits(bits, axis=1)
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    plte = b"".join(bytes(p) for p in palette)
+    idat = zlib.compress(_png_forward_filter(packed, 1, [0, 1, 2, 3, 4]))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def test_media_real_decode_png(spark):
     """FULL PNG decode via stdlib zlib + filter reversal (VERDICT r03 #7):
     every filter type (0-4) exercised, grayscale/RGB/RGBA, alpha excluded
@@ -695,6 +731,18 @@ def test_media_real_decode_png(spark):
     # 16-bit: metadata real, luma stub(-1)
     f16 = png_features(_mk_png(px, 3, depth=16))
     assert f16[2] == 16.0 and f16[5] == -1.0
+    # paletted (color type 3) at every legal depth — MSB-first sub-byte
+    # unpack + PLTE lookup, mean over palette-mapped RGB (late r05)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 128), (10, 20, 30)]
+    for d, nidx in ((1, 2), (2, 4), (4, 4), (8, 4)):
+        idx = (rng.randint(0, nidx, size=(5, 7))).astype(np.uint8)
+        fp = png_features(_mk_png_pal(idx, pal, d))
+        exp = float(np.asarray(pal, dtype=np.float64)[idx].mean()) / 255.0
+        assert fp[:5] == [7.0, 5.0, float(d), 3.0, 0.0]
+        assert abs(fp[5] - exp) < 1e-9, (d, fp[5], exp)
+    # a palette index past the PLTE is a data error, not garbage luma
+    with pytest.raises(ValueError):
+        png_features(_mk_png_pal(np.full((2, 2), 3, np.uint8), pal[:2], 8))
     with pytest.raises(ValueError):
         png_features(b"GIF89a not a png")
     # through Spark, decode="real", no PIL needed
