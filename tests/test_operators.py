@@ -609,13 +609,14 @@ def _mk_bmp(w=5, h=3, bc=24, luma=90, compression=0):
     return hdr + info + px
 
 
-def _png_forward_filter(px, nch, ftypes):
+def _png_forward_filter(px, nch, ftypes, bpp=None):
     """Apply PNG forward filtering (the encoder side) row by row, cycling
-    through the given filter types — exercises every unfilter branch."""
+    through the given filter types — exercises every unfilter branch.
+    ``bpp`` overrides the byte distance for 16-bit samples (2*nch)."""
     import numpy as np
 
     h, stride = px.shape
-    bpp = nch
+    bpp = nch if bpp is None else bpp
     out = bytearray()
     for y in range(h):
         ft = ftypes[y % len(ftypes)]
@@ -662,6 +663,62 @@ def _mk_png(px, nch, depth=8, interlace=0):
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def _png_chunks(ihdr_body, idat, extra=()):
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    for tag, body in extra:
+        out += chunk(tag, body)
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _mk_png16(vals16, nch):
+    """16-bit PNG from an (h, w*nch) uint16 array: big-endian sample
+    bytes, filters cycling 0..4 at bpp = 2*nch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, stride = vals16.shape
+    w = stride // nch
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    rows = vals16.astype(">u2").view(np.uint8).reshape(h, stride * 2)
+    idat = zlib.compress(_png_forward_filter(rows, nch, [0, 1, 2, 3, 4], bpp=2 * nch))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return _png_chunks(ihdr, idat)
+
+
+def _mk_png_adam7(px, nch):
+    """Adam7-interlaced 8-bit PNG from an (h, w*nch) uint8 array: each
+    pass extracted on the (x0, y0, dx, dy) grid and filtered
+    independently, empty passes contributing zero bytes."""
+    import struct
+    import zlib
+
+    h, stride = px.shape
+    w = stride // nch
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    img = px.reshape(h, w, nch)
+    body = b""
+    for i, (x0, y0, dx, dy) in enumerate(
+        ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    ):
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        flat = sub.reshape(sub.shape[0], sub.shape[1] * nch)
+        body += _png_forward_filter(flat, nch, [i % 5, (i + 1) % 5])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return _png_chunks(ihdr, zlib.compress(body))
 
 
 def _mk_png_pal(idx, palette, depth):
@@ -728,9 +785,31 @@ def test_media_real_decode_png(spark):
     a[:, 3::4] = 255  # alpha
     fa = png_features(_mk_png(a, 4))
     assert fa[3] == 6.0 and abs(fa[5] - 20.0 / 255.0) < 1e-9
-    # 16-bit: metadata real, luma stub(-1)
-    f16 = png_features(_mk_png(px, 3, depth=16))
-    assert f16[2] == 16.0 and f16[5] == -1.0
+    # 16-bit samples decode exactly (late r05): big-endian pairs, filter
+    # distance 2*nch bytes, mean over the 0..65535 range
+    v16 = (rng.randint(0, 65536, size=(6, 5 * 3))).astype(np.uint16)
+    f16 = png_features(_mk_png16(v16, 3))
+    assert f16[:5] == [5.0, 6.0, 16.0, 2.0, 0.0]
+    assert abs(f16[5] - float(v16.mean()) / 65535.0) < 1e-9
+    g16 = (rng.randint(0, 65536, size=(3, 4))).astype(np.uint16)
+    fg16 = png_features(_mk_png16(g16, 1))
+    assert abs(fg16[5] - float(g16.mean()) / 65535.0) < 1e-9
+    # a 16-bit header over an 8-bit-sized pixel stream is truncated:
+    # header metadata stays real, luma degrades to -1
+    ft = png_features(_mk_png(px, 3, depth=16))
+    assert ft[2] == 16.0 and ft[5] == -1.0
+    # Adam7 interlace (late r05): per-pass sums, no deinterlacing needed
+    # for the mean — sizes chosen so some passes are empty (w or h < 5)
+    for hw in ((9, 11), (3, 2), (1, 1), (8, 8)):
+        ipx = rng.randint(0, 256, size=(hw[0], hw[1] * 3)).astype(np.uint8)
+        fi = png_features(_mk_png_adam7(ipx, 3))
+        assert fi[:5] == [float(hw[1]), float(hw[0]), 8.0, 2.0, 1.0]
+        assert abs(fi[5] - float(ipx.mean()) / 255.0) < 1e-9, hw
+    ia = rng.randint(0, 256, size=(5, 7 * 4)).astype(np.uint8)  # RGBA
+    ia.reshape(5, 7, 4)[:, :, 3] = 255
+    fia = png_features(_mk_png_adam7(ia, 4))
+    exp_ia = float(ia.reshape(5, 7, 4)[:, :, :3].mean()) / 255.0
+    assert fia[4] == 1.0 and abs(fia[5] - exp_ia) < 1e-9
     # paletted (color type 3) at every legal depth — MSB-first sub-byte
     # unpack + PLTE lookup, mean over palette-mapped RGB (late r05)
     pal = [(255, 0, 0), (0, 255, 0), (0, 0, 128), (10, 20, 30)]
