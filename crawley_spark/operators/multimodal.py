@@ -4,16 +4,19 @@ columns with typed metadata.
 ``decode="fake"`` produces deterministic features from the bytes (so the
 Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
 tested everywhere); ``decode="real"`` decodes what the standard library can
-(WAV audio via ``wave``; uncompressed RIFF/AVI video via ``struct``
-chunk-walking; FULL PNG decode via ``zlib`` + filter reversal; FULL GIF
-first-frame decode via a pure-Python LZW decoder; FULL baseline AND
-progressive JPEG luminance decode via pure-Python Huffman + numpy IDCT;
-BMP via ``struct`` — no codec deps, runs everywhere) and probes for codec
-libraries at runtime on the executors for the rest, raising
-NotImplementedError where no decoder exists. The remaining stub surface is
-arithmetic-coded/lossless/12-bit JPEG pixel data without PIL and
-compressed/non-AVI video (VERDICT r02 "next" #3, r03 #7, r04 #6; GIF LZW
-+ baseline-JPEG decode added r05, progressive-JPEG decode late r05).
+(WAV audio via ``wave``; RIFF/AVI video via ``struct`` chunk-walking with
+first-frame luma for uncompressed DIB and MJPEG streams — MJPEG frames are
+JPEGs, routed through the in-module decoder with the Annex K typical
+Huffman tables restored when the frame omits DHT; FULL PNG decode via
+``zlib`` + filter reversal; FULL GIF first-frame decode via a pure-Python
+LZW decoder; FULL baseline AND progressive JPEG luminance decode via
+pure-Python Huffman + numpy IDCT; BMP via ``struct`` — no codec deps, runs
+everywhere) and probes for codec libraries at runtime on the executors for
+the rest, raising NotImplementedError where no decoder exists. The
+remaining stub surface is arithmetic-coded/lossless/12-bit JPEG pixel data
+without PIL and non-AVI / non-MJPEG-compressed video (VERDICT r02 "next"
+#3, r03 #7, r04 #6; GIF LZW + baseline-JPEG decode added r05,
+progressive-JPEG + MJPEG-AVI decode late r05).
 """
 
 from __future__ import annotations
@@ -105,9 +108,14 @@ def avi_features(data: bytes) -> list:
     chunk-walking (zero codec dependencies) and return deterministic
     features: [width, height, fps, n_frames_header, n_frames_movi,
     duration_s, bit_count, mean_luma_first_frame]. ``mean_luma`` is
-    computed from the first ``00db`` DIB frame when the video stream is
-    BI_RGB 24/32-bit; for compressed streams (``00dc`` etc.) it is -1 —
-    parsing the container is stdlib territory, decoding codecs is not.
+    computed from the first frame when the video stream is BI_RGB
+    24/32-bit (raw DIB rows) or MJPEG (``MJPG``/``mjpg``/``dmb1``
+    fourcc — each frame is a JPEG image, decoded by
+    :func:`jpeg_decode_luma`; frames that omit their Huffman tables, as
+    the OpenDML AVI spec permits, get the published ITU T.81 Annex K.3
+    typical tables spliced in by :func:`_mjpeg_ensure_dht`). For other
+    compressed streams it is -1 — parsing the container is stdlib
+    territory, decoding further codecs is not.
     Raises ValueError on bytes that are not a RIFF/AVI stream (data error,
     distinct from the NotImplementedError of a missing codec)."""
     import struct
@@ -142,22 +150,29 @@ def avi_features(data: bytes) -> list:
                 width, height, bitcount, compression = abs(bw), abs(bh), bc, comp
             elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
                 n_movi_frames += 1
-                if fourcc[2:4] == b"db" and not frames:
-                    frames.append(bytes(buf[body : body + size]))
+                if not frames:
+                    frames.append((bytes(fourcc[2:4]), bytes(buf[body : body + size])))
             off = nxt
 
     walk(memoryview(data), 12, len(data))
     fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
     duration_s = total_frames * usec_per_frame / 1e6
     luma = -1.0
-    if frames and compression == 0 and bitcount in (24, 32) and width and height:
-        bpp = bitcount // 8
-        stride = ((width * bpp) + 3) & ~3
-        px = np.frombuffer(frames[0], dtype=np.uint8)
-        if len(px) >= stride * height:
-            rows = px[: stride * height].reshape(height, stride)[:, : width * bpp]
-            rgb = rows.reshape(height, width, bpp)[:, :, :3]  # BGR order; mean is order-free
-            luma = float(rgb.mean()) / 255.0
+    if frames:
+        fkind, fdata = frames[0]
+        if fkind == b"db" and compression == 0 and bitcount in (24, 32) and width and height:
+            bpp = bitcount // 8
+            stride = ((width * bpp) + 3) & ~3
+            px = np.frombuffer(fdata, dtype=np.uint8)
+            if len(px) >= stride * height:
+                rows = px[: stride * height].reshape(height, stride)[:, : width * bpp]
+                rgb = rows.reshape(height, width, bpp)[:, :, :3]  # BGR order; mean is order-free
+                luma = float(rgb.mean()) / 255.0
+        elif compression in _MJPG_FOURCCS and fdata[:2] == b"\xff\xd8":
+            # MJPEG: every frame is an independent JPEG; reuse the pure-
+            # Python decoder, restoring the Annex K tables if the frame
+            # relies on the OpenDML omit-DHT convention
+            luma = jpeg_decode_luma(_mjpeg_ensure_dht(fdata))
     return [
         float(width),
         float(height),
@@ -285,6 +300,133 @@ def _jpeg_extend(v: int, t: int) -> int:
     """ITU T.81 F.2.2.1 EXTEND: map the t-bit magnitude v to its signed
     coefficient value."""
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+# BITMAPINFOHEADER biCompression values naming a motion-JPEG stream
+# (fourcc stored little-endian); "dmb1" is the QuickTime-flavoured alias.
+_MJPG_FOURCCS = frozenset(
+    int.from_bytes(cc, "little") for cc in (b"MJPG", b"mjpg", b"dmb1")
+)
+
+# ITU T.81 Annex K.3 "typical" Huffman tables (Tables K.3-K.6),
+# transcribed from the published spec: (BITS counts per code length 1-16,
+# HUFFVAL symbol list). MJPEG-in-AVI frames may omit their DHT segments
+# and assume exactly these tables (the OpenDML convention);
+# _mjpeg_ensure_dht splices them back in front of SOS.
+_STD_DC_LUMA = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_STD_DC_CHROMA = (
+    bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_STD_AC_LUMA = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes(
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+            0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+            0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+            0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+            0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+            0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+            0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ]
+    ),
+)
+_STD_AC_CHROMA = (
+    bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]),
+    bytes(
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ]
+    ),
+)
+
+
+def _std_dht_segment() -> bytes:
+    """One DHT segment carrying all four Annex K typical tables
+    (DC/AC luminance as table id 0, DC/AC chrominance as id 1), in the
+    wire format ``jpeg_decode_luma`` parses."""
+    import struct
+
+    payload = bytearray()
+    for tid, (counts, values) in (
+        (0x00, _STD_DC_LUMA),
+        (0x10, _STD_AC_LUMA),
+        (0x01, _STD_DC_CHROMA),
+        (0x11, _STD_AC_CHROMA),
+    ):
+        if sum(counts) != len(values):  # transcription self-check
+            raise AssertionError("Annex K table counts/values mismatch")
+        payload.append(tid)
+        payload += counts
+        payload += values
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + bytes(payload)
+
+
+def _mjpeg_ensure_dht(frame: bytes) -> bytes:
+    """Return ``frame`` unchanged if it defines any Huffman table before
+    its first SOS; otherwise splice the Annex K typical-table DHT segment
+    immediately before SOS (the OpenDML MJPEG omit-DHT convention).
+    Raises ValueError on a corrupt marker stream, mirroring the decoder."""
+    import struct
+
+    if len(frame) < 4 or frame[:2] != b"\xff\xd8":
+        raise ValueError("payload is not a JPEG stream")
+    off = 2
+    while off + 4 <= len(frame):
+        if frame[off] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker stream at offset {off}")
+        marker = frame[off + 1]
+        if marker == 0xFF:
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        if marker == 0xC4:
+            return frame  # carries its own tables
+        if marker == 0xDA:
+            return frame[:off] + _std_dht_segment() + frame[off:]
+        (seglen,) = struct.unpack_from(">H", frame, off + 2)
+        off += 2 + seglen
+    return frame
 
 
 def jpeg_decode_luma(data: bytes) -> float:
@@ -1165,10 +1307,10 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
                 "install PIL (arithmetic/lossless-JPEG pixels and other "
-                "exotic image formats) / ffmpeg (non-AVI or compressed "
-                "video); PNG, GIF, BMP and baseline+progressive JPEG "
-                "decode fully, WAV audio and uncompressed RIFF/AVI video "
-                "decode — all pure Python"
+                "exotic image formats) / ffmpeg (non-AVI video or "
+                "non-MJPEG codecs); PNG, GIF, BMP and baseline+progressive "
+                "JPEG decode fully, WAV audio and RIFF/AVI video "
+                "(uncompressed DIB or MJPEG frames) decode — all pure Python"
             )
 
         for pdf in batches:

@@ -493,9 +493,11 @@ def test_embed_lsh_degenerate_bucket_capped(spark):
     assert 0 < pairs < 20_000, pairs
 
 
-def _mk_avi(w=4, h=2, n_frames=3, fps=10, luma=100, compression=0):
-    """Minimal uncompressed RIFF/AVI: hdrl(avih + strl(strh,strf)) +
-    movi(00db frames of constant BGR), rows padded to 4 bytes."""
+def _mk_avi(w=4, h=2, n_frames=3, fps=10, luma=100, compression=0, frame=None):
+    """Minimal RIFF/AVI: hdrl(avih + strl(strh,strf)) + movi frames.
+    Default is uncompressed 00db frames of constant BGR (rows padded to 4
+    bytes); pass ``frame`` bytes (e.g. a JPEG) with a nonzero
+    ``compression`` fourcc for a compressed 00dc stream."""
     import struct
 
     def chunk(fourcc, body):
@@ -508,8 +510,9 @@ def _mk_avi(w=4, h=2, n_frames=3, fps=10, luma=100, compression=0):
     avih = struct.pack("<10I", usec, 0, 0, 0, n_frames, 0, 1, 0, w, h)
     strh = b"vids" + b"DIB " + b"\0" * 48
     strf = struct.pack("<IiiHHI", 40, w, h, 1, 24, compression) + b"\0" * 20
-    stride = ((w * 3) + 3) & ~3
-    frame = bytes([luma]) * (stride * h)
+    if frame is None:
+        stride = ((w * 3) + 3) & ~3
+        frame = bytes([luma]) * (stride * h)
     tag = b"00db" if compression == 0 else b"00dc"
     movi = lst(b"movi", b"".join(chunk(tag, frame) for _ in range(n_frames)))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
@@ -549,6 +552,71 @@ def test_media_real_decode_avi(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(mp4, decode="real").collect()
+
+
+def _strip_dht(jpg):
+    """Drop every DHT segment before SOS — produces the OpenDML DHT-less
+    MJPEG frame shape from an in-test encoded JPEG."""
+    import struct
+
+    out = bytearray(jpg[:2])
+    off = 2
+    while off + 4 <= len(jpg):
+        marker = jpg[off + 1]
+        if marker == 0xDA:
+            out += jpg[off:]
+            return bytes(out)
+        (seglen,) = struct.unpack_from(">H", jpg, off + 2)
+        if marker != 0xC4:
+            out += jpg[off : off + 2 + seglen]
+        off += 2 + seglen
+    return bytes(out)
+
+
+def test_media_avi_mjpeg_decode():
+    """MJPEG-in-AVI first-frame luma decodes through the in-module JPEG
+    decoder (late r05 — the compressed-video stub shrinks to non-MJPEG
+    codecs), including the OpenDML convention of frames that omit their
+    Huffman tables and assume the ITU T.81 Annex K typical set."""
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import (
+        _mjpeg_ensure_dht,
+        avi_features,
+        jpeg_decode_luma,
+    )
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    # gradient chroma so the chroma Huffman tables carry real symbols
+    cb = np.tile(np.linspace(40, 215, 16), (16, 1))
+    cr = np.tile(np.linspace(200, 60, 16), (16, 1)).T
+    expected = _jpeg_expected_luma(y)
+    mjpg = int.from_bytes(b"MJPG", "little")
+
+    # (a) frame carrying its own tables decodes exactly; ensure_dht no-op
+    jpg = _jpeg_encode_baseline([y, cb, cr], [(1, 1)] * 3)
+    feats = avi_features(_mk_avi(w=16, h=16, n_frames=2, compression=mjpg, frame=jpg))
+    assert feats[0] == 16.0 and feats[1] == 16.0 and feats[4] == 2.0
+    assert abs(feats[7] - expected) < 1e-9
+    assert _mjpeg_ensure_dht(jpg) == jpg
+
+    # (b) DHT-less frame coded with the Annex K tables decodes exactly
+    # once the standard segment is spliced back
+    jpg_std = _jpeg_encode_baseline([y, cb, cr], [(1, 1)] * 3, std_tables=True)
+    stripped = _strip_dht(jpg_std)
+    assert b"\xff\xc4" not in stripped[: stripped.find(b"\xff\xda")]
+    feats2 = avi_features(_mk_avi(w=16, h=16, n_frames=1, compression=mjpg, frame=stripped))
+    assert abs(feats2[7] - expected) < 1e-9
+    # splice-then-decode agrees with the un-stripped coding bit-for-bit
+    assert jpeg_decode_luma(_mjpeg_ensure_dht(stripped)) == jpeg_decode_luma(jpg_std)
+
+    # (c) the lowercase/QuickTime fourccs route the same way; unknown
+    # codecs still report luma -1 (header metadata only)
+    for cc in (b"mjpg", b"dmb1"):
+        alt = _mk_avi(w=16, h=16, n_frames=1, compression=int.from_bytes(cc, "little"), frame=jpg)
+        assert abs(avi_features(alt)[7] - expected) < 1e-9
+    assert avi_features(_mk_avi(compression=1))[7] == -1.0
 
 
 def test_media_real_decode_wav(spark):
@@ -964,13 +1032,17 @@ class _JpegBW:
         self.out += b
 
 
-def _jpeg_encode_baseline(planes, sampling, restart=0):
+def _jpeg_encode_baseline(planes, sampling, restart=0, std_tables=False):
     """Minimal baseline-JPEG encoder for test fixtures: quant tables of
     all-ones (coefficients survive exactly), one shared canonical Huffman
     table pair built at a fixed code length from the symbols actually
     used, MCU interleave per the declared sampling, optional restart
     interval. planes[0] is the full-resolution luminance array; chroma
-    planes are pre-subsampled by the caller."""
+    planes are pre-subsampled by the caller. With ``std_tables=True`` the
+    stream is entropy-coded with the ITU T.81 Annex K typical tables
+    (luma tables id 0, chroma id 1) taken from the module constants —
+    stripping its DHT segments then yields a conforming OpenDML
+    DHT-less MJPEG frame."""
     import struct
 
     import numpy as np
@@ -1031,10 +1103,11 @@ def _jpeg_encode_baseline(planes, sampling, restart=0):
                 pred = [0] * len(planes)
             n_mcu += 1
             for ci, q in mcu:
+                ti = min(ci, 1)  # table id: luma 0, chroma 1
                 s, bitsv = mag(q[0] - pred[ci])
                 pred[ci] = q[0]
                 if emit:
-                    emit["bw"].put(*emit["dc"][s])
+                    emit["bw"].put(*emit["dc"][ti][s])
                     emit["bw"].put(bitsv, s)
                 else:
                     dc_syms.add(s)
@@ -1045,21 +1118,21 @@ def _jpeg_encode_baseline(planes, sampling, restart=0):
                         continue
                     while run > 15:
                         if emit:
-                            emit["bw"].put(*emit["ac"][0xF0])
+                            emit["bw"].put(*emit["ac"][ti][0xF0])
                         else:
                             ac_syms.add(0xF0)
                         run -= 16
                     s, bitsv = mag(q[k])
                     sym = (run << 4) | s
                     if emit:
-                        emit["bw"].put(*emit["ac"][sym])
+                        emit["bw"].put(*emit["ac"][ti][sym])
                         emit["bw"].put(bitsv, s)
                     else:
                         ac_syms.add(sym)
                     run = 0
                 if run:
                     if emit:
-                        emit["bw"].put(*emit["ac"][0x00])
+                        emit["bw"].put(*emit["ac"][ti][0x00])
                     else:
                         ac_syms.add(0x00)
 
@@ -1076,10 +1149,49 @@ def _jpeg_encode_baseline(planes, sampling, restart=0):
         counts[L - 1] = len(vals)
         return bytes(counts) + bytes(vals), {v: (i, L) for i, v in enumerate(vals)}
 
-    dc_bytes, dc_map = canonical(dc_syms)
-    ac_bytes, ac_map = canonical(ac_syms)
+    def canonical_std(counts, values):
+        """JPEG canonical code assignment from (BITS, HUFFVAL) — the
+        test-side mirror of the decoder's table build."""
+        code, k, maps = 0, 0, {}
+        for L in range(1, 17):
+            for _ in range(counts[L - 1]):
+                maps[values[k]] = (code, L)
+                code += 1
+                k += 1
+            code <<= 1
+        return maps
+
+    if std_tables:
+        from crawley_spark.operators.multimodal import (
+            _STD_AC_CHROMA,
+            _STD_AC_LUMA,
+            _STD_DC_CHROMA,
+            _STD_DC_LUMA,
+        )
+
+        dc_maps = [canonical_std(*_STD_DC_LUMA), canonical_std(*_STD_DC_CHROMA)]
+        ac_maps = [canonical_std(*_STD_AC_LUMA), canonical_std(*_STD_AC_CHROMA)]
+        dht_segs = b"".join(
+            b"\xff\xc4" + struct.pack(">HB", 3 + len(c) + len(v), tid) + c + v
+            for tid, (c, v) in (
+                (0x00, _STD_DC_LUMA),
+                (0x10, _STD_AC_LUMA),
+                (0x01, _STD_DC_CHROMA),
+                (0x11, _STD_AC_CHROMA),
+            )
+        )
+        sel = lambda i: 0x00 if i == 0 else 0x11  # noqa: E731
+    else:
+        dc_bytes, dc_map = canonical(dc_syms)
+        ac_bytes, ac_map = canonical(ac_syms)
+        dc_maps, ac_maps = [dc_map, dc_map], [ac_map, ac_map]
+        dht_segs = (
+            b"\xff\xc4" + struct.pack(">HB", 3 + len(dc_bytes), 0x00) + dc_bytes
+            + b"\xff\xc4" + struct.pack(">HB", 3 + len(ac_bytes), 0x10) + ac_bytes
+        )
+        sel = lambda i: 0x00  # noqa: E731
     bw = _JpegBW()
-    walk(emit={"bw": bw, "dc": dc_map, "ac": ac_map})
+    walk(emit={"bw": bw, "dc": dc_maps, "ac": ac_maps})
     bw.align()
 
     buf = bytearray(b"\xff\xd8")
@@ -1088,11 +1200,12 @@ def _jpeg_encode_baseline(planes, sampling, restart=0):
     for i, (hh, vv) in enumerate(sampling):
         sof += bytes([i + 1, (hh << 4) | vv, 0])
     buf += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    buf += b"\xff\xc4" + struct.pack(">HB", 3 + len(dc_bytes), 0x00) + dc_bytes
-    buf += b"\xff\xc4" + struct.pack(">HB", 3 + len(ac_bytes), 0x10) + ac_bytes
+    buf += dht_segs
     if restart:
         buf += b"\xff\xdd" + struct.pack(">HH", 4, restart)
-    sos = bytes([len(planes)]) + b"".join(bytes([i + 1, 0x00]) for i in range(len(planes)))
+    sos = bytes([len(planes)]) + b"".join(
+        bytes([i + 1, sel(i)]) for i in range(len(planes))
+    )
     buf += b"\xff\xda" + struct.pack(">H", 5 + len(sos)) + sos + b"\x00\x3f\x00"
     buf += bw.out + b"\xff\xd9"
     return bytes(buf)
