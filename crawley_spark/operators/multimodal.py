@@ -13,10 +13,11 @@ LZW decoder; FULL baseline AND progressive JPEG luminance decode via
 pure-Python Huffman + numpy IDCT; BMP via ``struct`` — no codec deps, runs
 everywhere) and probes for codec libraries at runtime on the executors for
 the rest, raising NotImplementedError where no decoder exists. The
-remaining stub surface is arithmetic-coded/lossless/12-bit JPEG pixel data
-without PIL and non-AVI / non-MJPEG-compressed video (VERDICT r02 "next"
-#3, r03 #7, r04 #6; GIF LZW + baseline-JPEG decode added r05,
-progressive-JPEG + MJPEG-AVI decode late r05).
+remaining stub surface is arithmetic-coded/lossless/12-bit-progressive
+JPEG pixel data without PIL and non-AVI / non-MJPEG-compressed video
+(VERDICT r02 "next" #3, r03 #7, r04 #6; GIF LZW + baseline-JPEG decode
+added r05, progressive-JPEG + MJPEG-AVI + 12-bit-sequential decode late
+r05).
 """
 
 from __future__ import annotations
@@ -431,14 +432,16 @@ def _mjpeg_ensure_dht(frame: bytes) -> bytes:
 
 def jpeg_decode_luma(data: bytes) -> float:
     """Decode the luminance plane of a baseline/extended-sequential
-    (SOF0/SOF1 — streaming single-pass below) or progressive (SOF2 —
-    dispatched to ``_jpeg_decode_progressive_luma``) Huffman JPEG with
+    (SOF0/SOF1, 8-bit or 12-bit samples — streaming single-pass below) or
+    progressive (SOF2, 8-bit — dispatched to
+    ``_jpeg_decode_progressive_luma``) Huffman JPEG with
     stdlib + numpy only (r05: the JPEG pixel stub shrinks to
-    arithmetic-coded/lossless/12-bit shapes) and return mean
+    arithmetic-coded/lossless/12-bit-progressive shapes) and return mean
     luma in [0, 1]. Re-derived from the published ITU T.81 spec: DQT/DHT/
-    SOF/SOS/DRI parse, canonical Huffman entropy decode with 0xFF00
+    SOF/SOS/DRI parse (8- and 16-bit quant tables), canonical Huffman
+    entropy decode with 0xFF00
     unstuffing and restart handling, dequantization, float IDCT via the
-    orthonormal DCT basis, +128 level shift. Chroma blocks are entropy-
+    orthonormal DCT basis, +2^(P-1) level shift. Chroma blocks are entropy-
     decoded (the stream must advance) but skip dequant/IDCT — mean luma
     needs only Y, and Y is the full-resolution component for every real
     sampling layout (asserted). The Y plane is cropped to the true image
@@ -508,7 +511,7 @@ def jpeg_decode_luma(data: bytes) -> float:
                     "lossless/differential) needs a full codec (PIL)"
                 )
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit JPEG needs a full codec")
             comps = []
             for i in range(ncomp):
@@ -539,7 +542,11 @@ def jpeg_decode_luma(data: bytes) -> float:
         raise NotImplementedError("first JPEG component is not full-resolution")
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    # orthonormal 8x8 DCT basis: plane = C.T @ coef @ C + 128
+    # orthonormal 8x8 DCT basis: plane = C.T @ coef @ C + 2^(P-1)
+    # (level shift and clip range follow the sample precision: 8-bit
+    # baseline or 12-bit extended-sequential)
+    level = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     x = np.arange(8)
     c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
     c[0] /= np.sqrt(2.0)
@@ -582,11 +589,11 @@ def jpeg_decode_luma(data: bytes) -> float:
                             if is_y:
                                 coef[zz[k]] = val * q[k]
                         if is_y:
-                            block = c.T @ coef.reshape(8, 8) @ c + 128.0
+                            block = c.T @ coef.reshape(8, 8) @ c + level
                             py, px = (my * v + by) * 8, (mx * h + bx) * 8
                             yplane[py : py + 8, px : px + 8] = block
-    crop = np.clip(yplane[:height, :width], 0.0, 255.0)
-    return float(crop.mean()) / 255.0
+    crop = np.clip(yplane[:height, :width], 0.0, maxval)
+    return float(crop.mean()) / maxval
 
 
 def _jpeg_skip_entropy(data: bytes, pos: int) -> int:
@@ -897,8 +904,9 @@ def jpeg_header_features(data: bytes) -> list:
     differential), 0.0 for the other frame types. ``mean_luma`` is decoded
     for baseline/extended-sequential AND progressive Huffman frames via
     ``jpeg_decode_luma`` (r05 — full entropy decode + IDCT of the Y
-    plane); it stays -1 for frame types the pure-Python path cannot decode
-    (arithmetic-coded, lossless, 12-bit) or when no scan is present.
+    plane, 8-bit or 12-bit sequential); it stays -1 for frame types the
+    pure-Python path cannot decode (arithmetic-coded, lossless, 12-bit
+    progressive) or when no scan is present.
     Raises ValueError on bytes that are not a JPEG stream (data error,
     distinct from the NotImplementedError of a missing codec)."""
     import struct
@@ -926,7 +934,9 @@ def jpeg_header_features(data: bytes) -> list:
                 ">BHHB", data, off + 4
             )
             luma = -1.0
-            if marker in (0xC0, 0xC1, 0xC2) and precision == 8:
+            if marker in (0xC0, 0xC1, 0xC2) and precision in (8, 12):
+                # 12-bit decodes on the sequential path; 12-bit progressive
+                # raises inside and falls back to -1
                 try:
                     luma = jpeg_decode_luma(data)
                 except (ValueError, NotImplementedError):

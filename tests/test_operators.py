@@ -619,6 +619,40 @@ def test_media_avi_mjpeg_decode():
     assert avi_features(_mk_avi(compression=1))[7] == -1.0
 
 
+def test_media_jpeg_12bit_decode():
+    """12-bit extended-sequential JPEG decodes on the pure-Python path
+    (late r05 — level shift 2048, clip 0..4095, 16-bit DQT); the stub
+    shrinks to arithmetic/lossless/12-bit-progressive frames. Exactness
+    is pinned by the test-side mirror of the decoder arithmetic."""
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import (
+        jpeg_decode_luma,
+        jpeg_header_features,
+    )
+
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 4096, size=(20, 12)).astype(np.float64)
+    cb = np.full((20, 12), 2048.0)
+    cr = np.tile(np.linspace(100, 3995, 12), (20, 1))
+    jpg = _jpeg_encode_baseline([y, cb, cr], [(1, 1)] * 3, precision=12)
+    expected = _jpeg_expected_luma(y, precision=12)
+    assert abs(jpeg_decode_luma(jpg) - expected) < 1e-9
+    # header features report precision 12 AND the decoded luma
+    w, h, prec, ncomp, prog, luma = jpeg_header_features(jpg)
+    assert (w, h, prec, ncomp, prog) == (12.0, 20.0, 12.0, 3.0, 0.0)
+    assert abs(luma - expected) < 1e-9
+    # grayscale single-component 12-bit also decodes
+    jpg_gray = _jpeg_encode_baseline([y], [(1, 1)], precision=12)
+    assert abs(jpeg_decode_luma(jpg_gray) - expected) < 1e-9
+    # unsupported precisions stay a declared stub, not a wrong answer
+    bad = bytearray(jpg)
+    sof_at = bytes(bad).find(b"\xff\xc0")
+    bad[sof_at + 4] = 16
+    with pytest.raises(NotImplementedError):
+        jpeg_decode_luma(bytes(bad))
+
+
 def test_media_real_decode_wav(spark):
     """WAV audio decodes via stdlib `wave` on every executor — runs
     everywhere, no skip (VERDICT r02 "next" #3); video stays the only
@@ -1032,7 +1066,7 @@ class _JpegBW:
         self.out += b
 
 
-def _jpeg_encode_baseline(planes, sampling, restart=0, std_tables=False):
+def _jpeg_encode_baseline(planes, sampling, restart=0, std_tables=False, precision=8):
     """Minimal baseline-JPEG encoder for test fixtures: quant tables of
     all-ones (coefficients survive exactly), one shared canonical Huffman
     table pair built at a fixed code length from the symbols actually
@@ -1042,7 +1076,9 @@ def _jpeg_encode_baseline(planes, sampling, restart=0, std_tables=False):
     stream is entropy-coded with the ITU T.81 Annex K typical tables
     (luma tables id 0, chroma id 1) taken from the module constants —
     stripping its DHT segments then yields a conforming OpenDML
-    DHT-less MJPEG frame."""
+    DHT-less MJPEG frame. ``precision=12`` emits an extended-sequential
+    frame (SOF0 header with P=12, level shift 2048, 16-bit all-ones
+    DQT)."""
     import struct
 
     import numpy as np
@@ -1079,7 +1115,7 @@ def _jpeg_encode_baseline(planes, sampling, restart=0, std_tables=False):
         mcu = []
         for ci, (hh, vv) in enumerate(sampling):
             for _ in range(hh * vv):
-                f = next(gens[ci]).astype(np.float64) - 128.0
+                f = next(gens[ci]).astype(np.float64) - float(1 << (precision - 1))
                 F = c @ f @ c.T
                 q = np.rint(F).astype(int).reshape(64)
                 mcu.append((ci, [int(q[zz[k]]) for k in range(64)]))
@@ -1195,8 +1231,12 @@ def _jpeg_encode_baseline(planes, sampling, restart=0, std_tables=False):
     bw.align()
 
     buf = bytearray(b"\xff\xd8")
-    buf += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
-    sof = struct.pack(">BHHB", 8, h_img, w_img, len(planes))
+    if precision == 12:
+        # Pq=1: 16-bit quant entries, as T.81 requires above 8-bit samples
+        buf += b"\xff\xdb" + struct.pack(">HB", 131, 0x10) + struct.pack(">64H", *([1] * 64))
+    else:
+        buf += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", precision, h_img, w_img, len(planes))
     for i, (hh, vv) in enumerate(sampling):
         sof += bytes([i + 1, (hh << 4) | vv, 0])
     buf += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
@@ -1211,11 +1251,13 @@ def _jpeg_encode_baseline(planes, sampling, restart=0, std_tables=False):
     return bytes(buf)
 
 
-def _jpeg_expected_luma(yplane):
+def _jpeg_expected_luma(yplane, precision=8):
     """The decoder's exact arithmetic replicated test-side: forward DCT,
-    integer rounding (quant 1), inverse DCT, +128, clip, crop, mean."""
+    integer rounding (quant 1), inverse DCT, +2^(P-1), clip, crop, mean."""
     import numpy as np
 
+    level = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     x = np.arange(8)
     c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
     c[0] /= np.sqrt(2.0)
@@ -1225,10 +1267,10 @@ def _jpeg_expected_luma(yplane):
     out = np.zeros_like(pad)
     for py in range(0, ph, 8):
         for px in range(0, pw, 8):
-            f = pad[py : py + 8, px : px + 8] - 128.0
+            f = pad[py : py + 8, px : px + 8] - level
             F = np.rint(c @ f @ c.T)
-            out[py : py + 8, px : px + 8] = c.T @ F @ c + 128.0
-    return float(np.clip(out[:h, :w], 0.0, 255.0).mean()) / 255.0
+            out[py : py + 8, px : px + 8] = c.T @ F @ c + level
+    return float(np.clip(out[:h, :w], 0.0, maxval).mean()) / maxval
 
 
 def _jpeg_encode_progressive(planes, sampling, scans, restart=0):
