@@ -13,11 +13,11 @@ LZW decoder; FULL baseline AND progressive JPEG luminance decode via
 pure-Python Huffman + numpy IDCT; BMP via ``struct`` — no codec deps, runs
 everywhere) and probes for codec libraries at runtime on the executors for
 the rest, raising NotImplementedError where no decoder exists. The
-remaining stub surface is arithmetic-coded/lossless/12-bit-progressive
+remaining stub surface is arithmetic-coded/differential/12-bit-progressive
 JPEG pixel data without PIL and non-AVI / non-MJPEG-compressed video
 (VERDICT r02 "next" #3, r03 #7, r04 #6; GIF LZW + baseline-JPEG decode
-added r05, progressive-JPEG + MJPEG-AVI + 12-bit-sequential decode late
-r05).
+added r05, progressive/lossless-JPEG + MJPEG-AVI + 12-bit-sequential
+decode late r05).
 """
 
 from __future__ import annotations
@@ -432,12 +432,13 @@ def _mjpeg_ensure_dht(frame: bytes) -> bytes:
 
 def jpeg_decode_luma(data: bytes) -> float:
     """Decode the luminance plane of a baseline/extended-sequential
-    (SOF0/SOF1, 8-bit or 12-bit samples — streaming single-pass below) or
+    (SOF0/SOF1, 8-bit or 12-bit samples — streaming single-pass below),
     progressive (SOF2, 8-bit — dispatched to
-    ``_jpeg_decode_progressive_luma``) Huffman JPEG with
+    ``_jpeg_decode_progressive_luma``) or lossless (SOF3, any precision —
+    dispatched to ``_jpeg_decode_lossless_luma``) Huffman JPEG with
     stdlib + numpy only (r05: the JPEG pixel stub shrinks to
-    arithmetic-coded/lossless/12-bit-progressive shapes) and return mean
-    luma in [0, 1]. Re-derived from the published ITU T.81 spec: DQT/DHT/
+    arithmetic-coded/differential/12-bit-progressive shapes) and return
+    mean luma in [0, 1]. Re-derived from the published ITU T.81 spec: DQT/DHT/
     SOF/SOS/DRI parse (8- and 16-bit quant tables), canonical Huffman
     entropy decode with 0xFF00
     unstuffing and restart handling, dequantization, float IDCT via the
@@ -505,10 +506,12 @@ def jpeg_decode_luma(data: bytes) -> float:
         elif marker in _SOF_MARKERS:
             if marker == 0xC2:
                 return _jpeg_decode_progressive_luma(data)
+            if marker == 0xC3:
+                return _jpeg_decode_lossless_luma(data)
             if marker not in (0xC0, 0xC1):
                 raise NotImplementedError(
                     f"JPEG frame type SOF{marker - 0xC0} (arithmetic/"
-                    "lossless/differential) needs a full codec (PIL)"
+                    "differential) needs a full codec (PIL)"
                 )
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
             if precision not in (8, 12):
@@ -895,6 +898,148 @@ def _jpeg_decode_prog_scan(
     return _jpeg_skip_entropy(data, bits.pos)
 
 
+def _jpeg_decode_lossless_luma(data: bytes) -> float:
+    """Decode a lossless (SOF3, ITU T.81 Annex H) Huffman JPEG and return
+    mean luma in [0, 1]. No DCT: each sample's SSS category is decoded
+    with a DC Huffman table and EXTENDed to the prediction residual,
+    added mod 2^16 to the Annex H.1.2 prediction — selector Ss 1-7
+    (a | b | c | a+b-c | a+((b-c)>>1) | b+((a-c)>>1) | (a+b)>>1 with
+    a=left, b=above, c=above-left); the first sample of the scan (and of
+    each restart interval — the row-aligned interpretation, mirrored by
+    the test encoder) predicts 2^(P-Pt-1), the rest of the first line
+    predicts from the left neighbour, the first column from the sample
+    above. SSS=16 is the +32768 no-extra-bits special case. The point
+    transform Pt shifts samples back left at the end. Only non-subsampled
+    (1,1) layouts are supported — the shape every real lossless JPEG
+    uses. Lossless means the decoded first-component plane is bit-exact,
+    so mean luma equals the source plane's mean over 2^P - 1 exactly."""
+    import struct
+
+    import numpy as np
+
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = precision = 0
+    comps: list[tuple[int, int, int]] = []  # (id, h, v)
+    restart_interval = 0
+    off = 2
+    scan = None
+    pred_sel, pt = 1, 0
+    while off + 4 <= len(data):
+        if data[off] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker stream at offset {off}")
+        marker = data[off + 1]
+        if marker == 0xFF:
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", data, off + 2)
+        body = data[off + 4 : off + 2 + seg_len]
+        if marker == 0xC4:  # DHT — same parse as the sequential decoder
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                counts = body[p + 1 : p + 17]
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = body[p]
+                        code += 1
+                        p += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC3:
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
+            for i in range(ncomp):
+                cid, hv, _tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15))
+        elif marker in _SOF_MARKERS:
+            raise ValueError("not a lossless JPEG frame")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            pred_sel = body[1 + 2 * ns]  # Ss = predictor selector
+            pt = body[3 + 2 * ns] & 15  # Al = point transform
+            scan_start = off + 2 + seg_len
+            break
+        off += 2 + seg_len
+    if scan is None or not comps or not width or not height or not precision:
+        raise ValueError("no decodable JPEG scan found")
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    if pt >= precision:
+        raise ValueError("point transform exceeds sample precision")
+    if any(h != 1 or v != 1 for _, h, v in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan lossless JPEG")
+    known = {cid for cid, *_ in comps}
+    sc = []
+    for cid, tables in scan:
+        if cid not in known:
+            raise ValueError("JPEG scan references unknown component")
+        t = huff.get((0, tables >> 4))
+        if t is None:
+            raise ValueError("JPEG scan references an undefined Huffman table")
+        sc.append((cid, t))
+    planes = {cid: [[0] * width for _ in range(height)] for cid, _ in sc}
+    bits = _JpegBits(data, scan_start)
+    default = 1 << (precision - pt - 1)
+    sel = pred_sel
+    n_mcu = 0
+    reset = True  # next MCU predicts the initial condition
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bits.restart()
+                reset = True
+            n_mcu += 1
+            for cid, dc_t in sc:
+                t = _jpeg_huff_decode(bits, dc_t)
+                if t == 16:
+                    diff = 32768
+                elif t > 16:
+                    raise ValueError("invalid lossless SSS category")
+                else:
+                    diff = _jpeg_extend(bits.receive(t), t)
+                pl = planes[cid]
+                if reset:
+                    px = default
+                elif y == 0:
+                    px = pl[0][x - 1]
+                elif x == 0:
+                    px = pl[y - 1][0]
+                else:
+                    a, b, c = pl[y][x - 1], pl[y - 1][x], pl[y - 1][x - 1]
+                    if sel == 1:
+                        px = a
+                    elif sel == 2:
+                        px = b
+                    elif sel == 3:
+                        px = c
+                    elif sel == 4:
+                        px = a + b - c
+                    elif sel == 5:
+                        px = a + ((b - c) >> 1)
+                    elif sel == 6:
+                        px = b + ((a - c) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                pl[y][x] = (px + diff) & 0xFFFF
+            reset = False
+    y_id = comps[0][0]
+    maxval = float((1 << precision) - 1)
+    yp = np.array(planes[y_id], dtype=np.float64) * float(1 << pt)
+    return float(np.clip(yp, 0.0, maxval).mean()) / maxval
+
+
 def jpeg_header_features(data: bytes) -> list:
     """Parse JPEG frame-header metadata with stdlib ``struct`` only
     (VERDICT r04 "next" #6): walk the marker segments to the first SOFn and
@@ -904,9 +1049,10 @@ def jpeg_header_features(data: bytes) -> list:
     differential), 0.0 for the other frame types. ``mean_luma`` is decoded
     for baseline/extended-sequential AND progressive Huffman frames via
     ``jpeg_decode_luma`` (r05 — full entropy decode + IDCT of the Y
-    plane, 8-bit or 12-bit sequential); it stays -1 for frame types the
-    pure-Python path cannot decode (arithmetic-coded, lossless, 12-bit
-    progressive) or when no scan is present.
+    plane, 8-bit or 12-bit sequential) and for lossless SOF3 frames (any
+    precision — Annex H prediction residuals, no DCT); it stays -1 for
+    frame types the pure-Python path cannot decode (arithmetic-coded,
+    differential, 12-bit progressive) or when no scan is present.
     Raises ValueError on bytes that are not a JPEG stream (data error,
     distinct from the NotImplementedError of a missing codec)."""
     import struct
@@ -934,9 +1080,10 @@ def jpeg_header_features(data: bytes) -> list:
                 ">BHHB", data, off + 4
             )
             luma = -1.0
-            if marker in (0xC0, 0xC1, 0xC2) and precision in (8, 12):
-                # 12-bit decodes on the sequential path; 12-bit progressive
-                # raises inside and falls back to -1
+            if (marker in (0xC0, 0xC1, 0xC2) and precision in (8, 12)) or marker == 0xC3:
+                # 12-bit decodes on the sequential path; lossless at any
+                # precision; 12-bit progressive raises inside and falls
+                # back to -1
                 try:
                     luma = jpeg_decode_luma(data)
                 except (ValueError, NotImplementedError):
@@ -1308,7 +1455,7 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     return [float(x) / 255.0 for x in img.getdata()]
                 if data[:2] == b"\xff\xd8":
                     # baseline + progressive frames decode luma fully;
-                    # arithmetic/lossless keep header metadata, luma -1
+                    # arithmetic/differential keep header metadata, luma -1
                     return jpeg_header_features(data)
             if kind == "audio":
                 return wav_features(data)  # stdlib, available on every executor
@@ -1316,7 +1463,7 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 return avi_features(data)  # stdlib struct chunk-walk
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
-                "install PIL (arithmetic/lossless-JPEG pixels and other "
+                "install PIL (arithmetic/differential-JPEG pixels and other "
                 "exotic image formats) / ffmpeg (non-AVI video or "
                 "non-MJPEG codecs); PNG, GIF, BMP and baseline+progressive "
                 "JPEG decode fully, WAV audio and RIFF/AVI video "

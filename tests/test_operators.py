@@ -653,6 +653,138 @@ def test_media_jpeg_12bit_decode():
         jpeg_decode_luma(bytes(bad))
 
 
+def _jpeg_encode_lossless(planes, predictor=4, precision=8, restart=0, pt=0):
+    """Minimal lossless-JPEG (SOF3, T.81 Annex H) encoder for test
+    fixtures: prediction residuals mod 2^16 mapped to SSS categories
+    (|diff|=32768 → category 16, no bits), one canonical Huffman table
+    at a fixed code length, interleaved one-sample-per-component MCUs,
+    optional restart interval and point transform. Prediction rules
+    mirror the decoder exactly (first sample of scan/restart interval →
+    2^(P-Pt-1); first line → left; first column → above)."""
+    import struct
+
+    import numpy as np
+
+    h_img, w_img = planes[0].shape
+    shifted = [np.right_shift(p.astype(int), pt) for p in planes]
+    default = 1 << (precision - pt - 1)
+
+    def mag(v):
+        s = int(abs(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    def predict(pl, y, x):
+        a, b, c = int(pl[y][x - 1]), int(pl[y - 1][x]), int(pl[y - 1][x - 1])
+        return {
+            1: a, 2: b, 3: c, 4: a + b - c,
+            5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1), 7: (a + b) >> 1,
+        }[predictor]
+
+    def stream():
+        n_mcu = 0
+        reset = True
+        for y in range(h_img):
+            for x in range(w_img):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    yield ("RST", (n_mcu // restart - 1) % 8)
+                    reset = True
+                n_mcu += 1
+                for pl in shifted:
+                    if reset:
+                        px = default
+                    elif y == 0:
+                        px = int(pl[0][x - 1])
+                    elif x == 0:
+                        px = int(pl[y - 1][0])
+                    else:
+                        px = predict(pl, y, x)
+                    d = (int(pl[y][x]) - px) & 0xFFFF
+                    if d >= 32768:
+                        d -= 65536  # to [-32768, 32767]; -32768 ≡ +32768
+                    yield ("S", d)
+                reset = False
+
+    syms = set()
+    for kind, v in stream():
+        if kind == "S":
+            syms.add(16 if v == -32768 else mag(v)[0])
+    vals = sorted(syms)
+    L = max(2, len(vals).bit_length())
+    counts = [0] * 16
+    counts[L - 1] = len(vals)
+    dc_bytes = bytes(counts) + bytes(vals)
+    dmap = {v: (i, L) for i, v in enumerate(vals)}
+
+    bw = _JpegBW()
+    for kind, v in stream():
+        if kind == "RST":
+            bw.align()
+            bw.raw(bytes([0xFF, 0xD0 + v]))
+        elif v == -32768:
+            bw.put(*dmap[16])
+        else:
+            s, bitsv = mag(v)
+            bw.put(*dmap[s])
+            bw.put(bitsv, s)
+    bw.align()
+
+    buf = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h_img, w_img, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, 0x11, 0])
+    buf += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    buf += b"\xff\xc4" + struct.pack(">HB", 3 + len(dc_bytes), 0x00) + dc_bytes
+    if restart:
+        buf += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([len(planes)]) + b"".join(bytes([i + 1, 0x00]) for i in range(len(planes)))
+    buf += b"\xff\xda" + struct.pack(">H", 5 + len(sos)) + sos + bytes([predictor, 0, pt])
+    buf += bw.out + b"\xff\xd9"
+    return bytes(buf)
+
+
+def test_media_jpeg_lossless_decode():
+    """Lossless SOF3 JPEG decodes on the pure-Python path (late r05).
+    The oracle is stronger than the DCT tests': lossless means the
+    decoded plane is bit-exact, so mean luma must equal the SOURCE
+    plane's mean exactly — no mirrored decoder arithmetic involved."""
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import (
+        jpeg_decode_luma,
+        jpeg_header_features,
+    )
+
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, size=(9, 13)).astype(np.int64)
+    for pred in range(1, 8):  # every Annex H predictor
+        jpg = _jpeg_encode_lossless([y], predictor=pred)
+        assert jpeg_decode_luma(jpg) == float(y.mean()) / 255.0
+
+    # 3-component interleaved with a restart interval
+    cb = rng.integers(0, 256, size=(9, 13)).astype(np.int64)
+    cr = rng.integers(0, 256, size=(9, 13)).astype(np.int64)
+    jpg3 = _jpeg_encode_lossless([y, cb, cr], predictor=4, restart=13)
+    assert jpeg_decode_luma(jpg3) == float(y.mean()) / 255.0
+    w, h, prec, ncomp, prog, luma = jpeg_header_features(jpg3)
+    assert (w, h, prec, ncomp, prog) == (13.0, 9.0, 8.0, 3.0, 0.0)
+    assert luma == float(y.mean()) / 255.0
+
+    # 16-bit samples force the SSS=16 (+32768, no extra bits) special
+    # case: alternating 32768/0 makes every in-line diff ±32768
+    y16 = np.zeros((4, 6), dtype=np.int64)
+    y16[:, 0::2] = 32768
+    jpg16 = _jpeg_encode_lossless([y16], predictor=1, precision=16)
+    dht_at = jpg16.find(b"\xff\xc4")
+    (dht_len,) = __import__("struct").unpack_from(">H", jpg16, dht_at + 2)
+    assert 16 in jpg16[dht_at + 21 : dht_at + 2 + dht_len]  # category 16 present
+    assert jpeg_decode_luma(jpg16) == float(y16.mean()) / 65535.0
+
+    # point transform: decoder shifts samples back left
+    jpg_pt = _jpeg_encode_lossless([y], predictor=7, pt=1)
+    expected = float((np.right_shift(y, 1) << 1).mean()) / 255.0
+    assert jpeg_decode_luma(jpg_pt) == expected
+
+
 def test_media_real_decode_wav(spark):
     """WAV audio decodes via stdlib `wave` on every executor — runs
     everywhere, no skip (VERDICT r02 "next" #3); video stays the only
