@@ -13,11 +13,10 @@ LZW decoder; FULL baseline AND progressive JPEG luminance decode via
 pure-Python Huffman + numpy IDCT; BMP via ``struct`` — no codec deps, runs
 everywhere) and probes for codec libraries at runtime on the executors for
 the rest, raising NotImplementedError where no decoder exists. The
-remaining stub surface is arithmetic-coded/differential/12-bit-progressive
-JPEG pixel data without PIL and non-AVI / non-MJPEG-compressed video
-(VERDICT r02 "next" #3, r03 #7, r04 #6; GIF LZW + baseline-JPEG decode
-added r05, progressive/lossless-JPEG + MJPEG-AVI + 12-bit-sequential
-decode late r05).
+remaining stub surface is arithmetic-coded/differential JPEG pixel data
+without PIL and non-AVI / non-MJPEG-compressed video (VERDICT r02 "next"
+#3, r03 #7, r04 #6; GIF LZW + baseline-JPEG decode added r05,
+progressive/lossless-JPEG + MJPEG-AVI + 12-bit decode late r05).
 """
 
 from __future__ import annotations
@@ -433,11 +432,11 @@ def _mjpeg_ensure_dht(frame: bytes) -> bytes:
 def jpeg_decode_luma(data: bytes) -> float:
     """Decode the luminance plane of a baseline/extended-sequential
     (SOF0/SOF1, 8-bit or 12-bit samples — streaming single-pass below),
-    progressive (SOF2, 8-bit — dispatched to
+    progressive (SOF2, 8-bit or 12-bit — dispatched to
     ``_jpeg_decode_progressive_luma``) or lossless (SOF3, any precision —
     dispatched to ``_jpeg_decode_lossless_luma``) Huffman JPEG with
     stdlib + numpy only (r05: the JPEG pixel stub shrinks to
-    arithmetic-coded/differential/12-bit-progressive shapes) and return
+    arithmetic-coded/differential shapes) and return
     mean luma in [0, 1]. Re-derived from the published ITU T.81 spec: DQT/DHT/
     SOF/SOS/DRI parse (8- and 16-bit quant tables), canonical Huffman
     entropy decode with 0xFF00
@@ -689,7 +688,7 @@ def _jpeg_decode_progressive_luma(data: bytes) -> float:
                 huff[(tc, th)] = table
         elif marker == 0xC2:  # SOF2
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit JPEG needs a full codec")
             comps = []
             for i in range(ncomp):
@@ -750,12 +749,14 @@ def _jpeg_decode_progressive_luma(data: bytes) -> float:
     c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
     c[0] /= np.sqrt(2.0)
     plane = np.einsum("ij,xyjk,kl->xiyl", c.T, blocks, c).reshape(bh * 8, bw * 8)
-    plane += 128.0
+    # level shift and clip range follow the sample precision (8 or 12)
+    plane += float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     yh, yv = by_id[y_id][0], by_id[y_id][1]
     xi = -(-width * yh // hmax)
     yi = -(-height * yv // vmax)
-    crop = np.clip(plane[:yi, :xi], 0.0, 255.0)
-    return float(crop.mean()) / 255.0
+    crop = np.clip(plane[:yi, :xi], 0.0, maxval)
+    return float(crop.mean()) / maxval
 
 
 def _jpeg_decode_prog_scan(
@@ -1049,10 +1050,10 @@ def jpeg_header_features(data: bytes) -> list:
     differential), 0.0 for the other frame types. ``mean_luma`` is decoded
     for baseline/extended-sequential AND progressive Huffman frames via
     ``jpeg_decode_luma`` (r05 — full entropy decode + IDCT of the Y
-    plane, 8-bit or 12-bit sequential) and for lossless SOF3 frames (any
-    precision — Annex H prediction residuals, no DCT); it stays -1 for
-    frame types the pure-Python path cannot decode (arithmetic-coded,
-    differential, 12-bit progressive) or when no scan is present.
+    plane, 8-bit or 12-bit, sequential or progressive) and for lossless
+    SOF3 frames (any precision — Annex H prediction residuals, no DCT);
+    it stays -1 for frame types the pure-Python path cannot decode
+    (arithmetic-coded, differential) or when no scan is present.
     Raises ValueError on bytes that are not a JPEG stream (data error,
     distinct from the NotImplementedError of a missing codec)."""
     import struct
@@ -1081,8 +1082,8 @@ def jpeg_header_features(data: bytes) -> list:
             )
             luma = -1.0
             if (marker in (0xC0, 0xC1, 0xC2) and precision in (8, 12)) or marker == 0xC3:
-                # 12-bit decodes on the sequential path; lossless at any
-                # precision; 12-bit progressive raises inside and falls
+                # 8/12-bit sequential+progressive decode; lossless at
+                # any precision; anything else raises inside and falls
                 # back to -1
                 try:
                     luma = jpeg_decode_luma(data)

@@ -653,6 +653,33 @@ def test_media_jpeg_12bit_decode():
         jpeg_decode_luma(bytes(bad))
 
 
+def test_media_jpeg_12bit_progressive_decode():
+    """12-bit progressive (SOF2) decodes too (late r05): the progressive
+    path shares the sequential decoder's precision-parameterized level
+    shift/clip. A 12-bit scan script must decode bit-identically to the
+    12-bit baseline encoding of the same plane."""
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import jpeg_decode_luma
+
+    rng = np.random.default_rng(29)
+    y = rng.integers(0, 4096, size=(11, 18)).astype(np.float64)
+    base = jpeg_decode_luma(_jpeg_encode_baseline([y], [(1, 1)], precision=12))
+    assert abs(base - _jpeg_expected_luma(y, precision=12)) < 1e-9
+    prog = _jpeg_encode_progressive(
+        [y],
+        [(1, 1)],
+        [
+            dict(comps=[0], ss=0, se=0, ah=0, al=1),
+            dict(comps=[0], ss=1, se=63, ah=0, al=1),
+            dict(comps=[0], ss=0, se=0, ah=1, al=0),
+            dict(comps=[0], ss=1, se=63, ah=1, al=0),
+        ],
+        precision=12,
+    )
+    assert jpeg_decode_luma(prog) == base
+
+
 def _jpeg_encode_lossless(planes, predictor=4, precision=8, restart=0, pt=0):
     """Minimal lossless-JPEG (SOF3, T.81 Annex H) encoder for test
     fixtures: prediction residuals mod 2^16 mapped to SSS categories
@@ -1405,7 +1432,7 @@ def _jpeg_expected_luma(yplane, precision=8):
     return float(np.clip(out[:h, :w], 0.0, maxval).mean()) / maxval
 
 
-def _jpeg_encode_progressive(planes, sampling, scans, restart=0):
+def _jpeg_encode_progressive(planes, sampling, scans, restart=0, precision=8):
     """Minimal PROGRESSIVE-JPEG encoder for test fixtures (T.81 Annex G /
     the published libjpeg jcphuff control flow): same all-ones quant
     tables and fixed-length canonical Huffman tables as the baseline
@@ -1443,7 +1470,9 @@ def _jpeg_encode_progressive(planes, sampling, scans, restart=0):
         grid = [[None] * (mcux * hh) for _ in range(mcuy * vv)]
         for gy in range(mcuy * vv):
             for gx in range(mcux * hh):
-                f = pad[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8].astype(np.float64) - 128.0
+                f = pad[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8].astype(np.float64) - float(
+                    1 << (precision - 1)
+                )
                 q = np.rint(c @ f @ c.T).astype(int).reshape(64)
                 grid[gy][gx] = [int(q[zz[k]]) for k in range(64)]
         grids.append(grid)
@@ -1594,8 +1623,11 @@ def _jpeg_encode_progressive(planes, sampling, scans, restart=0):
         flush_eobrun()
 
     buf = bytearray(b"\xff\xd8")
-    buf += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
-    sof = struct.pack(">BHHB", 8, h_img, w_img, len(planes))
+    if precision == 12:
+        buf += b"\xff\xdb" + struct.pack(">HB", 131, 0x10) + struct.pack(">64H", *([1] * 64))
+    else:
+        buf += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", precision, h_img, w_img, len(planes))
     for i, (hh, vv) in enumerate(sampling):
         sof += bytes([i + 1, (hh << 4) | vv, 0])
     buf += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
