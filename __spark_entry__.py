@@ -399,6 +399,17 @@ def _q_quality(spark, sf_dir):
     return quality_stats(_docs(spark, sf_dir))
 
 
+def _q_gopher(spark, sf_dir):
+    """Gopher/C4-style quality filter (textstats.gopher_quality): per-doc
+    integer signals + keep flag from the published heuristics, every
+    threshold integer-cross-multiplied so the oracle is hash-exact."""
+    from crawley_spark.operators.textstats import gopher_quality
+
+    # min_stop_kinds scaled to the synthetic corpus (docs carry at most
+    # one stopword kind); every other threshold is the published default
+    return gopher_quality(_docs(spark, sf_dir), min_stop_kinds=1)
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -993,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "embed_dedup": _q_embed_dedup,
         "quality_stats": _q_quality,
+        "gopher_quality": _q_gopher,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1046,6 +1058,50 @@ def _lang_id_oracle() -> str:
            ELSE 'und' END AS pred_lang,
            {best} AS best_score
     FROM scored
+    """
+
+
+def _gopher_oracle() -> str:
+    """gopher_quality oracle SQL, with the stopword CASE terms GENERATED
+    from the same table the Spark operator uses
+    (textstats.GOPHER_STOPWORDS) so the two sides cannot desynchronize;
+    DuckDB still independently recomputes every signal (list lambdas over
+    the same single-space word split / newline line split) and re-derives
+    the keep flag from the same integer cross-multiplied thresholds."""
+    from crawley_spark.operators.textstats import GOPHER_STOPWORDS
+
+    stop_terms = " + ".join(
+        f"(CASE WHEN contains(text, '{s}') THEN 1 ELSE 0 END)" for s in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), w -> w <> '') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ), agg AS (
+        SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_word_len,
+            CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS BIGINT) AS n_bullet_lines,
+            CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+            CAST((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
+            CAST({stop_terms} AS BIGINT) AS n_stop_kinds
+        FROM base
+    )
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_symbols, n_stop_kinds,
+           (n_words BETWEEN 50 AND 100000)
+           AND (3 * n_words <= sum_word_len) AND (sum_word_len <= 10 * n_words)
+           AND (5 * n_alpha_words >= 4 * n_words)
+           AND (10 * n_bullet_lines <= 9 * n_lines)
+           AND (10 * n_ellipsis_lines <= 3 * n_lines)
+           AND (10 * n_symbols <= n_words)
+           AND (n_stop_kinds >= 1) AS keep_gopher
+    FROM agg
     """
 
 
@@ -1208,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
                CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
         FROM documents
         """,
+        "gopher_quality": _gopher_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

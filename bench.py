@@ -40,6 +40,8 @@ HEADLINE = [
     # r03-comparable subset is everything above (BENCH.md round-4 notes)
     "near_dup_clusters",
     "bpe_tokens",
+    # r05 addition (same policy)
+    "gopher_quality",
 ]
 
 

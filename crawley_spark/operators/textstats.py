@@ -105,6 +105,85 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher-style stopword presence rule: the doc must contain at least two
+# of these common English function words (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Table A1 heuristics; public knowledge).
+GOPHER_STOPWORDS = [" the ", " be ", " to ", " of ", " and ", " that ", " have ", " with "]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_kinds: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style document quality filter as pure column expressions
+    (beyond-reference training-data op, late r05): per-doc integer
+    signals plus a ``keep_gopher`` flag implementing the published Gopher
+    repetition-free heuristics — word count in [min_words, max_words],
+    mean word length in [3, 10], ≥ 80% of words containing an alphabetic
+    character, ≤ 90% of lines starting with a bullet, ≤ 30% of lines
+    ending with an ellipsis, hash/ellipsis symbol-to-word ratio ≤ 0.1,
+    and ≥ ``min_stop_kinds`` distinct common stopwords present (published
+    default 2; the driver query scales it to 1 for the synthetic corpus,
+    whose docs carry at most one stopword kind, so the flag genuinely
+    splits the data). Every output is an
+    integer or boolean and every threshold is applied by integer
+    cross-multiplication, so the DuckDB oracle can recompute the exact
+    same values with no floating-point hazard. Words are non-empty
+    single-space-split tokens; lines split on newline. All JVM-side
+    (split/filter/aggregate higher-order functions + LIKE-class
+    predicates) — one scan, no shuffle, trivially 100-TB-parallel."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    lines = F.split(t, "\n")
+    n_words = F.size(words).cast("long")
+    sum_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ") | ln.startswith("* ") | ln.startswith("• "),
+        )
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.endswith("...") | ln.endswith("…"))
+    ).cast("long")
+    n_symbols = (occurrences(t, "#") + occurrences(t, "…")).cast("long")
+    n_stop_kinds = sum(
+        (F.instr(t, s) > 0).cast("long") for s in GOPHER_STOPWORDS
+    ).cast("long")
+    scored = df.select(
+        F.col("doc_id"),
+        n_words.alias("n_words"),
+        sum_word_len.alias("sum_word_len"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_lines.alias("n_lines"),
+        n_bullet_lines.alias("n_bullet_lines"),
+        n_ellipsis_lines.alias("n_ellipsis_lines"),
+        n_symbols.alias("n_symbols"),
+        n_stop_kinds.alias("n_stop_kinds"),
+    )
+    c = F.col
+    keep = (
+        c("n_words").between(min_words, max_words)
+        & (3 * c("n_words") <= c("sum_word_len"))
+        & (c("sum_word_len") <= 10 * c("n_words"))
+        & (5 * c("n_alpha_words") >= 4 * c("n_words"))
+        & (10 * c("n_bullet_lines") <= 9 * c("n_lines"))
+        & (10 * c("n_ellipsis_lines") <= 3 * c("n_lines"))
+        & (10 * c("n_symbols") <= c("n_words"))
+        & (c("n_stop_kinds") >= min_stop_kinds)
+    )
+    return scored.withColumn("keep_gopher", keep)
+
+
 # Per-language stopword markers for the argmax heuristic (VERDICT r03 #5
 # widened 4 -> 12). Markers are space-delimited high-frequency function
 # words chosen to be distinctive for their language (collisions like

@@ -82,6 +82,47 @@ def test_quality_and_lang(spark, docs):
     assert langs[4] == "fr"
 
 
+def test_gopher_quality_rules(spark):
+    """Planted fixtures hit each Gopher rule exactly once (late r05):
+    good doc passes; each bad doc fails exactly the targeted rule's
+    signal. Thresholds are integer-cross-multiplied, so expected signal
+    values are asserted as exact integers."""
+    from crawley_spark.operators.textstats import gopher_quality
+
+    good = "we saw the dragon and that was all of it " * 8  # 80 words, stopwords
+    too_short = "the cat and dog sat"  # < min_words
+    # mean word length < 3 chars: many 1-2 char words
+    tiny_words = "a an of to is it the and we at by no on up " * 6
+    # < 80% alphabetic words
+    numeric = ("the price 1234 9999 8888 7777 6666 5555 4444 3333 and that " * 8)
+    bullets = "\n".join("- the point and that " for _ in range(20))  # all bullet lines
+    ellipses = "\n".join("the story and that goes on..." for _ in range(20))
+    symbols = "the tag and that " + "# " * 40  # symbol ratio > 0.1
+    rows = [
+        (0, good), (1, too_short), (2, tiny_words), (3, numeric),
+        (4, bullets), (5, ellipses), (6, symbols),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs, min_words=20).collect()}
+    assert out[0]["keep_gopher"] is True
+    assert out[0]["n_words"] == 80 and out[0]["n_stop_kinds"] >= 2
+    assert out[1]["keep_gopher"] is False and out[1]["n_words"] == 5
+    assert out[2]["keep_gopher"] is False
+    assert 3 * out[2]["n_words"] > out[2]["sum_word_len"]  # mwl < 3
+    assert out[3]["keep_gopher"] is False
+    assert 5 * out[3]["n_alpha_words"] < 4 * out[3]["n_words"]  # < 80% alpha
+    assert out[4]["keep_gopher"] is False
+    assert out[4]["n_bullet_lines"] == out[4]["n_lines"] == 20
+    assert out[5]["keep_gopher"] is False
+    assert out[5]["n_ellipsis_lines"] == out[5]["n_lines"] == 20
+    assert out[6]["keep_gopher"] is False
+    assert 10 * out[6]["n_symbols"] > out[6]["n_words"]
+    # every non-targeted rule passes on the good doc (signal sanity)
+    g = out[0]
+    assert 3 * g["n_words"] <= g["sum_word_len"] <= 10 * g["n_words"]
+    assert g["n_bullet_lines"] == 0 and g["n_ellipsis_lines"] == 0 and g["n_symbols"] == 0
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
