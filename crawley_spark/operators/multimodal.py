@@ -420,6 +420,8 @@ def _mjpeg_ensure_dht(frame: bytes) -> bytes:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             off += 2
             continue
+        if marker == 0xD9:
+            return frame  # EOI before any SOS: nothing to splice
         if marker == 0xC4:
             return frame  # carries its own tables
         if marker == 0xDA:
