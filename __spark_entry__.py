@@ -410,6 +410,19 @@ def _q_gopher(spark, sf_dir):
     return gopher_quality(_docs(spark, sf_dir), min_stop_kinds=1)
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition-removal signals (textstats.gopher_repetition):
+    duplicate line/paragraph count+char mass, top {2,3,4}-gram char mass,
+    duplicate {5..10}-gram char mass, and the keep flag at the published
+    Table A1 thresholds (which genuinely split the synthetic corpus
+    434/66 at sf0.01 — the word-soup docs repeat 2/3-grams). Every signal
+    is a BIGINT and the flag is integer-cross-multiplied, so the generated
+    DuckDB oracle recomputes it hash-exactly via unnest + GROUP BY."""
+    from crawley_spark.operators.textstats import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1005,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dedup": _q_embed_dedup,
         "quality_stats": _q_quality,
         "gopher_quality": _q_gopher,
+        "gopher_repetition": _q_gopher_repetition,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1102,6 +1116,111 @@ def _gopher_oracle() -> str:
            AND (10 * n_symbols <= n_words)
            AND (n_stop_kinds >= 1) AS keep_gopher
     FROM agg
+    """
+
+
+def _gopher_repetition_oracle() -> str:
+    """gopher_repetition oracle SQL: every signal recomputed independently
+    in DuckDB (unnest + GROUP BY + window argmax — a different algorithm
+    than the operator's sorted-run array aggregates), with the keep-flag
+    expression GENERATED from the same
+    textstats.GOPHER_REPETITION_THRESHOLDS / _SIGNALS tables so the two
+    sides cannot desynchronize on constants while the values stay
+    independently derived. Top-n-gram tie-break: max count, then
+    lexicographically smallest n-gram — ROW_NUMBER(ORDER BY c DESC, g ASC)
+    here, the strict-> sorted-run scan in Spark."""
+    from crawley_spark.operators.textstats import (
+        GOPHER_REPETITION_SIGNALS,
+        GOPHER_REPETITION_THRESHOLDS,
+    )
+
+    def ngram_ctes(n):
+        return f"""
+    ng{n}_g AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, array_to_string(list_slice(words, i, i + {n - 1}), ' ') AS g
+              FROM (SELECT doc_id, words, unnest(range(1, len(words) - {n} + 2)) AS i
+                    FROM base WHERE len(words) >= {n}) t0) t1
+        GROUP BY doc_id, g
+    )"""
+
+    top_ctes = "".join(
+        f""",
+    top{n} AS (
+        SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top{n}_chars
+        FROM (SELECT doc_id, g, c,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+              FROM ng{n}_g) t
+        WHERE rn = 1
+    )"""
+        for n in (2, 3, 4)
+    )
+    dup_ctes = "".join(
+        f""",
+    dup{n} AS (
+        SELECT doc_id, CAST(sum((c - 1) * length(g)) AS BIGINT) AS dup{n}_chars
+        FROM ng{n}_g GROUP BY doc_id
+    )"""
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    keep = " AND ".join(
+        f"({GOPHER_REPETITION_SIGNALS[rule][0]} * {den} <= "
+        f"{num} * {GOPHER_REPETITION_SIGNALS[rule][1]})"
+        for rule, (num, den) in sorted(GOPHER_REPETITION_THRESHOLDS.items())
+    )
+    joins = "".join(
+        f"\n        LEFT JOIN top{n} USING (doc_id)" for n in (2, 3, 4)
+    ) + "".join(f"\n        LEFT JOIN dup{n} USING (doc_id)" for n in (5, 6, 7, 8, 9, 10))
+    sig_cols = ", ".join(
+        [f"COALESCE(top{n}_chars, 0) AS top{n}_chars" for n in (2, 3, 4)]
+        + [f"COALESCE(dup{n}_chars, 0) AS dup{n}_chars" for n in (5, 6, 7, 8, 9, 10)]
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+               list_filter(string_split(text, ' '), w -> w <> '') AS words
+        FROM documents
+    ),
+    line_g AS (
+        SELECT doc_id, ln, CAST(count(*) AS BIGINT) AS c, CAST(length(ln) AS BIGINT) AS len
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents) t
+        GROUP BY doc_id, ln
+    ),
+    line_a AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+               CAST(sum(c - 1) AS BIGINT) AS dup_line_count,
+               CAST(sum((c - 1) * len) AS BIGINT) AS dup_line_chars
+        FROM line_g GROUP BY doc_id
+    ),
+    para_g AS (
+        SELECT doc_id, p, CAST(count(*) AS BIGINT) AS c, CAST(length(p) AS BIGINT) AS len
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS p
+              FROM documents) t
+        GROUP BY doc_id, p
+    ),
+    para_a AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+               CAST(sum(c - 1) AS BIGINT) AS dup_para_count,
+               CAST(sum((c - 1) * len) AS BIGINT) AS dup_para_chars
+        FROM para_g GROUP BY doc_id
+    ),
+    {",".join(ngram_ctes(n) for n in (2, 3, 4, 5, 6, 7, 8, 9, 10))}{top_ctes}{dup_ctes},
+    sig AS (
+        SELECT base.doc_id, n_chars,
+               n_lines, dup_line_count, dup_line_chars,
+               n_paras, dup_para_count, dup_para_chars,
+               {sig_cols}
+        FROM base
+        JOIN line_a USING (doc_id)
+        JOIN para_a USING (doc_id){joins}
+    )
+    SELECT doc_id, n_chars, n_lines, dup_line_count, dup_line_chars,
+           n_paras, dup_para_count, dup_para_chars,
+           top2_chars, top3_chars, top4_chars,
+           dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars,
+           dup10_chars,
+           {keep} AS keep_repetition
+    FROM sig
     """
 
 
@@ -1265,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "gopher_quality": _gopher_oracle(),
+        "gopher_repetition": _gopher_repetition_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

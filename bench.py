@@ -40,8 +40,9 @@ HEADLINE = [
     # r03-comparable subset is everything above (BENCH.md round-4 notes)
     "near_dup_clusters",
     "bpe_tokens",
-    # r05 addition (same policy)
+    # r05 additions (same policy)
     "gopher_quality",
+    "gopher_repetition",
 ]
 
 

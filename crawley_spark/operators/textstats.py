@@ -184,6 +184,172 @@ def gopher_quality(
     return scored.withColumn("keep_gopher", keep)
 
 
+# Gopher repetition-removal thresholds (Rae et al. 2021, Table A1; public
+# knowledge): each entry is (num, den) meaning "drop when
+# signal * den > num * denominator", i.e. the fraction threshold num/den
+# applied by integer cross-multiplication (no float hazard, so the DuckDB
+# oracle can re-derive the keep flag bit-exactly). Line/paragraph rules use
+# the element count (n_lines / n_paras) as the denominator for *_frac and
+# total chars for *_char_frac; n-gram rules use total chars.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": (30, 100),
+    "dup_line_char_frac": (20, 100),
+    "dup_para_frac": (30, 100),
+    "dup_para_char_frac": (20, 100),
+    "top_2gram_char_frac": (20, 100),
+    "top_3gram_char_frac": (18, 100),
+    "top_4gram_char_frac": (16, 100),
+    "dup_5gram_char_frac": (15, 100),
+    "dup_6gram_char_frac": (14, 100),
+    "dup_7gram_char_frac": (13, 100),
+    "dup_8gram_char_frac": (12, 100),
+    "dup_9gram_char_frac": (11, 100),
+    "dup_10gram_char_frac": (10, 100),
+}
+
+# signal column -> (numerator column, denominator column) for the keep flag;
+# shared with the generated oracle (__spark_entry__._gopher_repetition_oracle)
+GOPHER_REPETITION_SIGNALS = {
+    "dup_line_frac": ("dup_line_count", "n_lines"),
+    "dup_line_char_frac": ("dup_line_chars", "n_chars"),
+    "dup_para_frac": ("dup_para_count", "n_paras"),
+    "dup_para_char_frac": ("dup_para_chars", "n_chars"),
+    "top_2gram_char_frac": ("top2_chars", "n_chars"),
+    "top_3gram_char_frac": ("top3_chars", "n_chars"),
+    "top_4gram_char_frac": ("top4_chars", "n_chars"),
+    "dup_5gram_char_frac": ("dup5_chars", "n_chars"),
+    "dup_6gram_char_frac": ("dup6_chars", "n_chars"),
+    "dup_7gram_char_frac": ("dup7_chars", "n_chars"),
+    "dup_8gram_char_frac": ("dup8_chars", "n_chars"),
+    "dup_9gram_char_frac": ("dup9_chars", "n_chars"),
+    "dup_10gram_char_frac": ("dup10_chars", "n_chars"),
+}
+
+
+def _dup_stats(arr: Column) -> Column:
+    """struct(dup_count, dup_chars): occurrences beyond the first of each
+    distinct element of ``arr`` and the character sum of those repeat
+    occurrences — one JVM ``aggregate`` over the sorted array (adjacent
+    equal elements are repeats; the null initial ``prev`` can never match),
+    no explode, no shuffle."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup_count"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def merge(a, x):
+        rep = F.coalesce(x == a["prev"], F.lit(False))
+        return F.struct(
+            x.alias("prev"),
+            (a["dup_count"] + F.when(rep, F.lit(1)).otherwise(F.lit(0))).alias("dup_count"),
+            (
+                a["dup_chars"] + F.when(rep, F.length(x).cast("long")).otherwise(F.lit(0))
+            ).alias("dup_chars"),
+        )
+
+    return F.aggregate(
+        F.sort_array(arr),
+        zero,
+        merge,
+        lambda a: F.struct(a["dup_count"].alias("dup_count"), a["dup_chars"].alias("dup_chars")),
+    )
+
+
+def _top_run_chars(arr: Column) -> Column:
+    """Characters covered by the most frequent element of ``arr``
+    (count × element length); ties break to the lexicographically smallest
+    element (strict ``>`` over the sorted array keeps the first run that
+    reaches the maximal length). Empty array -> 0."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_count"),
+        F.lit(0).cast("long").alias("best_chars"),
+    )
+
+    def merge(a, x):
+        run = F.when(F.coalesce(x == a["prev"], F.lit(False)), a["run"] + 1).otherwise(F.lit(1))
+        better = run > a["best_count"]
+        return F.struct(
+            x.alias("prev"),
+            run.cast("long").alias("run"),
+            F.when(better, run).otherwise(a["best_count"]).cast("long").alias("best_count"),
+            F.when(better, run * F.length(x).cast("long"))
+            .otherwise(a["best_chars"])
+            .cast("long")
+            .alias("best_chars"),
+        )
+
+    return F.aggregate(F.sort_array(arr), zero, merge, lambda a: a["best_chars"])
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams (the Gopher unit); empty when the doc has
+    fewer than ``n`` words."""
+    n_words = F.size(words)
+    return F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_words - n + 1),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021, Table A1 — the
+    other half of the published filter next to ``gopher_quality``) as pure
+    column expressions: duplicate line / paragraph fractions (count and
+    character mass of occurrences beyond the first), the character fraction
+    covered by the most frequent word {2,3,4}-gram, and the character mass
+    of duplicated {5..10}-grams. Duplicate-n-gram characters are counted
+    with multiplicity per repeat occurrence (occurrences beyond the first ×
+    joined n-gram length) — the paper's wording admits either this or a
+    character-mask reading; this variant is declared, deterministic, and
+    oracle-recomputable. Every signal is a BIGINT; ``keep_repetition``
+    applies each threshold by integer cross-multiplication
+    (``signal * den <= num * denominator``), so the DuckDB oracle
+    (generated from the same GOPHER_REPETITION_THRESHOLDS table, but
+    recomputing every signal independently via unnest + GROUP BY instead of
+    this operator's sorted-run scans) is hash-exact.
+
+    Execution shape: one scan, zero shuffle — per-row sorted-array
+    ``aggregate`` higher-order functions, all JVM-side, trivially
+    100-TB-parallel. Words are non-empty single-space-split tokens; lines
+    split on ``\\n``; paragraphs on ``\\n\\n``."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    th.update(thresholds or {})
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    line_stats = _dup_stats(F.split(t, "\n"))
+    para_stats = _dup_stats(F.split(t, "\n\n"))
+    cols = [
+        F.col("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(F.split(t, "\n")).cast("long").alias("n_lines"),
+        line_stats["dup_count"].alias("dup_line_count"),
+        line_stats["dup_chars"].alias("dup_line_chars"),
+        F.size(F.split(t, "\n\n")).cast("long").alias("n_paras"),
+        para_stats["dup_count"].alias("dup_para_count"),
+        para_stats["dup_chars"].alias("dup_para_chars"),
+    ]
+    for n in (2, 3, 4):
+        cols.append(_top_run_chars(_word_ngrams(words, n)).alias(f"top{n}_chars"))
+    for n in (5, 6, 7, 8, 9, 10):
+        cols.append(_dup_stats(_word_ngrams(words, n))["dup_chars"].alias(f"dup{n}_chars"))
+    scored = df.select(*cols)
+    keep = F.lit(True)
+    for rule, (num, den) in sorted(th.items()):
+        sig, denom = GOPHER_REPETITION_SIGNALS[rule]
+        keep = keep & (F.col(sig) * den <= num * F.col(denom))
+    return scored.withColumn("keep_repetition", keep)
+
+
 # Per-language stopword markers for the argmax heuristic (VERDICT r03 #5
 # widened 4 -> 12). Markers are space-delimited high-frequency function
 # words chosen to be distinctive for their language (collisions like

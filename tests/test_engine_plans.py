@@ -141,6 +141,24 @@ def _dedup_exchange_blocks(plan: str, key: str) -> list:
     ]
 
 
+def test_gopher_repetition_single_scan_no_shuffle(spark, tmp_path):
+    """gopher_repetition is per-row array arithmetic: the plan must be one
+    pruned two-column parquet scan (doc_id, text) with zero Exchange — the
+    property that makes it trivially 100-TB-parallel."""
+    from crawley_spark.operators.textstats import gopher_repetition
+
+    path = os.path.join(str(tmp_path), "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i} text", "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path)
+    df = gopher_repetition(spark.read.parquet(path))
+    plan = _fmt_plan(df)
+    assert "Exchange" not in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0], plan
+
+
 def test_ann_candidate_dedup_exchange_carries_no_vectors(spark):
     """VERDICT r03 "what's wrong" #1: scoring happens before the candidate
     dedup, so the dedup exchange of cosine_topk_lsh / cosine_topk_ivf /

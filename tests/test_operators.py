@@ -123,6 +123,108 @@ def test_gopher_quality_rules(spark):
     assert g["n_bullet_lines"] == 0 and g["n_ellipsis_lines"] == 0 and g["n_symbols"] == 0
 
 
+def test_gopher_repetition_planted(spark):
+    """Planted fixtures hit each Gopher repetition signal exactly (late
+    r05): duplicate lines/paragraphs count occurrences beyond the first
+    (count + character mass), top-n-gram chars = count x joined length
+    with a lexicographic tie-break, duplicate-n-gram chars count repeat
+    occurrences with multiplicity. Expected values computed by hand."""
+    from crawley_spark.operators.textstats import gopher_repetition
+
+    dup_lines = "aaa\nbbb\naaa\nccc"  # 'aaa' twice -> 1 dup, 3 dup chars
+    dup_paras = "p one\n\np two\n\np one"  # 'p one' twice -> 1 dup, 5 chars
+    # 2-grams: 'cat dog' x2, 'dog cat' x2 -> tie, lexicographic 'cat dog'
+    tie2 = "cat dog cat dog cat"
+    # 'a b c d e' x3, four others x2 -> dup5 = 2*9 + 4*1*9 = 54
+    dup5 = "a b c d e a b c d e a b c d e"
+    spam = "spam ham " * 40  # top 2-gram covers ~all chars -> drop
+    # long enough that one unique 4-gram is < 16% of the chars (the
+    # published thresholds presume the >= 50-word docs gopher_quality keeps)
+    clean = " ".join(f"word{i:02d}" for i in range(60))
+    rows = [(0, dup_lines), (1, dup_paras), (2, tie2), (3, dup5), (4, spam), (5, clean)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    r0 = out[0]
+    assert r0["n_lines"] == 4 and r0["dup_line_count"] == 1 and r0["dup_line_chars"] == 3
+    r1 = out[1]
+    assert r1["n_paras"] == 3 and r1["dup_para_count"] == 1 and r1["dup_para_chars"] == 5
+    assert out[2]["top2_chars"] == 2 * len("cat dog")
+    assert out[3]["dup5_chars"] == 54
+    assert out[4]["keep_repetition"] is False  # top-2-gram fraction >> 0.20
+    assert out[5]["keep_repetition"] is True
+    # threshold override flips the clean doc (num/den from the same table)
+    strict = gopher_repetition(docs, thresholds={"top_2gram_char_frac": (0, 100)})
+    flags = {r["doc_id"]: r["keep_repetition"] for r in strict.collect()}
+    assert flags[5] is False
+
+
+def _gopher_repetition_brute(text):
+    """Pure-Python reference of the gopher_repetition definitions."""
+    from collections import Counter
+
+    def dup_stats(items):
+        c = Counter(items)
+        return (
+            sum(n - 1 for n in c.values() if n > 1),
+            sum((n - 1) * len(x) for x, n in c.items() if n > 1),
+        )
+
+    words = [w for w in text.split(" ") if w]
+
+    def ngrams(n):
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    def top_chars(n):
+        c = Counter(ngrams(n))
+        if not c:
+            return 0
+        best = min(sorted(c), key=lambda g: (-c[g], g))
+        return c[best] * len(best)
+
+    lines = text.split("\n")
+    paras = text.split("\n\n")
+    out = {
+        "n_chars": len(text),
+        "n_lines": len(lines),
+        "n_paras": len(paras),
+    }
+    out["dup_line_count"], out["dup_line_chars"] = dup_stats(lines)
+    out["dup_para_count"], out["dup_para_chars"] = dup_stats(paras)
+    for n in (2, 3, 4):
+        out[f"top{n}_chars"] = top_chars(n)
+    for n in (5, 6, 7, 8, 9, 10):
+        out[f"dup{n}_chars"] = dup_stats(ngrams(n))[1]
+    return out
+
+
+def test_gopher_repetition_brute_parity(spark):
+    """Random word-soup docs (seeded) vs an independent pure-Python
+    recomputation — every integer signal must match exactly."""
+    import random
+
+    from crawley_spark.operators.textstats import gopher_repetition
+
+    rng = random.Random(405)
+    vocab = ["aa", "bb", "cc", "dd", "e", "fff"]
+    rows = []
+    for i in range(30):
+        n = rng.randint(0, 40)
+        parts = [rng.choice(vocab) for _ in range(n)]
+        # sprinkle newlines / double newlines for line & paragraph signals
+        txt = " ".join(parts)
+        if i % 3 == 1:
+            txt = txt.replace(" ", "\n", 3)
+        if i % 5 == 2:
+            txt = txt.replace(" ", "\n\n", 2)
+        rows.append((i, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    for i, txt in rows:
+        want = _gopher_repetition_brute(txt)
+        have = {k: got[i][k] for k in want}
+        assert have == want, f"doc {i}: {have} != {want} ({txt!r})"
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
