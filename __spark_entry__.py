@@ -423,6 +423,49 @@ def _q_gopher_repetition(spark, sf_dir):
     return gopher_repetition(_docs(spark, sf_dir))
 
 
+# c4_lines keep threshold, scaled to the synthetic corpus like
+# gopher_quality's min_stop_kinds: the published default is 5 sentences,
+# but the derived corpus tops out at 6 kept lines per doc (only 14/500
+# would keep), so the driver query uses 2 for a ~40/60 split (209/500 at
+# sf0.01). Shared between _q_c4_lines and the generated oracle.
+_C4_MIN_SENTENCES = 2
+
+
+def _q_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning (textstats.c4_line_filter) over a derived
+    multi-line corpus: the synthetic documents are single-line and
+    punctuation-free, so the query first derives sentence-shaped text with
+    transforms the oracle mirrors verbatim (' table ' -> '.\\n' makes
+    lines, ' scan ' -> ' javascript ' plants the javascript rule, a
+    trailing '.' terminates the last line, and doc_id-keyed suffixes plant
+    the lorem-ipsum and curly-brace page rules). Every rule then fires on
+    real data and the keep flag splits the corpus (min_sentences scaled to
+    _C4_MIN_SENTENCES=2 for the short synthetic docs; published default 5
+    is the operator default); integer/boolean/md5 outputs keep the DuckDB
+    recomputation hash-exact."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.textstats import c4_line_filter
+
+    docs = _docs(spark, sf_dir)
+    t2 = F.concat(
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+            F.lit(" scan "),
+            F.lit(" javascript "),
+        ),
+        F.lit("."),
+    )
+    t2 = F.when(
+        F.col("doc_id") % 17 == 0, F.concat(t2, F.lit("\nlorem ipsum dolor sit amet."))
+    ).otherwise(t2)
+    t2 = F.when(
+        F.col("doc_id") % 23 == 0, F.concat(t2, F.lit("\nvar x = { a: 1 };"))
+    ).otherwise(t2)
+    derived = docs.select("doc_id", t2.alias("text"))
+    return c4_line_filter(derived, min_sentences=_C4_MIN_SENTENCES)
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1019,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": _q_quality,
         "gopher_quality": _q_gopher,
         "gopher_repetition": _q_gopher_repetition,
+        "c4_lines": _q_c4_lines,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1224,6 +1268,65 @@ def _gopher_repetition_oracle() -> str:
     """
 
 
+def _c4_lines_oracle() -> str:
+    """c4_lines oracle SQL: mirrors the query's corpus derivation verbatim
+    (same replace/concat/CASE chain), then recomputes every C4 signal
+    independently with DuckDB list lambdas. The terminal-punctuation terms
+    are GENERATED from textstats.C4_TERMINAL_PUNCT so the rule set cannot
+    desynchronize; min_words_per_line=3 is the published default and
+    min_sentences comes from the shared _C4_MIN_SENTENCES constant."""
+    from crawley_spark.operators.textstats import C4_TERMINAL_PUNCT
+
+    ends = " OR ".join(f"ends_with(l, '{p}')" for p in C4_TERMINAL_PUNCT)
+    sent_terms = " + ".join(
+        f"(length(cleaned) - length(replace(cleaned, '{p}', '')))" for p in C4_TERMINAL_PUNCT
+    )
+    return f"""
+    WITH derived AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 23 = 0 THEN b2 || chr(10) || 'var x = {{ a: 1 }};'
+                    ELSE b2 END AS text
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0
+                        THEN b1 || chr(10) || 'lorem ipsum dolor sit amet.'
+                        ELSE b1 END AS b2
+            FROM (
+                SELECT doc_id,
+                       replace(replace(text, ' table ', '.' || chr(10)),
+                               ' scan ', ' javascript ') || '.' AS b1
+                FROM documents) a) b
+    ),
+    kept AS (
+        SELECT doc_id, text,
+               string_split(text, chr(10)) AS ls,
+               list_filter(string_split(text, chr(10)),
+                   l -> ({ends})
+                        AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS ks
+        FROM derived
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ks) AS BIGINT) AS n_kept_lines,
+               -- DuckDB's array_to_string is NULL on an empty list
+               -- (string_agg semantics); Spark's array_join returns ''
+               COALESCE(array_to_string(ks, chr(10)), '') AS cleaned,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{{') AS has_brace
+        FROM kept
+    )
+    SELECT doc_id, n_lines, n_kept_lines,
+           CAST({sent_terms} AS BIGINT) AS n_sentences,
+           has_lorem, has_brace,
+           md5(cleaned) AS cleaned_md5,
+           (CAST({sent_terms} AS BIGINT) >= {_C4_MIN_SENTENCES})
+           AND NOT has_lorem AND NOT has_brace AS keep_c4
+    FROM sig
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     U = _with_url(_URLS_SQL)
     return {
@@ -1385,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_quality": _gopher_oracle(),
         "gopher_repetition": _gopher_repetition_oracle(),
+        "c4_lines": _c4_lines_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

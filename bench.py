@@ -43,6 +43,7 @@ HEADLINE = [
     # r05 additions (same policy)
     "gopher_quality",
     "gopher_repetition",
+    "c4_lines",
 ]
 
 

@@ -350,6 +350,68 @@ def gopher_repetition(
     return scored.withColumn("keep_repetition", keep)
 
 
+# C4 line-terminal punctuation (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning..." §2.2; public knowledge): a line is retained only
+# when it ends in one of these.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    published rules next to the two Gopher filters): retain only lines that
+    end in terminal punctuation, have >= ``min_words_per_line`` words, and
+    do not contain the word "javascript" (case-insensitive); at the page
+    level, flag documents containing "lorem ipsum" or a curly brace, and
+    keep a page only when its cleaned text still has >= ``min_sentences``
+    sentences (terminal-punctuation count — C4's "at least 5 sentences").
+    The published bad-words list is an external artifact and is out of
+    scope (no external data); the structural rules are complete.
+
+    Outputs are integers/booleans plus an md5 of the cleaned text (lines
+    joined by \\n), so the DuckDB oracle recomputes everything exactly.
+    Execution shape: one scan, zero shuffle — per-row array higher-order
+    functions, all JVM-side."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def line_ok(ln):
+        ends = F.lit(False)
+        for p in C4_TERMINAL_PUNCT:
+            ends = ends | ln.endswith(p)
+        n_words = F.size(F.filter(F.split(ln, " "), lambda w: w != F.lit("")))
+        return ends & (n_words >= min_words_per_line) & (
+            F.instr(F.lower(ln), "javascript") == 0
+        )
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.lit(0).cast("long")
+    for p in C4_TERMINAL_PUNCT:
+        n_sentences = n_sentences + occurrences(cleaned, p)
+    has_lorem = F.instr(F.lower(t), "lorem ipsum") > 0
+    has_brace = F.instr(t, "{") > 0
+    scored = df.select(
+        F.col("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+    keep = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+    )
+    return scored.withColumn("keep_c4", keep)
+
+
 # Per-language stopword markers for the argmax heuristic (VERDICT r03 #5
 # widened 4 -> 12). Markers are space-delimited high-frequency function
 # words chosen to be distinctive for their language (collisions like

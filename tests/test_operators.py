@@ -225,6 +225,42 @@ def test_gopher_repetition_brute_parity(spark):
         assert have == want, f"doc {i}: {have} != {want} ({txt!r})"
 
 
+def test_c4_line_filter_rules(spark):
+    """Planted fixtures hit each published C4 rule (late r05): terminal
+    punctuation, >= 3 words per line, javascript-line removal, lorem-ipsum
+    and curly-brace page filters, >= min_sentences page keep."""
+    from crawley_spark.operators.textstats import c4_line_filter
+
+    good = "\n".join(f"this is good sentence number {i}." for i in range(6))
+    no_punct = "\n".join("line without terminal punct" for _ in range(6))
+    short_lines = "\n".join("too short." for _ in range(6))  # 2 words
+    js = "\n".join("enable JavaScript to view this page." for _ in range(6))
+    lorem = good + "\nlorem ipsum dolor sit amet."
+    brace = good + "\nfunction f() { return 1; }"
+    few = "one good sentence is here."  # < 5 sentences
+    rows = [
+        (0, good), (1, no_punct), (2, short_lines), (3, js),
+        (4, lorem), (5, brace), (6, few),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[0]["keep_c4"] is True
+    assert out[0]["n_kept_lines"] == 6 and out[0]["n_sentences"] == 6
+    assert out[1]["n_kept_lines"] == 0 and out[1]["keep_c4"] is False
+    assert out[2]["n_kept_lines"] == 0  # < 3 words per line
+    assert out[3]["n_kept_lines"] == 0  # javascript is case-insensitive
+    assert out[4]["has_lorem"] is True and out[4]["keep_c4"] is False
+    assert out[5]["has_brace"] is True and out[5]["keep_c4"] is False
+    assert out[6]["n_kept_lines"] == 1 and out[6]["keep_c4"] is False
+    # cleaned text md5: doc 0 keeps everything byte-identically
+    import hashlib
+
+    assert out[0]["cleaned_md5"] == hashlib.md5(good.encode()).hexdigest()
+    # the lorem suffix line itself survives line filtering (ends with '.',
+    # 5 words) but the page flag kills the doc; cleaned includes it
+    assert out[4]["n_kept_lines"] == 7
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
