@@ -466,6 +466,52 @@ def _q_c4_lines(spark, sf_dir):
     return c4_line_filter(derived, min_sentences=_C4_MIN_SENTENCES)
 
 
+def _q_pii_mask(spark, sf_dir):
+    """PII redaction (operators/pii.pii_mask) over a derived corpus: the
+    synthetic docs carry no PII, so the query appends doc_id-keyed email /
+    IPv4 / phone strings with concat/CASE transforms the oracle mirrors
+    verbatim; every pattern then fires on real rows. Counts are BIGINTs
+    and the masked text is md5'd, so the DuckDB recomputation (RE2
+    regexes, 'g'-flag replace in the same documented order) is
+    hash-exact."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.pii import pii_mask
+
+    docs = _docs(spark, sf_dir)
+    t2 = F.col("text")
+    t2 = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(t2, F.lit(" contact bob.smith+tag@example.com now"))
+    ).otherwise(t2)
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t2, F.lit(" server at 192.168.1.42 responded"))
+    ).otherwise(t2)
+    t2 = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t2, F.lit(" call +1 (415) 555-0175 today"))
+    ).otherwise(t2)
+    out = pii_mask(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("masked").alias("masked_md5")
+    )
+
+
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.ngram_decontaminate):
+    every 50th document plays the benchmark probe set; docs sharing any
+    13-gram with it are flagged (the probe docs themselves, their exact
+    duplicates, and nothing else on a random-word corpus). The query runs
+    the hash-join scale path (xxhash64 keys); the oracle joins the n-gram
+    strings — identical unless a 64-bit collision fires (~1e-10 at this
+    scale), so the comparison also guards the hash path's correctness."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.decontam import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_decontaminate(docs, probes, n=13)
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1063,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher,
         "gopher_repetition": _q_gopher_repetition,
         "c4_lines": _q_c4_lines,
+        "pii_mask": _q_pii_mask,
+        "decontam_13gram": _q_decontam,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1327,6 +1375,65 @@ def _c4_lines_oracle() -> str:
     """
 
 
+def _pii_oracle() -> str:
+    """pii_mask oracle SQL: mirrors the query's corpus derivation, then
+    recomputes counts (len(regexp_extract_all)) and the masked text
+    (regexp_replace with 'g') with the patterns GENERATED from
+    operators/pii.PII_PATTERNS in the same documented order — RE2 and
+    Java regex agree on these constructs (classes, bounded repetition,
+    \\b, non-capturing groups; no lookaround)."""
+    from crawley_spark.operators.pii import PII_PATTERNS
+
+    # progressive masking exactly as the operator applies it
+    masked = "text"
+    count_cols = []
+    for name, pat, token in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({masked}, '{sql_pat}')) AS BIGINT) AS n_{name}"
+        )
+        masked = f"regexp_replace({masked}, '{sql_pat}', '{token}', 'g')"
+    counts = ",\n               ".join(count_cols)
+    return f"""
+    WITH derived AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0 THEN ' contact bob.smith+tag@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' server at 192.168.1.42 responded' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' call +1 (415) 555-0175 today' ELSE '' END
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+               {counts},
+               md5({masked}) AS masked_md5
+    FROM derived
+    """
+
+
+_DECONTAM_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(list_slice(words, i, i + 12), ' ') AS g
+        FROM (SELECT doc_id, words, unnest(range(1, len(words) - 11)) AS i
+              FROM w WHERE len(words) >= 13) t
+    ),
+    p AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+    h AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM g JOIN p USING (g) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(CASE WHEN len(words) >= 13 THEN len(words) - 12 ELSE 0 END AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM w LEFT JOIN h ON w.doc_id = h.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     U = _with_url(_URLS_SQL)
     return {
@@ -1489,6 +1596,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_oracle(),
         "gopher_repetition": _gopher_repetition_oracle(),
         "c4_lines": _c4_lines_oracle(),
+        "pii_mask": _pii_oracle(),
+        "decontam_13gram": _DECONTAM_ORACLE,
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -44,6 +44,8 @@ HEADLINE = [
     "gopher_quality",
     "gopher_repetition",
     "c4_lines",
+    "pii_mask",
+    "decontam_13gram",
 ]
 
 

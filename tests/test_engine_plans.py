@@ -159,6 +159,27 @@ def test_gopher_repetition_single_scan_no_shuffle(spark, tmp_path):
     assert read_schema and "lang" not in read_schema[0], plan
 
 
+def test_decontam_probe_join_broadcasts(spark, tmp_path):
+    """ngram_decontaminate's probe join must be a broadcast hash join (the
+    corpus side is never shuffled on n-gram content) and the only hash
+    exchange in the plan carries (doc_id, count) partial aggregates —
+    never the exploded n-gram/key column."""
+    from crawley_spark.operators.decontam import ngram_decontaminate
+
+    path = os.path.join(str(tmp_path), "docs.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    probes = docs.filter(F.col("doc_id") < 2)
+    plan = _fmt_plan(ngram_decontaminate(docs, probes, n=13))
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "k#" not in line and "g#" not in line, line
+
+
 def test_ann_candidate_dedup_exchange_carries_no_vectors(spark):
     """VERDICT r03 "what's wrong" #1: scoring happens before the candidate
     dedup, so the dedup exchange of cosine_topk_lsh / cosine_topk_ivf /

@@ -261,6 +261,62 @@ def test_c4_line_filter_rules(spark):
     assert out[4]["n_kept_lines"] == 7
 
 
+def test_pii_mask_planted(spark):
+    """Planted fixtures per PII category (late r05): emails (plus-tag,
+    subdomain), IPv4 (word-boundary guarded — a 4-digit tail is NOT an
+    address), phones (international punctuation); masking order means
+    later patterns never fire inside earlier masks."""
+    from crawley_spark.operators.pii import pii_mask
+
+    rows = [
+        (0, "write to a.b+c@ex.co and x@sub.y.org today"),
+        (1, "server 10.0.0.1 and bad 1.2.3.4567 stay apart"),
+        (2, "call +1 (415) 555-0175 or 020-7946-0958 now"),
+        (3, "reach admin5@host.io at 192.168.0.7"),
+        (4, "nothing to redact here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_mask(docs).collect()}
+    assert out[0]["n_email"] == 2
+    assert out[0]["masked"] == "write to <EMAIL> and <EMAIL> today"
+    assert out[1]["n_ipv4"] == 1  # 1.2.3.4567 fails the trailing \b
+    assert out[1]["masked"] == "server <IP> and bad 1.2.3.4567 stay apart"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["masked"] == "call <PHONE> or <PHONE> now"
+    r3 = out[3]
+    assert r3["n_email"] == 1 and r3["n_ipv4"] == 1 and r3["n_phone"] == 0
+    assert r3["masked"] == "reach <EMAIL> at <IP>"
+    assert out[4]["masked"] == rows[4][1]
+    assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
+
+
+def test_ngram_decontaminate(spark):
+    """13-gram overlap flags the probe doc, its copies, and a doc sharing
+    one window — and nothing else; hash-join and string-join paths agree
+    row-for-row."""
+    from crawley_spark.operators.decontam import ngram_decontaminate
+
+    probe_text = " ".join(f"p{i}" for i in range(20))  # 8 13-grams
+    shares = "x y " + " ".join(f"p{i}" for i in range(13)) + " z"  # 1 shared window
+    clean = " ".join(f"c{i}" for i in range(20))
+    short = "too few words here"
+    rows = [(0, probe_text), (1, shares), (2, clean), (3, short)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r for r in ngram_decontaminate(docs, probes, n=13).collect()}
+    assert out[0]["contaminated"] is True and out[0]["n_hits"] == out[0]["n_ngrams"] == 8
+    assert out[1]["contaminated"] is True and out[1]["n_hits"] == 1
+    assert out[2]["contaminated"] is False and out[2]["n_hits"] == 0
+    assert out[3]["n_ngrams"] == 0 and out[3]["contaminated"] is False
+    # string-join path (zero collision risk) must agree exactly
+    via_str = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(docs, probes, n=13, join_on_hash=False).collect()
+    }
+    for i in range(4):
+        assert via_str[i].asDict() == out[i].asDict()
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
