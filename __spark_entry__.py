@@ -512,6 +512,31 @@ def _q_decontam(spark, sf_dir):
     return ngram_decontaminate(docs, probes, n=13)
 
 
+def _q_c4_span_dedup(spark, sf_dir):
+    """C4 three-sentence-span dedup (dedup.c4_span_dedup) over the derived
+    multi-line corpus (' table ' -> '.\\n' + final '.', oracle-mirrored):
+    the synthetic corpus's planted exact-duplicate docs make real repeated
+    spans, so non-canonical occurrences lose their sentences (the
+    published "discard all but one" rule). The query runs the
+    hash-grouped scale path; the oracle groups real span strings — also a
+    collision cross-check, like decontam_13gram."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.dedup import c4_span_dedup
+
+    docs = _docs(spark, sf_dir)
+    derived = docs.select(
+        "doc_id",
+        F.concat(F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")), F.lit(".")).alias(
+            "text"
+        ),
+    )
+    out = c4_span_dedup(derived)
+    return out.select(
+        "doc_id", "n_sentences", "n_removed", F.md5("kept_text").alias("kept_md5")
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1111,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_lines": _q_c4_lines,
         "pii_mask": _q_pii_mask,
         "decontam_13gram": _q_decontam,
+        "c4_span_dedup": _q_c4_span_dedup,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1434,6 +1460,45 @@ _DECONTAM_ORACLE = """
     """
 
 
+_C4_SPAN_DEDUP_ORACLE = """
+    WITH derived AS (
+        SELECT doc_id, replace(text, ' table ', '.' || chr(10)) || '.' AS text
+        FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS sents FROM derived),
+    sp AS (
+        SELECT doc_id, i, array_to_string(list_slice(sents, i, i + 2), chr(10)) AS span
+        FROM (SELECT doc_id, sents, unnest(range(1, len(sents) - 1)) AS i
+              FROM s WHERE len(sents) >= 3) t
+    ),
+    r AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+        FROM sp
+    ),
+    dp AS (SELECT DISTINCT doc_id, unnest([i, i + 1, i + 2]) AS p FROM r WHERE rn > 1),
+    sent AS (
+        SELECT doc_id, p, sents[p] AS sentence
+        FROM (SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS p FROM s) t
+    ),
+    kepts AS (
+        SELECT sent.doc_id,
+               COALESCE(string_agg(sentence, chr(10) ORDER BY sent.p), '') AS kept_text
+        FROM sent LEFT JOIN dp ON sent.doc_id = dp.doc_id AND sent.p = dp.p
+        WHERE dp.p IS NULL
+        GROUP BY sent.doc_id
+    ),
+    nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM dp GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(kepts.kept_text, '')) AS kept_md5
+    FROM s
+    LEFT JOIN kepts ON s.doc_id = kepts.doc_id
+    LEFT JOIN nrem ON s.doc_id = nrem.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     U = _with_url(_URLS_SQL)
     return {
@@ -1598,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_lines": _c4_lines_oracle(),
         "pii_mask": _pii_oracle(),
         "decontam_13gram": _DECONTAM_ORACLE,
+        "c4_span_dedup": _C4_SPAN_DEDUP_ORACLE,
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -46,6 +46,7 @@ HEADLINE = [
     "c4_lines",
     "pii_mask",
     "decontam_13gram",
+    "c4_span_dedup",
 ]
 
 

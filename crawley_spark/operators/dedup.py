@@ -495,3 +495,80 @@ def ngram_jaccard(
     return joined.select(
         "doc_a", "doc_b", (inter / F.greatest(union, F.lit(1))).alias("jaccard")
     )
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_sentences: int = 3,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """C4 three-sentence-span deduplication (Raffel et al. 2020 §2.2 —
+    "we discarded all but one of any three-sentence span occurring more
+    than once"; public knowledge) as a corpus-level DataFrame op (late
+    r05, the dedup-side complement of textstats.c4_line_filter).
+
+    Sentences are newline-delimited (the unit c4_line_filter emits); a
+    span is ``span_sentences`` consecutive sentences joined by ``\\n``.
+    The canonical occurrence of each repeated span value is the
+    lexicographically smallest (doc_id, start); every sentence covered by
+    any NON-canonical occurrence is removed. One row per input doc:
+    ``n_sentences``, ``n_removed`` (distinct removed positions),
+    ``kept_text`` (surviving sentences joined by \\n, original order).
+
+    Scale shape: spans explode map-side; with ``hash_spans`` the groupBy
+    key is xxhash64(span) so the one unavoidable content shuffle (the
+    same one exact_duplicates pays) carries (long, long, int) rows
+    instead of 3 sentences of text — a 64-bit collision merging two span
+    groups is the declared approximation (~2^-64/pair; the driver oracle
+    joins real strings and so cross-checks it). Canonical selection is a
+    map-side-partial min(struct), never a window sort; removal marks
+    rejoin the (tiny) duplicate minority back by doc, and reconstruction
+    is a per-row indexed array filter — no per-sentence shuffle."""
+    sents = F.split(F.col(text_col), "\n")
+    n = span_sentences
+    spans = df.select(
+        F.col(id_col),
+        F.when(
+            F.size(sents) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sents) - n + 1),
+                lambda i: F.array_join(F.slice(sents, i, n), "\n"),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("spans"),
+    ).select(id_col, F.posexplode("spans").alias("pos0", "span"))
+    # pos0 is 0-based; canonical = min (doc_id, start) per span value
+    key = F.xxhash64("span").alias("k") if hash_spans else F.col("span").alias("k")
+    occ = spans.select(id_col, (F.col("pos0") + 1).alias("i"), key)
+    canon = occ.groupBy("k").agg(
+        F.min(F.struct(F.col(id_col), F.col("i"))).alias("c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup_occ = (
+        occ.join(canon.filter(F.col("cnt") > 1), "k")
+        .filter((F.col(id_col) != F.col("c")[id_col]) | (F.col("i") != F.col("c")["i"]))
+        .select(id_col, "i")
+    )
+    drop_pos = (
+        dup_occ.select(
+            id_col, F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("p")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("drop_pos"))
+    )
+    base = df.select(id_col, sents.alias("sents"))
+    joined = base.join(drop_pos, id_col, "left")
+    kept = F.filter(
+        F.col("sents"),
+        lambda s, i: F.coalesce(~F.array_contains(F.col("drop_pos"), i + 1), F.lit(True)),
+    )
+    return joined.select(
+        id_col,
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("kept_text"),
+    )

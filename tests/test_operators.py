@@ -317,6 +317,31 @@ def test_ngram_decontaminate(spark):
         assert via_str[i].asDict() == out[i].asDict()
 
 
+def test_c4_span_dedup(spark):
+    """The published C4 rule — discard all but one of any three-sentence
+    span occurring more than once (late r05): the canonical (lowest
+    doc_id, start) occurrence keeps its sentences, every other occurrence
+    loses them; an exact-duplicate doc empties entirely; short docs are
+    untouched; hash-grouped and string-grouped paths agree."""
+    from crawley_spark.operators.dedup import c4_span_dedup
+
+    rows = [
+        (0, "s1\ns2\ns3\ns4"),  # canonical
+        (1, "x1\ns1\ns2\ns3\nx2"),  # one dup span -> loses 3 sentences
+        (2, "a\nb"),  # < 3 sentences: no spans
+        (3, "s1\ns2\ns3\ns4"),  # exact dup of 0 -> fully removed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_span_dedup(docs).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["kept_text"] == rows[0][1]
+    assert out[1]["n_removed"] == 3 and out[1]["kept_text"] == "x1\nx2"
+    assert out[2]["n_removed"] == 0 and out[2]["kept_text"] == "a\nb"
+    assert out[3]["n_removed"] == 4 and out[3]["kept_text"] == ""
+    via_str = {r["doc_id"]: r for r in c4_span_dedup(docs, hash_spans=False).collect()}
+    for i in range(4):
+        assert via_str[i].asDict() == out[i].asDict()
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
