@@ -537,6 +537,18 @@ def _q_c4_span_dedup(spark, sf_dir):
     )
 
 
+def _q_source_quality(spark, sf_dir):
+    """Source/domain-level quality rollup (textstats.source_quality):
+    per-source doc counts, Gopher-keep counts, word mass, and the
+    majority-keep flag (>= 1/2 of docs pass; min_stop_kinds=1 as in
+    gopher_quality). One shuffle on source with map-side partial agg;
+    all-integer outputs keep the DuckDB GROUP BY recomputation
+    hash-exact."""
+    from crawley_spark.operators.textstats import source_quality
+
+    return source_quality(_docs(spark, sf_dir), min_stop_kinds=1)
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1137,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": _q_pii_mask,
         "decontam_13gram": _q_decontam,
         "c4_span_dedup": _q_c4_span_dedup,
+        "source_quality": _q_source_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1193,26 +1206,27 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _gopher_oracle() -> str:
-    """gopher_quality oracle SQL, with the stopword CASE terms GENERATED
-    from the same table the Spark operator uses
-    (textstats.GOPHER_STOPWORDS) so the two sides cannot desynchronize;
-    DuckDB still independently recomputes every signal (list lambdas over
-    the same single-space word split / newline line split) and re-derives
-    the keep flag from the same integer cross-multiplied thresholds."""
+def _gopher_signal_ctes(extra_col: str = "") -> str:
+    """base+agg CTE text computing the per-doc Gopher quality signals
+    (shared by the gopher_quality and source_quality oracles); the
+    stopword CASE terms are GENERATED from textstats.GOPHER_STOPWORDS so
+    the two sides cannot desynchronize while DuckDB recomputes every
+    signal independently (list lambdas over the same single-space word
+    split / newline line split)."""
     from crawley_spark.operators.textstats import GOPHER_STOPWORDS
 
     stop_terms = " + ".join(
         f"(CASE WHEN contains(text, '{s}') THEN 1 ELSE 0 END)" for s in GOPHER_STOPWORDS
     )
+    ex = f"{extra_col}, " if extra_col else ""
     return f"""
     WITH base AS (
-        SELECT doc_id, text,
+        SELECT doc_id, {ex}text,
                list_filter(string_split(text, ' '), w -> w <> '') AS words,
                string_split(text, chr(10)) AS lines
         FROM documents
     ), agg AS (
-        SELECT doc_id,
+        SELECT doc_id, {ex}
             CAST(len(words) AS BIGINT) AS n_words,
             CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_word_len,
             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
@@ -1223,17 +1237,52 @@ def _gopher_oracle() -> str:
                + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
             CAST({stop_terms} AS BIGINT) AS n_stop_kinds
         FROM base
-    )
-    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_lines,
-           n_bullet_lines, n_ellipsis_lines, n_symbols, n_stop_kinds,
-           (n_words BETWEEN 50 AND 100000)
+    )"""
+
+
+def _gopher_keep_expr(min_stop_kinds: int) -> str:
+    """The gopher_quality keep flag as integer cross-multiplied SQL —
+    the same thresholds the Spark operator applies."""
+    return f"""(n_words BETWEEN 50 AND 100000)
            AND (3 * n_words <= sum_word_len) AND (sum_word_len <= 10 * n_words)
            AND (5 * n_alpha_words >= 4 * n_words)
            AND (10 * n_bullet_lines <= 9 * n_lines)
            AND (10 * n_ellipsis_lines <= 3 * n_lines)
            AND (10 * n_symbols <= n_words)
-           AND (n_stop_kinds >= 1) AS keep_gopher
+           AND (n_stop_kinds >= {min_stop_kinds})"""
+
+
+def _gopher_oracle() -> str:
+    """gopher_quality oracle SQL — per-doc signals + keep flag (see
+    _gopher_signal_ctes for the generated-terms / independent-recompute
+    story)."""
+    return f"""
+    {_gopher_signal_ctes()}
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_symbols, n_stop_kinds,
+           {_gopher_keep_expr(1)} AS keep_gopher
     FROM agg
+    """
+
+
+def _source_quality_oracle() -> str:
+    """source_quality oracle SQL: the same per-doc Gopher signals, rolled
+    up per source with an independent GROUP BY — n_docs, docs passing the
+    keep flag, total word mass, and the integer cross-multiplied
+    majority-keep rule (>= 1/2 of docs pass)."""
+    return f"""
+    {_gopher_signal_ctes("source")},
+    flag AS (
+        SELECT source, n_words,
+               CASE WHEN {_gopher_keep_expr(1)} THEN 1 ELSE 0 END AS k
+        FROM agg
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k) AS BIGINT) AS n_keep,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           (sum(k) * 2 >= 1 * count(*)) AS keep_source
+    FROM flag GROUP BY source
     """
 
 
@@ -1664,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_mask": _pii_oracle(),
         "decontam_13gram": _DECONTAM_ORACLE,
         "c4_span_dedup": _C4_SPAN_DEDUP_ORACLE,
+        "source_quality": _source_quality_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

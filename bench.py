@@ -47,6 +47,7 @@ HEADLINE = [
     "pii_mask",
     "decontam_13gram",
     "c4_span_dedup",
+    "source_quality",
 ]
 
 

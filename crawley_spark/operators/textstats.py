@@ -117,6 +117,7 @@ def gopher_quality(
     min_words: int = 50,
     max_words: int = 100_000,
     min_stop_kinds: int = 2,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Gopher/C4-style document quality filter as pure column expressions
     (beyond-reference training-data op, late r05): per-doc integer
@@ -161,6 +162,7 @@ def gopher_quality(
     ).cast("long")
     scored = df.select(
         F.col("doc_id"),
+        *[F.col(c) for c in carry_cols],
         n_words.alias("n_words"),
         sum_word_len.alias("sum_word_len"),
         n_alpha_words.alias("n_alpha_words"),
@@ -182,6 +184,38 @@ def gopher_quality(
         & (c("n_stop_kinds") >= min_stop_kinds)
     )
     return scored.withColumn("keep_gopher", keep)
+
+
+def source_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_stop_kinds: int = 2,
+    keep_num: int = 1,
+    keep_den: int = 2,
+) -> DataFrame:
+    """Source/domain-level quality rollup for whole-domain filtering (the
+    published RefinedWeb/FineWeb practice of dropping entire sources whose
+    documents are mostly junk; public knowledge): per source — document
+    count, documents passing the Gopher quality filter, total word mass —
+    and ``keep_source`` true when at least ``keep_num/keep_den`` of the
+    source's docs pass (integer cross-multiplied, oracle-exact).
+
+    Scale shape: one scan (the per-doc signals are gopher_quality's pure
+    column expressions) + one shuffle on the source key with map-side
+    partial aggregation — counts and sums only, so a mega-domain key is
+    skew-safe by combining."""
+    scored = gopher_quality(
+        df, min_stop_kinds=min_stop_kinds, carry_cols=(source_col,)
+    )
+    agg = scored.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep_gopher").cast("long")).alias("n_keep"),
+        F.sum("n_words").alias("total_words"),
+    )
+    return agg.withColumn(
+        "keep_source", F.col("n_keep") * keep_den >= keep_num * F.col("n_docs")
+    )
 
 
 # Gopher repetition-removal thresholds (Rae et al. 2021, Table A1; public

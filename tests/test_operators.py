@@ -342,6 +342,33 @@ def test_c4_span_dedup(spark):
         assert via_str[i].asDict() == out[i].asDict()
 
 
+def test_source_quality_rollup(spark):
+    """Domain-level filtering (late r05): per-source Gopher-keep counts
+    and the integer majority rule — a source whose docs mostly fail the
+    quality filter is dropped whole."""
+    from crawley_spark.operators.textstats import source_quality
+
+    good = "we saw the dragon and that was all of it " * 8  # passes gopher
+    bad = "x " * 60  # mean word length < 3 -> fails
+    rows = (
+        [(i, good, "good.example") for i in range(4)]
+        + [(10 + i, bad, "good.example") for i in range(2)]  # 4/6 pass
+        + [(20 + i, bad, "spam.example") for i in range(3)]
+        + [(30, good, "spam.example")]  # 1/4 pass
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_quality(docs, min_stop_kinds=2).collect()}
+    g = out["good.example"]
+    assert g["n_docs"] == 6 and g["n_keep"] == 4 and g["keep_source"] is True
+    s = out["spam.example"]
+    assert s["n_docs"] == 4 and s["n_keep"] == 1 and s["keep_source"] is False
+    # exact boundary: 1/2 keeps (>=, not >)
+    half = spark.createDataFrame(
+        [(0, good, "h"), (1, bad, "h")], "doc_id long, text string, source string"
+    )
+    assert source_quality(half, min_stop_kinds=2).collect()[0]["keep_source"] is True
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
