@@ -549,6 +549,43 @@ def _q_source_quality(spark, sf_dir):
     return source_quality(_docs(spark, sf_dir), min_stop_kinds=1)
 
 
+def _q_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep capstone: derived multi-line corpus
+    -> C4 line cleaning (keep_c4, min_sentences=2) -> Gopher quality on
+    the CLEANED text (published thresholds, min_stop_kinds=1) -> exact
+    dedup of the cleaned text (distinct md5). Returns the one-row funnel
+    (n_input, n_after_c4, n_after_gopher, n_after_dedup) — 500 -> 356 ->
+    202 -> deduped at sf0.01 — recomputed end-to-end by a chained-CTE
+    DuckDB oracle. This is the composition contract: every stage is the
+    same operator the standalone queries check, chained."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.textstats import c4_line_filter, gopher_quality
+
+    docs = _docs(spark, sf_dir)
+    derived = docs.select(
+        "doc_id",
+        F.concat(F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")), F.lit(".")).alias(
+            "text"
+        ),
+    )
+    c4k = c4_line_filter(derived, min_sentences=2, include_text=True).filter("keep_c4")
+    g = gopher_quality(
+        c4k.select("doc_id", F.col("cleaned").alias("text")), min_stop_kinds=1
+    ).filter("keep_gopher")
+    kept = c4k.join(g.select("doc_id"), "doc_id")
+    return (
+        derived.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+        .crossJoin(c4k.agg(F.count(F.lit(1)).cast("long").alias("n_after_c4")))
+        .crossJoin(g.agg(F.count(F.lit(1)).cast("long").alias("n_after_gopher")))
+        .crossJoin(
+            kept.agg(
+                F.countDistinct(F.md5("cleaned")).cast("long").alias("n_after_dedup")
+            )
+        )
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1150,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_13gram": _q_decontam,
         "c4_span_dedup": _q_c4_span_dedup,
         "source_quality": _q_source_quality,
+        "prep_pipeline": _q_prep_pipeline,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1206,13 +1244,20 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _gopher_signal_ctes(extra_col: str = "") -> str:
+def _gopher_signal_ctes(
+    extra_col: str = "",
+    source: str = "documents",
+    text_col: str = "text",
+    lead: str = "WITH ",
+) -> str:
     """base+agg CTE text computing the per-doc Gopher quality signals
-    (shared by the gopher_quality and source_quality oracles); the
-    stopword CASE terms are GENERATED from textstats.GOPHER_STOPWORDS so
-    the two sides cannot desynchronize while DuckDB recomputes every
-    signal independently (list lambdas over the same single-space word
-    split / newline line split)."""
+    (shared by the gopher_quality, source_quality, and prep_pipeline
+    oracles — ``source``/``text_col`` let the pipeline run them over its
+    cleaned intermediate, ``lead`` lets it splice into an existing WITH
+    chain); the stopword CASE terms are GENERATED from
+    textstats.GOPHER_STOPWORDS so the two sides cannot desynchronize
+    while DuckDB recomputes every signal independently (list lambdas over
+    the same single-space word split / newline line split)."""
     from crawley_spark.operators.textstats import GOPHER_STOPWORDS
 
     stop_terms = " + ".join(
@@ -1220,11 +1265,11 @@ def _gopher_signal_ctes(extra_col: str = "") -> str:
     )
     ex = f"{extra_col}, " if extra_col else ""
     return f"""
-    WITH base AS (
-        SELECT doc_id, {ex}text,
-               list_filter(string_split(text, ' '), w -> w <> '') AS words,
-               string_split(text, chr(10)) AS lines
-        FROM documents
+    {lead}base AS (
+        SELECT doc_id, {ex}{text_col} AS text,
+               list_filter(string_split({text_col}, ' '), w -> w <> '') AS words,
+               string_split({text_col}, chr(10)) AS lines
+        FROM {source}
     ), agg AS (
         SELECT doc_id, {ex}
             CAST(len(words) AS BIGINT) AS n_words,
@@ -1548,6 +1593,52 @@ _C4_SPAN_DEDUP_ORACLE = """
     """
 
 
+def _prep_pipeline_oracle() -> str:
+    """prep_pipeline oracle SQL: the full funnel recomputed as one chained
+    CTE — the same derivation as c4_span_dedup/c4_lines, the C4 line
+    rules (terms generated from C4_TERMINAL_PUNCT), the Gopher signals
+    over the CLEANED intermediate (the shared generated signal CTEs,
+    spliced via source/text_col), and a DISTINCT-md5 exact dedup."""
+    from crawley_spark.operators.textstats import C4_TERMINAL_PUNCT
+
+    ends = " OR ".join(f"ends_with(l, '{p}')" for p in C4_TERMINAL_PUNCT)
+    sent_terms = " + ".join(
+        f"(length(cleaned) - length(replace(cleaned, '{p}', '')))" for p in C4_TERMINAL_PUNCT
+    )
+    gopher = _gopher_signal_ctes(
+        extra_col="cleaned", source="c4k", text_col="cleaned", lead=""
+    )
+    return f"""
+    WITH derived AS (
+        SELECT doc_id, replace(text, ' table ', '.' || chr(10)) || '.' AS text
+        FROM documents
+    ),
+    c4c AS (
+        SELECT doc_id, text,
+               COALESCE(array_to_string(ks, chr(10)), '') AS cleaned
+        FROM (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)),
+                       l -> ({ends})
+                            AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+                            AND NOT contains(lower(l), 'javascript')) AS ks
+            FROM derived) t
+    ),
+    c4k AS (
+        SELECT doc_id, cleaned FROM c4c
+        WHERE CAST({sent_terms} AS BIGINT) >= {_C4_MIN_SENTENCES}
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+    ),
+    {gopher},
+    gk AS (SELECT doc_id, cleaned FROM agg WHERE {_gopher_keep_expr(1)})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM derived) AS n_input,
+           (SELECT CAST(count(*) AS BIGINT) FROM c4k) AS n_after_c4,
+           (SELECT CAST(count(*) AS BIGINT) FROM gk) AS n_after_gopher,
+           (SELECT CAST(count(DISTINCT md5(cleaned)) AS BIGINT) FROM gk) AS n_after_dedup
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     U = _with_url(_URLS_SQL)
     return {
@@ -1714,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_13gram": _DECONTAM_ORACLE,
         "c4_span_dedup": _C4_SPAN_DEDUP_ORACLE,
         "source_quality": _source_quality_oracle(),
+        "prep_pipeline": _prep_pipeline_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

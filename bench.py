@@ -48,6 +48,7 @@ HEADLINE = [
     "decontam_13gram",
     "c4_span_dedup",
     "source_quality",
+    "prep_pipeline",
 ]
 
 

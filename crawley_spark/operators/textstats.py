@@ -395,6 +395,7 @@ def c4_line_filter(
     text_col: str = "text",
     min_words_per_line: int = 3,
     min_sentences: int = 5,
+    include_text: bool = False,
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
     published rules next to the two Gopher filters): retain only lines that
@@ -437,6 +438,9 @@ def c4_line_filter(
         has_lorem.alias("has_lorem"),
         has_brace.alias("has_brace"),
         F.md5(cleaned).alias("cleaned_md5"),
+        # the cleaned text itself, for pipeline composition (off by default
+        # so the md5-only contract of the c4_lines oracle stays stable)
+        *([cleaned.alias("cleaned")] if include_text else []),
     )
     keep = (
         (F.col("n_sentences") >= min_sentences)

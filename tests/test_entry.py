@@ -28,6 +28,16 @@ def test_text_invariant_query(spark):
     assert row["n_mismatch"] == 0
 
 
+def test_prep_pipeline_funnel(spark):
+    """The end-to-end prep capstone (late r05): the funnel is monotone
+    non-increasing and every stage keeps something at sf0.001."""
+    import __spark_entry__ as e
+
+    row = e.queries()["prep_pipeline"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_input"] >= row["n_after_c4"] >= row["n_after_gopher"] >= row["n_after_dedup"]
+    assert row["n_after_dedup"] > 0
+
+
 def test_queries_oracle_keys_subset(spark):
     import __spark_entry__ as e
 
