@@ -142,21 +142,33 @@ def _dedup_exchange_blocks(plan: str, key: str) -> list:
 
 
 def test_gopher_repetition_single_scan_no_shuffle(spark, tmp_path):
-    """gopher_repetition is per-row array arithmetic: the plan must be one
-    pruned two-column parquet scan (doc_id, text) with zero Exchange — the
-    property that makes it trivially 100-TB-parallel."""
+    """gopher_repetition is per-row arithmetic: the plan must be one pruned
+    two-column parquet scan (doc_id, text) with zero Exchange — the
+    property that makes it trivially 100-TB-parallel. The SQL impl never
+    shuffles; the Arrow impl may widen a NARROW input (the bench-corpus
+    case, widen_narrow_input) but must pass a properly-partitioned input
+    through unshuffled — both pinned here."""
     from crawley_spark.operators.textstats import gopher_repetition
 
     path = os.path.join(str(tmp_path), "docs.parquet")
     spark.createDataFrame(
-        [(i, f"w{i} w{i + 1} w{i} text", "en") for i in range(10)],
+        [(i, f"w{i} w{i + 1} w{i} text", "en") for i in range(200)],
         "doc_id long, text string, lang string",
     ).write.parquet(path)
-    df = gopher_repetition(spark.read.parquet(path))
-    plan = _fmt_plan(df)
+    df_sql = gopher_repetition(spark.read.parquet(path), impl="sql")
+    plan = _fmt_plan(df_sql)
     assert "Exchange" not in plan, plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "lang" not in read_schema[0], plan
+    # arrow impl over a wide input (>= shuffle width files): no Exchange
+    wide_path = os.path.join(str(tmp_path), "docs_wide.parquet")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.read.parquet(path).repartition(target + 1).write.parquet(wide_path)
+    df_arrow = gopher_repetition(spark.read.parquet(wide_path), impl="arrow")
+    plan_wide = _fmt_plan(df_arrow)
+    assert "Exchange" not in plan_wide, plan_wide
+    read_schema = [l for l in plan_wide.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0], plan_wide
 
 
 def test_decontam_probe_join_broadcasts(spark, tmp_path):

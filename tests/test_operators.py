@@ -199,7 +199,9 @@ def _gopher_repetition_brute(text):
 
 def test_gopher_repetition_brute_parity(spark):
     """Random word-soup docs (seeded) vs an independent pure-Python
-    recomputation — every integer signal must match exactly."""
+    recomputation — every integer signal must match exactly, for BOTH
+    implementations (the default Arrow kernel and the interpreted-HOF SQL
+    path), and the two impls must agree row-for-row."""
     import random
 
     from crawley_spark.operators.textstats import gopher_repetition
@@ -218,11 +220,18 @@ def test_gopher_repetition_brute_parity(spark):
             txt = txt.replace(" ", "\n\n", 2)
         rows.append((i, txt))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
-    for i, txt in rows:
-        want = _gopher_repetition_brute(txt)
-        have = {k: got[i][k] for k in want}
-        assert have == want, f"doc {i}: {have} != {want} ({txt!r})"
+    by_impl = {}
+    for impl in ("arrow", "sql"):
+        got = {
+            r["doc_id"]: r.asDict() for r in gopher_repetition(docs, impl=impl).collect()
+        }
+        by_impl[impl] = got
+        for i, txt in rows:
+            want = _gopher_repetition_brute(txt)
+            have = {k: got[i][k] for k in want}
+            assert have == want, f"impl={impl} doc {i}: {have} != {want} ({txt!r})"
+    for i, _ in rows:
+        assert by_impl["arrow"][i] == by_impl["sql"][i]
 
 
 def test_c4_line_filter_rules(spark):
