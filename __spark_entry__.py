@@ -586,6 +586,42 @@ def _q_prep_pipeline(spark, sf_dir):
     )
 
 
+# training-mixture rates for the stratified_sample query, keyed by the
+# corpus's 20 sources: a deterministic 25/50/75/100% cycle. The oracle's
+# CASE terms are GENERATED from this same dict.
+_SAMPLE_RATES = {f"src{i}": ((i % 4) + 1) / 4 for i in range(20)}
+_SAMPLE_SALT = "sample-v1"
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (sampling.stratified_sample):
+    per-source training-mixture rates (25/50/75/100% cycling), selection
+    keyed on md5_low60(salt || doc_id) so the EXACT row selection — not
+    just its size — is reproduced by the DuckDB oracle via
+    md5_number % 2^60. Zero shuffle, pure column expressions."""
+    from crawley_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(_docs(spark, sf_dir), rates=_SAMPLE_RATES, salt=_SAMPLE_SALT)
+    return out.select("doc_id", "source", "sample_bucket", "sampled")
+
+
+def _q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (sampling.pack_token_shards): docs in
+    doc_id order, greedy-packed into ~5000-token shards via the two-pass
+    driver-offset prefix sum (no single-partition global window sort —
+    plan-test-pinned). n_tokens is the whitespace token count the
+    token_count query already oracles."""
+    from pyspark.sql import functions as F
+
+    from crawley_spark.operators.sampling import pack_token_shards
+    from crawley_spark.operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_token_shards(docs, budget=5000)
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1188,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": _q_c4_span_dedup,
         "source_quality": _q_source_quality,
         "prep_pipeline": _q_prep_pipeline,
+        "stratified_sample": _q_stratified_sample,
+        "pack_shards": _q_pack_shards,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -1639,6 +1677,54 @@ def _prep_pipeline_oracle() -> str:
     """
 
 
+def _stratified_sample_oracle() -> str:
+    """stratified_sample oracle SQL: the selection recomputed via DuckDB's
+    md5_number (little-endian 128-bit md5) — (md5_number % 2^60) %
+    SAMPLE_DEN equals Spark's md5_low60-based bucket exactly; the rate
+    CASE terms are GENERATED from the same _SAMPLE_RATES dict."""
+    from crawley_spark.operators.sampling import SAMPLE_DEN
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SAMPLE_DEN))}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    # md5_number is a SIGNED HUGEINT: md5 values >= 2^127 wrap negative and
+    # DuckDB's % returns the negative representative, so take the canonical
+    # non-negative low-60 residue ((x % 2^60) + 2^60) % 2^60 before the
+    # SAMPLE_DEN mod. (The simhash oracle's bare `% 2^60` is safe without
+    # this only because it reads bits 0..59, which two's complement leaves
+    # unchanged.)
+    low60 = (
+        f"((md5_number('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR))"
+        " % 1152921504606846976) + 1152921504606846976) % 1152921504606846976"
+    )
+    return f"""
+    SELECT doc_id, source,
+           CAST(({low60}) % {SAMPLE_DEN} AS BIGINT) AS sample_bucket,
+           CAST(({low60}) % {SAMPLE_DEN} AS BIGINT)
+             < (CASE source {cases} ELSE {SAMPLE_DEN} END) AS sampled
+    FROM documents
+    """
+
+
+_PACK_SHARDS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS prefix_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000.0) AS BIGINT)
+             AS shard
+    FROM toks
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     U = _with_url(_URLS_SQL)
     return {
@@ -1806,6 +1892,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_span_dedup": _C4_SPAN_DEDUP_ORACLE,
         "source_quality": _source_quality_oracle(),
         "prep_pipeline": _prep_pipeline_oracle(),
+        "stratified_sample": _stratified_sample_oracle(),
+        "pack_shards": _PACK_SHARDS_ORACLE,
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -49,6 +49,8 @@ HEADLINE = [
     "c4_span_dedup",
     "source_quality",
     "prep_pipeline",
+    "stratified_sample",
+    "pack_shards",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Training-mixture construction operators (beyond-reference, late r05):
+deterministic stratified sampling and token-budget shard packing — the two
+steps between "filtered corpus" and "training shards" in a published
+LLM-data pipeline (public knowledge: hash-based deterministic sampling and
+fixed-token-budget packing are standard practice in open corpus builds).
+
+Both are exact-integer and therefore DuckDB-oracle-checkable:
+
+* sampling keys on the low-60-bit md5 (``dedup.md5_low60`` — DuckDB's
+  ``md5_number % 2^60``), so the SELECTION ITSELF is cross-engine
+  reproducible, not just its size;
+* packing computes the global running token sum with a two-pass
+  driver-offset prefix sum (the plans/ordering.py pattern), never a
+  single-partition global window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_low60
+
+SAMPLE_DEN = 1_000_000  # rate granularity: 1e-6
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict | None = None,
+    default_rate: float = 1.0,
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: each row is assigned
+    ``sample_bucket`` = md5_low60(salt || key) % SAMPLE_DEN — uniform on
+    [0, SAMPLE_DEN) and a pure function of (salt, key) — and is ``sampled``
+    iff bucket < rate(stratum) · SAMPLE_DEN (rates rounded to 1e-6; the
+    comparison is integer). Properties the RNG-based ``df.sample`` cannot
+    give: reruns and resumes select the IDENTICAL rows, per-stratum rates
+    are exact policy knobs (training-mixture weights), disjoint salts draw
+    independent samples, and the DuckDB oracle reproduces the exact
+    selection (md5_number % 2^60 parity). One scan, zero shuffle."""
+    rates = rates or {}
+    bucket = md5_low60(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % SAMPLE_DEN
+    thresh = F.lit(int(round(default_rate * SAMPLE_DEN)))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strat_col) == stratum, F.lit(int(round(rate * SAMPLE_DEN)))
+        ).otherwise(thresh)
+    return df.withColumn("sample_bucket", bucket.cast("long")).withColumn(
+        "sampled", F.col("sample_bucket") < thresh
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign documents, in deterministic ``order_col`` order, to
+    contiguous shards of ~``budget`` tokens: ``shard`` =
+    floor(exclusive-prefix-sum(tokens) / budget). A doc whose tokens cross
+    a boundary belongs to the shard its FIRST token falls in (the standard
+    greedy sequential packing, stated so the oracle can reproduce it).
+
+    Scale shape — the global running sum WITHOUT a global sort: rows are
+    bucketed by the driver-known ``order_col`` span (one min/max agg);
+    per-bucket token totals (one tiny map-side-combined agg) come back to
+    the driver, whose exclusive offsets broadcast back as a literal CASE;
+    the within-bucket prefix is a window over (bucket, order) — bounded
+    partitions, one shuffle on the bucket key. The single-partition
+    global-window sort Spark would otherwise use (WindowExec with no
+    PARTITION BY) never appears; pinned by a plan test."""
+    stats = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        return df.select(
+            F.col(order_col),
+            F.col(token_col).cast("long").alias(token_col),
+            F.lit(0).cast("long").alias("prefix_tokens"),
+            F.lit(0).cast("long").alias("shard"),
+        ).limit(0)
+    span = int(hi) - int(lo) + 1
+    width = max(1, -(-span // n_buckets))  # ceil
+    b = ((F.col(order_col) - F.lit(int(lo))) / width).cast("long")
+    rows = df.select(
+        F.col(order_col), F.col(token_col).cast("long").alias(token_col), b.alias("_b")
+    )
+    totals = {
+        r["_b"]: r["t"]
+        for r in rows.groupBy("_b").agg(F.sum(token_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for bk in sorted(totals):
+        offsets[bk] = acc
+        acc += totals[bk]
+    off = F.lit(0).cast("long")
+    for bk, v in sorted(offsets.items()):
+        off = F.when(F.col("_b") == bk, F.lit(int(v)).cast("long")).otherwise(off)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inclusive = F.sum(token_col).over(w)
+    prefix = (off + inclusive - F.col(token_col)).alias("prefix_tokens")
+    return rows.select(
+        order_col,
+        token_col,
+        prefix,
+        F.floor((off + inclusive - F.col(token_col)) / budget).cast("long").alias("shard"),
+    )

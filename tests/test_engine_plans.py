@@ -192,6 +192,26 @@ def test_decontam_probe_join_broadcasts(spark, tmp_path):
             assert "k#" not in line and "g#" not in line, line
 
 
+def test_sampling_plan_shapes(spark, tmp_path):
+    """stratified_sample is zero-shuffle column math; pack_token_shards'
+    running sum must window over the BUCKET key — never the
+    single-partition global sort Spark uses for a partitionless window."""
+    from crawley_spark.operators.sampling import pack_token_shards, stratified_sample
+
+    path = os.path.join(str(tmp_path), "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", 10 + i % 7) for i in range(300)],
+        "doc_id long, source string, n_tokens long",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = _fmt_plan(stratified_sample(docs, rates={"s0": 0.5}))
+    assert "Exchange" not in plan, plan
+    plan2 = _fmt_plan(pack_token_shards(docs, budget=100, n_buckets=8))
+    assert "Window" in plan2, plan2
+    # every window/sort partitions by the bucket key — no SinglePartition
+    assert "SinglePartition" not in plan2, plan2
+
+
 def test_ann_candidate_dedup_exchange_carries_no_vectors(spark):
     """VERDICT r03 "what's wrong" #1: scoring happens before the candidate
     dedup, so the dedup exchange of cosine_topk_lsh / cosine_topk_ivf /

@@ -378,6 +378,64 @@ def test_source_quality_rollup(spark):
     assert source_quality(half, min_stop_kinds=2).collect()[0]["keep_source"] is True
 
 
+def test_stratified_sample(spark):
+    """Deterministic hash sampling (late r05): reruns identical, rates
+    land near target at modest n, per-stratum thresholds exact, disjoint
+    salts draw different samples."""
+    from crawley_spark.operators.sampling import SAMPLE_DEN, stratified_sample
+
+    rows = [(i, "src_a" if i % 2 == 0 else "src_b") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(docs, rates={"src_a": 0.25, "src_b": 1.0})
+    got = {r["doc_id"]: r for r in out.collect()}
+    again = {r["doc_id"]: r for r in out.collect()}
+    assert {k: v["sampled"] for k, v in got.items()} == {
+        k: v["sampled"] for k, v in again.items()
+    }
+    n_a = sum(1 for r in got.values() if r["source"] == "src_a" and r["sampled"])
+    assert 0.18 * 1000 < n_a < 0.32 * 1000  # ~250 of 1000 at rate 0.25
+    assert all(r["sampled"] for r in got.values() if r["source"] == "src_b")
+    for r in got.values():  # exact threshold semantics
+        want = r["sample_bucket"] < (0.25 if r["source"] == "src_a" else 1.0) * SAMPLE_DEN
+        assert r["sampled"] == want
+    other = {
+        r["doc_id"]: r["sampled"]
+        for r in stratified_sample(
+            docs, rates={"src_a": 0.25, "src_b": 1.0}, salt="sample-v2"
+        ).collect()
+    }
+    assert any(other[i] != got[i]["sampled"] for i in got)  # independent draw
+
+
+def test_pack_token_shards(spark):
+    """Token-budget packing (late r05): hand case, then parity vs a
+    driver-side prefix-sum recomputation on random sizes across many
+    buckets, and empty input."""
+    from crawley_spark.operators.sampling import pack_token_shards
+
+    docs = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 5)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r for r in pack_token_shards(docs, budget=5).collect()}
+    assert got[0]["prefix_tokens"] == 0 and got[0]["shard"] == 0
+    assert got[1]["prefix_tokens"] == 3 and got[1]["shard"] == 0
+    assert got[2]["prefix_tokens"] == 7 and got[2]["shard"] == 1
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 40)) for i in range(500)]
+    docs2 = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got2 = {r["doc_id"]: r for r in pack_token_shards(docs2, budget=100, n_buckets=16).collect()}
+    acc = 0
+    for i, n in rows:  # doc_id order
+        assert got2[i]["prefix_tokens"] == acc and got2[i]["shard"] == acc // 100
+        acc += n
+
+    empty = docs2.filter("doc_id < 0")
+    assert pack_token_shards(empty, budget=100).count() == 0
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
