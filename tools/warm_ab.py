@@ -7,7 +7,9 @@ Usage: python tools/warm_ab.py [--sf-dir D] [--reps N] [query ...]
 Defaults: sf0.1, 7 reps, simhash ann_lsh minhash_dedup ann_brute (the r03
 nominal regressions, the warm-methodology control, and — per VERDICT r04
 "what's wrong" #1 — ann_brute, whose +1.05 s driver-bench move was never
-attributed).
+attributed) plus the two r05 heavyweights decontam_13gram and
+near_dup_clusters, so future timing moves on them get the same
+attribution machinery.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ def main():
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument(
         "queries", nargs="*",
-        default=["simhash", "ann_lsh", "minhash_dedup", "ann_brute"],
+        default=["simhash", "ann_lsh", "minhash_dedup", "ann_brute", "decontam_13gram", "near_dup_clusters"],
     )
     args = ap.parse_args()
 
