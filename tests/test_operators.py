@@ -378,6 +378,31 @@ def test_source_quality_rollup(spark):
     assert source_quality(half, min_stop_kinds=2).collect()[0]["keep_source"] is True
 
 
+def test_gopher_repetition_unicode_parity(spark):
+    """Random Unicode soup — including a supplementary-plane char (UTF-16
+    surrogate pair in the JVM), combining-accent text, spaces and
+    newlines — must produce identical signals from the Arrow kernel, the
+    SQL HOF path, and the pure-Python brute reference (char counts are
+    code points everywhere; sort order is code-point order everywhere)."""
+    import random
+
+    from crawley_spark.operators.textstats import gopher_repetition
+
+    rng = random.Random(99)
+    alphabet = "ab é☃𝄞\n"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    sql = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs, impl="sql").collect()}
+    for i, txt in rows:
+        assert arrow[i] == sql[i], f"doc {i}: {arrow[i]} != {sql[i]} ({txt!r})"
+        want = _gopher_repetition_brute(txt)
+        assert {k: arrow[i][k] for k in want} == want, (i, txt)
+
+
 def test_stratified_sample(spark):
     """Deterministic hash sampling (late r05): reruns identical, rates
     land near target at modest n, per-stratum thresholds exact, disjoint
