@@ -87,7 +87,9 @@ def pack_token_shards(
         ).limit(0)
     span = int(hi) - int(lo) + 1
     width = max(1, -(-span // n_buckets))  # ceil
-    b = ((F.col(order_col) - F.lit(int(lo))) / width).cast("long")
+    # integer `div`, not `/`: double division loses exactness past 2^53
+    # (billions of docs x big keys at 100 TB)
+    b = F.expr(f"(CAST({order_col} AS BIGINT) - {int(lo)}) div {width}")
     rows = df.select(
         F.col(order_col), F.col(token_col).cast("long").alias(token_col), b.alias("_b")
     )
@@ -110,10 +112,15 @@ def pack_token_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     inclusive = F.sum(token_col).over(w)
-    prefix = (off + inclusive - F.col(token_col)).alias("prefix_tokens")
+    prefix_col = off + inclusive - F.col(token_col)
     return rows.select(
         order_col,
         token_col,
-        prefix,
-        F.floor((off + inclusive - F.col(token_col)) / budget).cast("long").alias("shard"),
+        prefix_col.alias("prefix_tokens"),
+    ).select(
+        order_col,
+        token_col,
+        "prefix_tokens",
+        # integer div (exact at any corpus size; prefix sums are BIGINTs)
+        F.expr(f"prefix_tokens div {int(budget)}").cast("long").alias("shard"),
     )
