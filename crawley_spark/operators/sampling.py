@@ -101,10 +101,23 @@ def pack_token_shards(
     for bk in sorted(totals):
         offsets[bk] = acc
         acc += totals[bk]
-    off = F.lit(0).cast("long")
-    for bk, v in sorted(offsets.items()):
-        off = F.when(F.col("_b") == bk, F.lit(int(v)).cast("long")).otherwise(off)
     from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    if len(offsets) <= 64:
+        # small bucket counts inline as a CASE chain (no join stage)
+        off = F.lit(0).cast("long")
+        for bk, v in sorted(offsets.items()):
+            off = F.when(F.col("_b") == bk, F.lit(int(v)).cast("long")).otherwise(off)
+    else:
+        # thousands of buckets (the raised-n_buckets 100 TB shape) would
+        # bloat the expression tree — ship offsets as a broadcast join
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(offsets.items())], "_b long, _off long"
+        )
+        rows = rows.join(broadcast(off_df), "_b")
+        off = F.col("_off")
 
     w = (
         Window.partitionBy("_b")

@@ -460,6 +460,15 @@ def test_pack_token_shards(spark):
     empty = docs2.filter("doc_id < 0")
     assert pack_token_shards(empty, budget=100).count() == 0
 
+    # the >64-bucket broadcast-offsets path must agree with the CASE path
+    via_join = {
+        r["doc_id"]: r
+        for r in pack_token_shards(docs2, budget=100, n_buckets=100).collect()
+    }
+    for i, _ in rows:
+        assert via_join[i]["prefix_tokens"] == got2[i]["prefix_tokens"]
+        assert via_join[i]["shard"] == got2[i]["shard"]
+
 
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
