@@ -58,7 +58,7 @@ def pack_token_shards(
     budget: int,
     token_col: str = "n_tokens",
     order_col: str = "doc_id",
-    n_buckets: int = 64,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Assign documents, in deterministic ``order_col`` order, to
     contiguous shards of ~``budget`` tokens: ``shard`` =
@@ -73,7 +73,13 @@ def pack_token_shards(
     the within-bucket prefix is a window over (bucket, order) — bounded
     partitions, one shuffle on the bucket key. The single-partition
     global-window sort Spark would otherwise use (WindowExec with no
-    PARTITION BY) never appears; pinned by a plan test."""
+    PARTITION BY) never appears; pinned by a plan test.
+
+    Size ``n_buckets`` so a bucket's rows fit one window task (~1M rows /
+    bucket is comfortable): the default 1024 covers ~1B docs; at larger
+    corpora raise it — empty buckets are free (only non-empty totals come
+    back to the driver) and past 64 non-empty buckets the offsets ship as
+    a broadcast join instead of a CASE chain, so plan size stays flat."""
     stats = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).collect()[0]
