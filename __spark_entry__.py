@@ -1198,6 +1198,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC 1.1 source/sink roundtrip (sources/warc.py — the container
+    Common Crawl ships): export the documents table as per-record-gzip WARC
+    files (url/warc_ts derived from doc_id with transforms the oracle
+    mirrors), read them back through the distributed binaryFile->Arrow
+    parser, and return per-doc (doc_id parsed back out of the url, url,
+    n_bytes, payload_md5, warc_date). HASH-EXACT: DuckDB recomputes every
+    column straight from documents, so one corrupted byte anywhere in the
+    format->gzip->parse path flips a md5. The WARC-Date string is built
+    from naive wall-clock arithmetic on both sides, so the check is
+    session-timezone-independent."""
+    import tempfile
+
+    from crawley_spark.sources.warc import read_warc, write_warc
+
+    docs = _docs(spark, sf_dir)
+    frame = docs.select(
+        F.concat(F.lit("http://warc.test/doc/"), F.col("doc_id")).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="crawley_warc_rt_")
+    write_warc(
+        frame, out_dir, payload_col="payload", ts_col="ts",
+        default_content_type="text/plain; charset=utf-8", num_files=8,
+    ).collect()  # materialize the export before the read plan runs
+    got = read_warc(spark, out_dir).filter(F.col("rec_type") == "resource")
+    return got.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+        "warc_date",
+    )
+
+
+_WARC_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       'http://warc.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -1245,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_clusters_score": _q_near_dup_clusters_score,
         "bpe_tokens": _q_bpe_tokens,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 
@@ -1894,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "prep_pipeline": _prep_pipeline_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "pack_shards": _PACK_SHARDS_ORACLE,
+        "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -51,6 +51,7 @@ HEADLINE = [
     "prep_pipeline",
     "stratified_sample",
     "pack_shards",
+    "warc_roundtrip",
 ]
 
 

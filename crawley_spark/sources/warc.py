@@ -1,0 +1,294 @@
+"""WARC 1.1 source/sink (ISO 28500) — the container Common Crawl actually
+ships, so the BASELINE.json "Common-Crawl-style web pages" corpus can be
+ingested from / exported to its native format, not just parquet.
+
+Scale model (the real-world Common Crawl layout): a crawl is tens of
+thousands of ~1 GB ``.warc.gz`` files, each a stream of per-record gzip
+members. The distribution unit is the FILE — ``binaryFile`` scan, one task
+per file — which is exactly how production Spark WARC readers work
+(per-record members make the stream seekable, but whole-file tasks are the
+throughput shape; a 1 GB member-stream inflates to ~5 GB, well inside task
+memory). The parse itself is a single pass over bytes in an Arrow-batched
+worker; everything downstream (timestamp parse, filtering, the fetch join)
+is JVM column expressions.
+
+Writer determinism: record ids are ``urn:uuid`` values derived from
+md5(url, date, payload) and gzip members are written with ``mtime=0``, so
+re-exporting the same frame yields byte-identical records — which is what
+lets the ``warc_roundtrip`` driver oracle be hash-exact.
+
+Strictness: a malformed record (bad version line, missing Content-Length,
+truncated block) raises ``ValueError`` with file + stream offset — a crawl
+archive with undetected torn records silently corrupts every downstream
+count, so there is no skip-bad-records mode.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import uuid
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+_VERSIONS = (b"WARC/1.1", b"WARC/1.0")
+_WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+# ---------------------------------------------------------------------------
+# record building (writer side)
+# ---------------------------------------------------------------------------
+
+
+def _record_id(*parts: bytes) -> str:
+    h = hashlib.md5(b"\x00".join(parts)).digest()
+    return f"<urn:uuid:{uuid.UUID(bytes=h)}>"
+
+
+def _build_record(rec_type: str, headers: list, block: bytes) -> bytes:
+    """One WARC 1.1 record: version line, named fields, blank line,
+    Content-Length octets of block, two CRLF separators."""
+    buf = io.BytesIO()
+    buf.write(_VERSIONS[0] + _CRLF)
+    buf.write(b"WARC-Type: %s\r\n" % rec_type.encode("ascii"))
+    for k, v in headers:
+        buf.write(("%s: %s\r\n" % (k, v)).encode("utf-8"))
+    buf.write(b"Content-Length: %d\r\n" % len(block))
+    buf.write(_CRLF)
+    buf.write(block)
+    buf.write(_CRLF + _CRLF)
+    return buf.getvalue()
+
+
+def _warcinfo_record(filename: str) -> bytes:
+    block = b"software: crawley-spark\r\nformat: WARC File Format 1.1\r\n"
+    headers = [
+        ("WARC-Record-ID", _record_id(b"warcinfo", filename.encode("utf-8"))),
+        ("WARC-Date", "1970-01-01T00:00:00Z"),
+        ("WARC-Filename", filename),
+        ("Content-Type", "application/warc-fields"),
+    ]
+    return _build_record("warcinfo", headers, block)
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SCHEMA = "path string, n_records long, n_payload_bytes long"
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    ts_col: str | None = None,
+    content_type_col: str | None = None,
+    default_content_type: str = "application/octet-stream",
+    record_type: str = "resource",
+    compress: bool = True,
+    num_files: int | None = None,
+    warcinfo: bool = True,
+) -> DataFrame:
+    """Export a frame as WARC files, one per partition, returning a manifest
+    DataFrame (path, n_records, n_payload_bytes).
+
+    The WARC-Date string is formatted JVM-side (``date_format``) so the
+    Python worker never touches Arrow timestamps — it sees only strings and
+    bytes. ``num_files`` hash-repartitions on the url so the file <-> record
+    assignment is deterministic across retries; omitted, the input's own
+    partitioning is kept (the 100 TB case: the upstream stage already chose
+    a sensible width, don't add a shuffle).
+
+    Executors write to ``out_dir`` directly — local-mode semantics; on a
+    real cluster point it at shared storage (the same contract as any
+    Hadoop OutputFormat side-file sink).
+    """
+    if ts_col is not None:
+        wdate = F.date_format(F.col(ts_col), _WARC_DATE_FMT)
+    else:
+        wdate = F.lit("1970-01-01T00:00:00Z")
+    ctype = F.col(content_type_col) if content_type_col else F.lit(default_content_type)
+    sel = df.select(
+        F.col(url_col).alias("url"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        wdate.alias("wdate"),
+        ctype.alias("ctype"),
+    )
+    if num_files is not None:
+        sel = sel.repartition(num_files, F.col("url"))
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}{ext}"
+        path = os.path.join(out_dir, name)
+        fh = None
+        n_records = 0
+        n_payload = 0
+
+        def emit(rec: bytes):
+            fh.write(gzip.compress(rec, mtime=0) if compress else rec)
+
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            wdates = batch.column("wdate").to_pylist()
+            ctypes = batch.column("ctype").to_pylist()
+            if fh is None and urls:
+                fh = open(path, "wb")
+                if warcinfo:
+                    emit(_warcinfo_record(name))
+            for u, p, d, c in zip(urls, payloads, wdates, ctypes):
+                p = p or b""
+                headers = [
+                    ("WARC-Record-ID", _record_id(u.encode("utf-8"), d.encode("ascii"), p)),
+                    ("WARC-Date", d),
+                    ("WARC-Target-URI", u),
+                    ("Content-Type", c),
+                ]
+                emit(_build_record(record_type, headers, p))
+                n_records += 1
+                n_payload += len(p)
+        if fh is None:  # empty partition: no file
+            return
+        fh.close()
+        yield pa.RecordBatch.from_pylist(
+            [{"path": path, "n_records": n_records, "n_payload_bytes": n_payload}],
+            schema=pa.schema(
+                [("path", pa.string()), ("n_records", pa.int64()), ("n_payload_bytes", pa.int64())]
+            ),
+        )
+
+    return sel.mapInArrow(run, _MANIFEST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# source
+# ---------------------------------------------------------------------------
+
+_READ_DDL = (
+    "file string, rec_offset long, rec_type string, url string, warc_date string, "
+    "content_type string, http_status int, payload binary, n_bytes long"
+)
+_READ_ARROW_SCHEMA = pa.schema(
+    [
+        ("file", pa.string()),
+        ("rec_offset", pa.int64()),
+        ("rec_type", pa.string()),
+        ("url", pa.string()),
+        ("warc_date", pa.string()),
+        ("content_type", pa.string()),
+        ("http_status", pa.int32()),
+        ("payload", pa.binary()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+def _parse_warc_stream(data: bytes, fname: str, http_parse: bool) -> Iterator[dict]:
+    """Single pass over an uncompressed WARC byte stream. Offsets reported
+    are positions in the UNCOMPRESSED stream (stable across gzip framing)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while data.startswith(_CRLF, pos):  # inter-record slack
+            pos += 2
+        if pos >= n:
+            break
+        rec_off = pos
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError(f"{fname}: truncated WARC header at offset {rec_off}")
+        lines = data[pos:hdr_end].split(_CRLF)
+        if lines[0] not in _VERSIONS:
+            raise ValueError(f"{fname}: bad WARC version line at offset {rec_off}: {lines[0]!r}")
+        fields: dict = {}
+        last_key = None
+        for raw in lines[1:]:
+            if raw[:1] in (b" ", b"\t"):  # folded continuation (spec 4)
+                if last_key is None:
+                    raise ValueError(f"{fname}: continuation before any field at offset {rec_off}")
+                fields[last_key] += b" " + raw.strip()
+                continue
+            k, sep, v = raw.partition(b":")
+            if not sep:
+                raise ValueError(f"{fname}: malformed header line at offset {rec_off}: {raw!r}")
+            last_key = k.strip().lower()
+            fields[last_key] = v.strip()
+        try:
+            clen = int(fields[b"content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"{fname}: missing/bad Content-Length at offset {rec_off}") from None
+        block_start = hdr_end + 4
+        if block_start + clen > n:
+            raise ValueError(
+                f"{fname}: truncated block at offset {rec_off} "
+                f"(need {clen} bytes, have {n - block_start})"
+            )
+        block = data[block_start : block_start + clen]
+        pos = block_start + clen
+        rec_type = fields.get(b"warc-type", b"").decode("utf-8", "replace")
+        ctype = fields.get(b"content-type", b"").decode("utf-8", "replace") or None
+        url_raw = fields.get(b"warc-target-uri", b"").strip(b"<>")
+        payload, status = block, None
+        if http_parse and rec_type == "response" and (ctype or "").startswith("application/http"):
+            env_end = block.find(_CRLF + _CRLF)
+            if env_end >= 0:
+                status_line = block[:env_end].split(_CRLF, 1)[0].split(b" ")
+                if len(status_line) >= 2 and status_line[0].startswith(b"HTTP/"):
+                    try:
+                        status = int(status_line[1])
+                        payload = block[env_end + 4 :]
+                    except ValueError:
+                        pass
+        yield {
+            "file": fname,
+            "rec_offset": rec_off,
+            "rec_type": rec_type,
+            "url": url_raw.decode("utf-8", "replace") or None,
+            "warc_date": fields.get(b"warc-date", b"").decode("ascii", "replace") or None,
+            "content_type": ctype,
+            "http_status": status,
+            "payload": payload,
+            "n_bytes": len(payload),
+        }
+
+
+def read_warc(spark: SparkSession, path: str, *, http_parse: bool = False) -> DataFrame:
+    """Distributed WARC read: ``binaryFile`` scan (one task per file) ->
+    Arrow-batched parse. Handles plain ``.warc`` and multi-member
+    ``.warc.gz`` (stdlib gzip decodes concatenated members in one call).
+
+    With ``http_parse=True``, ``response`` records carrying an
+    ``application/http`` envelope are split: ``http_status`` is filled and
+    ``payload`` becomes the HTTP body (the Common Crawl shape — body is the
+    HTML the fetch join wants). ``warc_ts`` is derived JVM-side from the
+    raw WARC-Date string.
+    """
+    bf = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            for fname, data in zip(paths, contents):
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                rows = list(_parse_warc_stream(data, fname, http_parse))
+                if rows:
+                    yield pa.RecordBatch.from_pylist(rows, schema=_READ_ARROW_SCHEMA)
+
+    parsed = bf.mapInArrow(run, _READ_DDL)
+    return parsed.withColumn("warc_ts", F.to_timestamp("warc_date", _WARC_DATE_FMT))

@@ -1,0 +1,175 @@
+"""WARC 1.1 source/sink (sources/warc.py).
+
+Covers: spec-shape record parsing (version lines, folded headers,
+inter-record slack), strict malformed-record errors, write->read roundtrip
+(plain + per-record gzip, payloads containing CRLFCRLF / empty / binary),
+HTTP-envelope splitting, multi-file distribution, and the JVM-side
+warc_ts derivation.
+"""
+
+import datetime
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawley_spark.sources.warc import (
+    _build_record,
+    _parse_warc_stream,
+    read_warc,
+    write_warc,
+)
+
+
+def _rec(rec_type=b"resource", url=b"http://a.test/x", date=b"2024-01-01T00:00:05Z",
+         ctype=b"text/plain", block=b"hello", version=b"WARC/1.1", extra=b""):
+    hdr = (
+        version + b"\r\n"
+        + b"WARC-Type: " + rec_type + b"\r\n"
+        + b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>\r\n"
+        + b"WARC-Date: " + date + b"\r\n"
+        + b"WARC-Target-URI: " + url + b"\r\n"
+        + b"Content-Type: " + ctype + b"\r\n"
+        + extra
+        + b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+    )
+    return hdr + block + b"\r\n\r\n"
+
+
+class TestParse:
+    def test_basic_record(self):
+        rows = list(_parse_warc_stream(_rec(), "f", False))
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["rec_type"] == "resource"
+        assert r["url"] == "http://a.test/x"
+        assert r["warc_date"] == "2024-01-01T00:00:05Z"
+        assert r["payload"] == b"hello"
+        assert r["n_bytes"] == 5
+        assert r["rec_offset"] == 0
+
+    def test_warc_10_version_and_slack(self):
+        # WARC/1.0 accepted; extra CRLF slack between records tolerated
+        data = _rec(version=b"WARC/1.0") + b"\r\n\r\n" + _rec(block=b"second")
+        rows = list(_parse_warc_stream(data, "f", False))
+        assert [r["payload"] for r in rows] == [b"hello", b"second"]
+        assert rows[1]["rec_offset"] > 0
+
+    def test_folded_header(self):
+        # continuation lines (leading SP/TAB) append to the previous field
+        data = _rec(extra=b"WARC-Concurrent-To: <urn:a>\r\n \t<urn:b>\r\n")
+        rows = list(_parse_warc_stream(data, "f", False))
+        assert rows[0]["payload"] == b"hello"
+
+    def test_payload_containing_crlfcrlf(self):
+        # Content-Length framing, not delimiter search, bounds the block
+        block = b"a\r\n\r\nb\r\n\r\nc"
+        rows = list(_parse_warc_stream(_rec(block=block), "f", False))
+        assert rows[0]["payload"] == block
+
+    def test_angle_bracket_uri_stripped(self):
+        # WARC 1.0 wrote <uri>; 1.1 writes bare — both must read back equal
+        data = _rec(url=b"<http://a.test/x>")
+        rows = list(_parse_warc_stream(data, "f", False))
+        assert rows[0]["url"] == "http://a.test/x"
+
+    def test_http_envelope_split(self):
+        body = b"<html>hi</html>"
+        env = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        data = _rec(rec_type=b"response", ctype=b"application/http;msgtype=response", block=env)
+        on = list(_parse_warc_stream(data, "f", True))[0]
+        assert on["http_status"] == 200 and on["payload"] == body
+        off = list(_parse_warc_stream(data, "f", False))[0]
+        assert off["http_status"] is None and off["payload"] == env
+
+    def test_http_envelope_malformed_status_kept_whole(self):
+        env = b"HTTP/1.1 NOTANUM OK\r\n\r\nbody"
+        data = _rec(rec_type=b"response", ctype=b"application/http", block=env)
+        r = list(_parse_warc_stream(data, "f", True))[0]
+        assert r["http_status"] is None and r["payload"] == env
+
+    @pytest.mark.parametrize(
+        "data,msg",
+        [
+            (b"WARC/2.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n", "bad WARC version"),
+            (_rec()[:-6], "truncated block"),
+            (b"WARC/1.1\r\nWARC-Type: resource\r\n\r\n\r\n\r\n", "Content-Length"),
+            (b"WARC/1.1\r\nNOCOLON\r\nContent-Length: 0\r\n\r\n\r\n\r\n", "malformed header"),
+            (b"WARC/1.1\r\nWARC-Type: x", "truncated WARC header"),
+        ],
+    )
+    def test_strict_errors(self, data, msg):
+        with pytest.raises(ValueError, match=msg):
+            list(_parse_warc_stream(data, "f", False))
+
+
+class TestRoundtrip:
+    def _frame(self, spark):
+        rows = [
+            ("http://w.test/0", b"plain", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+            ("http://w.test/1", b"a\r\n\r\nb", datetime.datetime(2024, 1, 1, 0, 0, 1)),
+            ("http://w.test/2", b"", datetime.datetime(2024, 1, 1, 0, 0, 2)),
+            ("http://w.test/3", bytes(range(256)), datetime.datetime(2024, 1, 1, 0, 0, 3)),
+            ("http://w.test/é", b"unicode-url", datetime.datetime(2024, 1, 1, 0, 0, 4)),
+        ]
+        return spark.createDataFrame(rows, "url string, payload binary, ts timestamp")
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_write_read(self, spark, tmp_path, compress):
+        out = str(tmp_path / ("gz" if compress else "plain"))
+        man = write_warc(
+            self._frame(spark), out, payload_col="payload", ts_col="ts",
+            compress=compress, num_files=2,
+        ).collect()
+        assert sum(r.n_records for r in man) == 5
+        assert len(man) == 2 and all(os.path.exists(r.path) for r in man)
+        got = read_warc(spark, out).filter(F.col("rec_type") == "resource").collect()
+        assert {(r.url, bytes(r.payload)) for r in got} == {
+            (u, p) for u, p, _ in [tuple(x) for x in self._frame(spark).collect()]
+        }
+        # warc_ts derived JVM-side from the formatted WARC-Date string
+        by_url = {r.url: r for r in got}
+        assert by_url["http://w.test/1"].warc_ts == datetime.datetime(2024, 1, 1, 0, 0, 1)
+        assert by_url["http://w.test/2"].n_bytes == 0
+
+    def test_per_record_gzip_members(self, spark, tmp_path):
+        out = str(tmp_path / "members")
+        write_warc(self._frame(spark), out, payload_col="payload", ts_col="ts",
+                   num_files=1).collect()
+        path = os.path.join(out, os.listdir(out)[0])
+        raw = open(path, "rb").read()
+        # one gzip member per record (incl. warcinfo): 6 magics
+        assert raw.count(b"\x1f\x8b\x08") == 6
+        # stdlib multi-member decompress sees every record
+        assert gzip.decompress(raw).count(b"WARC/1.1\r\n") == 6
+
+    def test_warcinfo_and_determinism(self, spark, tmp_path):
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        for out in (a, b):
+            write_warc(self._frame(spark), out, payload_col="payload", ts_col="ts",
+                       num_files=1).collect()
+        fa = open(os.path.join(a, os.listdir(a)[0]), "rb").read()
+        fb = open(os.path.join(b, os.listdir(b)[0]), "rb").read()
+        assert fa == fb  # deterministic ids + mtime=0 => byte-identical export
+        info = read_warc(spark, a).filter(F.col("rec_type") == "warcinfo").collect()
+        assert len(info) == 1 and b"crawley-spark" in bytes(info[0].payload)
+
+    def test_empty_partitions_write_no_files(self, spark, tmp_path):
+        out = str(tmp_path / "sparse")
+        df = self._frame(spark).repartition(8, "url")
+        man = write_warc(df, out, payload_col="payload", ts_col="ts").collect()
+        assert sum(r.n_records for r in man) == 5
+        assert len(os.listdir(out)) == len(man) <= 5
+
+    def test_read_parallelism_is_file_level(self, spark, tmp_path):
+        out = str(tmp_path / "wide")
+        write_warc(self._frame(spark), out, payload_col="payload", ts_col="ts",
+                   num_files=3).collect()
+        assert len(read_warc(spark, out).inputFiles()) == 3
+
+    def test_build_record_framing(self):
+        rec = _build_record("resource", [("WARC-Target-URI", "http://x")], b"abc")
+        assert rec.startswith(b"WARC/1.1\r\n")
+        assert b"Content-Length: 3\r\n\r\nabc\r\n\r\n" in rec
+        assert rec.endswith(b"\r\n\r\n")
