@@ -1198,6 +1198,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Unicode normalization (operators/normalize.normalize_text): the
+    synthetic docs are already clean ASCII, so the query plants NFD
+    sequences, C0/C1 controls, zero-width/soft-hyphen/BOM format chars,
+    and Unicode-space soup keyed by doc_id with transforms the oracle
+    mirrors (chr()-built so no raw control bytes sit in SQL text).
+    HASH-EXACT: DuckDB recomputes NFC via utf8proc and the drop/collapse
+    passes via RE2 classes GENERATED from the same code-point tables the
+    kernel compiles, in the same documented order."""
+    from crawley_spark.operators.normalize import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    t2 = F.col("text")
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(t2, F.lit(" cafe\u0301 nai\u0308ve"))
+    ).otherwise(t2)
+    t2 = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("\x07\x85bell "), t2)
+    ).otherwise(t2)
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t2, F.lit(" zero\u200bwidth \u00adsoft \ufeffend")),
+    ).otherwise(t2)
+    t2 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(" \t "), t2, F.lit(" \u00a0x\u3000y  ")),
+    ).otherwise(t2)
+    out = normalize_text(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id", F.md5(F.encode("norm", "utf-8")).alias("norm_md5"),
+        "changed", "n_chars_before", "n_chars_after",
+    )
+
+
+def _normalize_oracle() -> str:
+    """normalize_text oracle SQL: mirrors the corpus derivation with
+    chr()-built planted strings, then recomputes the full pipeline —
+    nfc_normalize -> drop controls/format -> collapse whitespace -> trim
+    ASCII space — with the RE2 classes GENERATED from normalize.py's
+    CONTROL/FORMAT/WS code-point tables."""
+    from crawley_spark.operators.normalize import (
+        CONTROL_RANGES,
+        FORMAT_RANGES,
+        WS_RANGES,
+        duckdb_char_class,
+    )
+
+    def chrs(*cps):
+        return " || ".join(f"chr({c})" for c in cps)
+
+    nfd_tail = f"' cafe' || {chrs(0x0301)} || ' nai' || {chrs(0x0308)} || 've'"
+    ctrl_head = f"{chrs(0x07, 0x85)} || 'bell '"
+    fmt_tail = (
+        f"' zero' || {chrs(0x200B)} || 'width ' || {chrs(0x00AD)} || "
+        f"'soft ' || {chrs(0xFEFF)} || 'end'"
+    )
+    ws_head = "' ' || chr(9) || ' '"
+    ws_tail = f"' ' || {chrs(0x00A0)} || 'x' || {chrs(0x3000)} || 'y  '"
+    drop_cls = duckdb_char_class(CONTROL_RANGES + FORMAT_RANGES)
+    ws_cls = duckdb_char_class(WS_RANGES)
+    norm = (
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+        f"'{drop_cls}', '', 'g'), '{ws_cls}+', ' ', 'g'), ' ')"
+    )
+    return f"""
+    WITH derived AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN {ws_head} ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN {ctrl_head} ELSE '' END
+               || text
+               || CASE WHEN doc_id % 3 = 0 THEN {nfd_tail} ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN {fmt_tail} ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN {ws_tail} ELSE '' END
+               AS text
+        FROM documents
+    ),
+    n AS (SELECT doc_id, text, {norm} AS norm FROM derived)
+    SELECT doc_id,
+           md5(norm) AS norm_md5,
+           text <> norm AS changed,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length(norm) AS BIGINT) AS n_chars_after
+    FROM n
+    """
+
+
 def _q_warc_roundtrip(spark, sf_dir):
     """WARC 1.1 source/sink roundtrip (sources/warc.py — the container
     Common Crawl ships): export the documents table as per-record-gzip WARC
@@ -1296,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_score": _q_near_dup_clusters_score,
         "bpe_tokens": _q_bpe_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -1946,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle(),
         "pack_shards": _PACK_SHARDS_ORACLE,
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
+        "normalize_text": _normalize_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -52,6 +52,7 @@ HEADLINE = [
     "stratified_sample",
     "pack_shards",
     "warc_roundtrip",
+    "normalize_text",
 ]
 
 
