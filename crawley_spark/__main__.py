@@ -17,6 +17,7 @@ config/progress to stderr — the reference's stdout/stderr contract
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 
@@ -37,7 +38,10 @@ def _duration_ms(s: str) -> int:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="crawley_spark", add_help=True)
-    ap.add_argument("--corpus", required=False, help="parquet pages corpus path")
+    ap.add_argument(
+        "--corpus", required=False,
+        help="pages corpus path: parquet, or .warc/.warc.gz capture files",
+    )
     ap.add_argument("--checkpoint", default=None, help="crawl state dir (resume with --resume)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("-depth", "--depth", type=int, default=0)
@@ -101,7 +105,17 @@ def main(argv=None):
 
     from .engine import crawl
 
-    pages = spark.read.parquet(args.corpus)
+    # .warc/.warc.gz corpora (Common Crawl's native container) route
+    # through the WARC source; anything else is a parquet pages table
+    if args.corpus.rstrip("/").endswith((".warc", ".warc.gz")) or any(
+        f.endswith((".warc", ".warc.gz"))
+        for f in (os.listdir(args.corpus) if os.path.isdir(args.corpus) else [])
+    ):
+        from .sources.warc import pages_from_warc
+
+        pages = pages_from_warc(spark, args.corpus)
+    else:
+        pages = spark.read.parquet(args.corpus)
     report = crawl(
         spark, pages, args.seed, cfg, checkpoint_dir=args.checkpoint, resume=args.resume
     )

@@ -94,12 +94,20 @@ def write_warc(
     content_type_col: str | None = None,
     default_content_type: str = "application/octet-stream",
     record_type: str = "resource",
+    status_col: str | None = None,
     compress: bool = True,
     num_files: int | None = None,
     warcinfo: bool = True,
 ) -> DataFrame:
     """Export a frame as WARC files, one per partition, returning a manifest
     DataFrame (path, n_records, n_payload_bytes).
+
+    ``record_type="response"`` writes capture-shaped records (the Common
+    Crawl layout): the block is an HTTP response envelope — status line
+    from ``status_col`` (null -> 200) + a Content-Type header — followed by
+    the payload, and the WARC-level Content-Type becomes
+    ``application/http;msgtype=response`` so ``read_warc(http_parse=True)``
+    splits it back out.
 
     The WARC-Date string is formatted JVM-side (``date_format``) so the
     Python worker never touches Arrow timestamps — it sees only strings and
@@ -117,11 +125,18 @@ def write_warc(
     else:
         wdate = F.lit("1970-01-01T00:00:00Z")
     ctype = F.col(content_type_col) if content_type_col else F.lit(default_content_type)
+    envelope = record_type == "response"
+    status = (
+        F.coalesce(F.col(status_col).cast("int"), F.lit(200))
+        if status_col
+        else F.lit(200)
+    )
     sel = df.select(
         F.col(url_col).alias("url"),
         F.col(payload_col).cast("binary").alias("payload"),
         wdate.alias("wdate"),
         ctype.alias("ctype"),
+        status.alias("status"),
     )
     if num_files is not None:
         sel = sel.repartition(num_files, F.col("url"))
@@ -146,19 +161,28 @@ def write_warc(
             payloads = batch.column("payload").to_pylist()
             wdates = batch.column("wdate").to_pylist()
             ctypes = batch.column("ctype").to_pylist()
+            statuses = batch.column("status").to_pylist()
             if fh is None and urls:
                 fh = open(path, "wb")
                 if warcinfo:
                     emit(_warcinfo_record(name))
-            for u, p, d, c in zip(urls, payloads, wdates, ctypes):
+            for u, p, d, c, st in zip(urls, payloads, wdates, ctypes, statuses):
                 p = p or b""
+                if envelope:
+                    block = (
+                        b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n\r\n"
+                        % (st, c.encode("utf-8"))
+                    ) + p
+                    rec_ctype = "application/http;msgtype=response"
+                else:
+                    block, rec_ctype = p, c
                 headers = [
-                    ("WARC-Record-ID", _record_id(u.encode("utf-8"), d.encode("ascii"), p)),
+                    ("WARC-Record-ID", _record_id(u.encode("utf-8"), d.encode("ascii"), block)),
                     ("WARC-Date", d),
                     ("WARC-Target-URI", u),
-                    ("Content-Type", c),
+                    ("Content-Type", rec_ctype),
                 ]
-                emit(_build_record(record_type, headers, p))
+                emit(_build_record(record_type, headers, block))
                 n_records += 1
                 n_payload += len(p)
         if fh is None:  # empty partition: no file
@@ -180,7 +204,8 @@ def write_warc(
 
 _READ_DDL = (
     "file string, rec_offset long, rec_type string, url string, warc_date string, "
-    "content_type string, http_status int, payload binary, n_bytes long"
+    "content_type string, http_status int, http_content_type string, "
+    "payload binary, n_bytes long"
 )
 _READ_ARROW_SCHEMA = pa.schema(
     [
@@ -191,6 +216,7 @@ _READ_ARROW_SCHEMA = pa.schema(
         ("warc_date", pa.string()),
         ("content_type", pa.string()),
         ("http_status", pa.int32()),
+        ("http_content_type", pa.string()),
         ("payload", pa.binary()),
         ("n_bytes", pa.int64()),
     ]
@@ -242,17 +268,24 @@ def _parse_warc_stream(data: bytes, fname: str, http_parse: bool) -> Iterator[di
         rec_type = fields.get(b"warc-type", b"").decode("utf-8", "replace")
         ctype = fields.get(b"content-type", b"").decode("utf-8", "replace") or None
         url_raw = fields.get(b"warc-target-uri", b"").strip(b"<>")
-        payload, status = block, None
+        payload, status, http_ctype = block, None, None
         if http_parse and rec_type == "response" and (ctype or "").startswith("application/http"):
             env_end = block.find(_CRLF + _CRLF)
             if env_end >= 0:
-                status_line = block[:env_end].split(_CRLF, 1)[0].split(b" ")
+                env_lines = block[:env_end].split(_CRLF)
+                status_line = env_lines[0].split(b" ")
                 if len(status_line) >= 2 and status_line[0].startswith(b"HTTP/"):
                     try:
                         status = int(status_line[1])
                         payload = block[env_end + 4 :]
                     except ValueError:
                         pass
+                if status is not None:
+                    for ln in env_lines[1:]:
+                        k, sep, v = ln.partition(b":")
+                        if sep and k.strip().lower() == b"content-type":
+                            http_ctype = v.strip().decode("utf-8", "replace")
+                            break
         yield {
             "file": fname,
             "rec_offset": rec_off,
@@ -261,6 +294,7 @@ def _parse_warc_stream(data: bytes, fname: str, http_parse: bool) -> Iterator[di
             "warc_date": fields.get(b"warc-date", b"").decode("ascii", "replace") or None,
             "content_type": ctype,
             "http_status": status,
+            "http_content_type": http_ctype,
             "payload": payload,
             "n_bytes": len(payload),
         }
@@ -292,3 +326,21 @@ def read_warc(spark: SparkSession, path: str, *, http_parse: bool = False) -> Da
 
     parsed = bf.mapInArrow(run, _READ_DDL)
     return parsed.withColumn("warc_ts", F.to_timestamp("warc_date", _WARC_DATE_FMT))
+
+
+def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC capture files -> the engine's corpus schema: ``response``
+    records become (url, warc_ts, html, content_type, status) rows, ready
+    for ``engine.crawl`` / ``sources.pages.prepare_pages``. Crawling a
+    WARC-sourced corpus is byte-identical to crawling the same pages from
+    parquet (pinned by tests/test_warc.py::test_crawl_parity)."""
+    w = read_warc(spark, path, http_parse=True)
+    return w.filter(
+        (F.col("rec_type") == "response") & F.col("http_status").isNotNull()
+    ).select(
+        "url",
+        "warc_ts",
+        F.col("payload").alias("html"),
+        F.col("http_content_type").alias("content_type"),
+        F.col("http_status").alias("status"),
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from crawley_spark.sources.warc import (
     _build_record,
     _parse_warc_stream,
+    pages_from_warc,
     read_warc,
     write_warc,
 )
@@ -167,6 +168,80 @@ class TestRoundtrip:
         write_warc(self._frame(spark), out, payload_col="payload", ts_col="ts",
                    num_files=3).collect()
         assert len(read_warc(spark, out).inputFiles()) == 3
+
+    def test_response_records_roundtrip_envelope(self, spark, tmp_path):
+        out = str(tmp_path / "resp")
+        rows = [
+            ("http://w.test/ok", b"<html>ok</html>", 200, "text/html"),
+            ("http://w.test/gone", b"nope", 404, "text/plain"),
+            ("http://w.test/nul", b"", None, "text/html"),  # status null -> 200
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, html binary, status int, content_type string"
+        )
+        write_warc(
+            df, out, payload_col="html", record_type="response",
+            status_col="status", content_type_col="content_type",
+        ).collect()
+        got = {
+            r.url: r
+            for r in read_warc(spark, out, http_parse=True)
+            .filter(F.col("rec_type") == "response").collect()
+        }
+        assert got["http://w.test/ok"].http_status == 200
+        assert got["http://w.test/ok"].http_content_type == "text/html"
+        assert bytes(got["http://w.test/ok"].payload) == b"<html>ok</html>"
+        assert got["http://w.test/gone"].http_status == 404
+        assert got["http://w.test/nul"].http_status == 200
+        # WARC-level content type carries the envelope marker
+        assert got["http://w.test/ok"].content_type.startswith("application/http")
+        # without http_parse the whole envelope is the payload
+        raw = read_warc(spark, out).filter(F.col("url") == "http://w.test/ok").collect()[0]
+        assert bytes(raw.payload).startswith(b"HTTP/1.1 200 OK\r\n")
+
+    def test_crawl_parity_warc_vs_parquet(self, spark, tmp_path):
+        """Crawling a WARC-sourced corpus is byte-identical to crawling the
+        same pages from the in-memory (parquet-shape) frame."""
+        from crawley_spark.config import CrawlConfig
+        from crawley_spark.engine import crawl as spark_crawl
+        from crawley_spark.interp import Page
+
+        from .conftest import pages_to_df
+
+        pages = {
+            "http://h.test/": Page(
+                body='<html><a href="/a">a</a><a href="/b">b</a>'
+                     '<img src="/i.png"/></html>',
+                status=200, content_type="text/html"),
+            "http://h.test/a": Page(
+                body='<html><a href="/b">b</a><a href="/c">c</a></html>',
+                status=200, content_type="text/html"),
+            "http://h.test/b": Page(body="<html></html>", status=404,
+                                    content_type="text/html"),
+            "http://h.test/c": Page(body="<html></html>", status=200,
+                                    content_type="text/html"),
+        }
+        corpus = pages_to_df(spark, pages)
+        out = str(tmp_path / "cc")
+        write_warc(
+            corpus, out, payload_col="html", ts_col="warc_ts",
+            record_type="response", status_col="status",
+            content_type_col="content_type",
+        ).collect()
+        cfg = CrawlConfig(depth=-1, no_head=True)
+        r1 = spark_crawl(spark, corpus, "http://h.test/", cfg, driver_wave_rows=0)
+        got1 = r1.result_urls("run0")
+        seen1 = {r["url_key"]: r["url"] for r in r1.seen("run0").collect()}
+        r1.state.cleanup()
+        r2 = spark_crawl(
+            spark, pages_from_warc(spark, out), "http://h.test/", cfg,
+            driver_wave_rows=0,
+        )
+        got2 = r2.result_urls("run0")
+        seen2 = {r["url_key"]: r["url"] for r in r2.seen("run0").collect()}
+        r2.state.cleanup()
+        assert got1 == got2 and got1  # same emission order, non-empty
+        assert seen1 == seen2
 
     def test_build_record_framing(self):
         rec = _build_record("resource", [("WARC-Target-URI", "http://x")], b"abc")
