@@ -1334,6 +1334,213 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# link-graph analytics (operators/linkgraph.py): integer-exact PageRank
+# ---------------------------------------------------------------------------
+
+
+def _q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank + degree table over a derived doc-level link
+    graph (operators/linkgraph.py — the crawl-frontier prioritization
+    signal a scheduler runs at Common-Crawl scale). The edge set is pure
+    arithmetic: every doc d except the dangling d % 17 == 0 cohort (which
+    emits nothing, exercising the documented dropped-mass rule) links
+    (3d+7) % n; odd docs add (5d+11) % n; d % 3 == 1 docs add (7d+13) % n —
+    duplicate and self-loop edges occur naturally and both sides dedup /
+    keep them identically. Because rank arithmetic is integer micro-units
+    with division at exactly two documented points, DuckDB replays all
+    three iterations HASH-EXACTLY via chained CTEs generated from the same
+    (RANK_SCALE, DEFAULT_DAMPING) constants the operator uses."""
+    from crawley_spark.operators.linkgraph import degrees, pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    did = F.col("doc_id")
+    live = d.filter(did % 17 != 0)
+    edges = (
+        live.select(did.alias("src"), ((did * 3 + 7) % n).alias("dst"))
+        .unionByName(
+            live.filter(did % 2 == 1).select(
+                did.alias("src"), ((did * 5 + 11) % n).alias("dst")
+            )
+        )
+        .unionByName(
+            live.filter(did % 3 == 1).select(
+                did.alias("src"), ((did * 7 + 13) % n).alias("dst")
+            )
+        )
+    )
+    nodes = d.select(did.alias("node"))
+    ranks = pagerank(nodes, edges, iterations=3)
+    deg = degrees(nodes, edges)
+    return ranks.join(deg, "node").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("out_deg").cast("bigint").alias("out_deg"),
+        F.col("in_deg").cast("bigint").alias("in_deg"),
+    )
+
+
+def _q_host_rank(spark, sf_dir):
+    """host_graph aggregation + PageRank over the aggregated host graph
+    (operators/linkgraph.py): raw doc-level links map to their hosts
+    (h = id % 7), host_graph() collapses them to a weighted
+    (src_host, dst_host, n_links) graph with self-links dropped — the
+    cross-host authority structure a frontier scheduler ranks by — and
+    integer PageRank runs over the distinct host edges. Output: one row
+    per host with its outgoing link mass, distinct destination count, and
+    rank. HASH-EXACT: DuckDB recomputes the aggregation, the self-loop
+    drop, and all three integer rank iterations independently."""
+    from crawley_spark.operators.linkgraph import host_graph, pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    did = F.col("doc_id")
+
+    def _host(c):
+        return F.concat(F.lit("h"), (c % 7).cast("string"), F.lit(".test"))
+
+    links = d.select(
+        _host(did).alias("src_host"), _host((did * 3 + 7) % n).alias("dst_host")
+    ).unionByName(
+        d.filter(did % 2 == 1).select(
+            _host(did).alias("src_host"), _host((did * 5 + 11) % n).alias("dst_host")
+        )
+    )
+    g = host_graph(links)
+    e = g.select(
+        F.substring("src_host", 2, 1).cast("long").alias("src"),
+        F.substring("dst_host", 2, 1).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = pagerank(nodes, e, iterations=3)
+    outl = g.groupBy("src_host").agg(
+        F.sum("n_links").cast("bigint").alias("n_links_out"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dst"),
+    )
+    hosts = nodes.select(
+        F.concat(F.lit("h"), F.col("node").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        "node",
+    )
+    return (
+        hosts.join(ranks, "node")
+        .join(outl, hosts.host == outl.src_host, "left")
+        .select(
+            "host",
+            F.coalesce("n_links_out", F.lit(0)).cast("bigint").alias("n_links_out"),
+            F.coalesce("n_dst", F.lit(0)).cast("bigint").alias("n_dst"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _pagerank_rounds(iterations: int) -> str:
+    """Chained per-iteration CTEs implementing the documented integer
+    PageRank update rule, GENERATED from the same (RANK_SCALE is inlined by
+    the callers; DEFAULT_DAMPING here) constants the operator uses — the
+    lang_id pattern: the two sides cannot desynchronize on the rule while
+    DuckDB still recomputes every round independently. Expects CTEs
+    nodes(node), edges(src, dst) already distinct, outd(src, out_deg),
+    params(base)."""
+    from crawley_spark.operators.linkgraph import DEFAULT_DAMPING
+
+    dmp = DEFAULT_DAMPING
+    parts = ["r0 AS (SELECT node, (SELECT base FROM params) AS rank FROM nodes)"]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(r.rank // o.out_deg) AS in_mass
+            FROM edges e JOIN outd o ON o.src = e.src
+            JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        ), r{i} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(({100 - dmp} * (SELECT base FROM params)
+                         + {dmp} * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN m{i} m ON m.node = n.node
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    from crawley_spark.operators.linkgraph import RANK_SCALE
+
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        edges_raw AS (
+            SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT n FROM nn) AS dst
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 5 + 11) % (SELECT n FROM nn)
+            FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn)
+            FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 3 = 1
+        ),
+        edges AS (SELECT DISTINCT src, dst FROM edges_raw),
+        outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        ind AS (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY dst),
+        params AS (SELECT {RANK_SCALE} // (SELECT n FROM nn) AS base),
+        {_pagerank_rounds(iterations)}
+        SELECT CAST(n.node AS BIGINT) AS node,
+               r.rank,
+               CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+        FROM nodes n
+        JOIN r{iterations} r ON r.node = n.node
+        LEFT JOIN outd o ON o.src = n.node
+        LEFT JOIN ind i ON i.dst = n.node
+    """
+
+
+def _host_rank_oracle(iterations: int = 3) -> str:
+    from crawley_spark.operators.linkgraph import RANK_SCALE
+
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        links AS (
+            SELECT doc_id % 7 AS src,
+                   ((doc_id * 3 + 7) % (SELECT n FROM nn)) % 7 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 7, ((doc_id * 5 + 11) % (SELECT n FROM nn)) % 7
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        g AS (
+            SELECT src, dst, COUNT(*) AS n_links FROM links WHERE src <> dst
+            GROUP BY src, dst
+        ),
+        edges AS (SELECT src, dst FROM g),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM g UNION ALL SELECT dst FROM g
+            )
+        ),
+        outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        params AS (SELECT {RANK_SCALE} // COUNT(*) AS base FROM nodes),
+        {_pagerank_rounds(iterations)},
+        outl AS (
+            SELECT src, SUM(n_links) AS n_links_out, COUNT(*) AS n_dst
+            FROM g GROUP BY src
+        )
+        SELECT 'h' || CAST(n.node AS VARCHAR) || '.test' AS host,
+               CAST(COALESCE(o.n_links_out, 0) AS BIGINT) AS n_links_out,
+               CAST(COALESCE(o.n_dst, 0) AS BIGINT) AS n_dst,
+               r.rank
+        FROM nodes n
+        JOIN r{iterations} r ON r.node = n.node
+        LEFT JOIN outl o ON o.src = n.node
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -1383,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
         "normalize_text": _q_normalize_text,
+        "pagerank": _q_pagerank,
+        "host_rank": _q_host_rank,
     }
 
 
@@ -2034,6 +2243,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards": _PACK_SHARDS_ORACLE,
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
         "normalize_text": _normalize_oracle(),
+        "pagerank": _pagerank_oracle(),
+        "host_rank": _host_rank_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -53,6 +53,8 @@ HEADLINE = [
     "pack_shards",
     "warc_roundtrip",
     "normalize_text",
+    "pagerank",
+    "host_rank",
 ]
 
 

@@ -1,0 +1,149 @@
+"""Link-graph analytics for crawl frontier prioritization: host graph
+aggregation, degree tables, and an integer-exact distributed PageRank.
+
+A production frontier at 10^10 URLs cannot fetch breadth-first forever —
+scheduling by authority (PageRank over the host graph, the classic
+crawl-ordering signal since Cho/Garcia-Molina/Page 1998) is what keeps a
+bounded fetch budget on the pages that matter. The reference crawls one
+site and needs none of this; at Common-Crawl scale it is the operator the
+scheduler actually calls.
+
+Arithmetic is INTEGER by design: ranks are "micro-rank" units that always
+sum-combine exactly, so (a) results are bit-identical regardless of
+partitioning, task order, or cluster size, and (b) the DuckDB oracle can
+recompute the whole iteration hash-exactly (floating PageRank can differ
+in the last ulp across engines — integer ranks cannot). The update rule,
+with integer division at exactly two documented points:
+
+    contrib(u->v) = rank(u) // outdeg(u)                 (per edge)
+    rank'(v)      = ((100-d)*(SCALE//N) + d*sum_in(v)) // 100
+
+Dangling-node mass (outdeg 0) is dropped, not redistributed — the standard
+sparse-graph simplification; documented, mirrored by the oracle, and
+irrelevant to ordering quality at crawl scale.
+
+Scale shape (same discipline as operators/cluster.py): the edge table is
+hash-partitioned by ``src`` once and persisted; every iteration re-shuffles
+only the (node, rank) table — two (long, long) exchanges per round (join
+by src, re-aggregate by dst), fixed round count, no driver collect, and
+each round's rank table is cut with ``localCheckpoint`` so lineage stays
+flat (swap for persist+unpersist on a multi-node cluster, same note as the
+engine carry). Exchanges are pinned scalar-only by
+tests/test_linkgraph.py::test_rank_exchanges_carry_scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# total rank mass in micro-rank units; large enough that rank // outdeg
+# keeps ~6 significant digits for a 1e6-node graph with outdeg ~100
+RANK_SCALE = 10**12
+DEFAULT_DAMPING = 85  # percent
+DEFAULT_ITERATIONS = 3
+
+# edge-table persist gate, same rationale as cluster.BIG_GRAPH_NODES: below
+# this the persist costs more than the re-scan it saves (warm-A/B'd there)
+BIG_GRAPH_EDGES = 200_000
+
+
+def host_graph(
+    edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host"
+) -> DataFrame:
+    """Aggregate raw link edges into the weighted host graph:
+    (src_host, dst_host, n_links), self-loops dropped. One map-side-partial
+    shuffle on the (src, dst) pair; mega-host skew combines before the
+    exchange because the aggregate is a plain count."""
+    return (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .groupBy(F.col(src_col).alias("src_host"), F.col(dst_col).alias("dst_host"))
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def degrees(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(node, out_deg, in_deg) over distinct edges; nodes with no edges get
+    zeros (left joins against the two partial-agg degree tables)."""
+    e = edges.select("src", "dst").distinct()
+    out_d = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        nodes.select("node")
+        .join(out_d, "node", "left")
+        .join(in_d, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iterations: int = DEFAULT_ITERATIONS,
+    damping: int = DEFAULT_DAMPING,
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """Integer-exact PageRank. ``nodes``: (node long); ``edges``:
+    (src long, dst long), deduplicated internally. Returns
+    (node, rank long) after ``iterations`` rounds from the uniform start
+    ``SCALE // N``. Fixed iteration count, not convergence-tested: the
+    scheduler wants a stable priority signal, and a fixed count is what
+    makes the oracle expressible as ``iterations`` chained CTEs."""
+    n_nodes = nodes.count()  # driver scalar, needed for the base term
+    if n_nodes == 0:
+        return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank"))
+    base = scale // n_nodes
+    teleport = (100 - damping) * base
+
+    e = edges.select("src", "dst").distinct()
+    big = e.count() > BIG_GRAPH_EDGES
+    if big:
+        shuffle_n = int(
+            nodes.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        e = e.repartition(shuffle_n, "src").persist()
+    out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out_deg rides the edge table keyed by src — computed once, reused
+    # every round; only (node, rank) moves per iteration
+    e_deg = e.join(out_d, "src")
+    if big:
+        e_deg = e_deg.persist()
+
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # integer `div`, NOT double `/`+cast: a double quotient one
+                # ulp under an integer boundary would truncate differently
+                # than the oracle's integer division
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0))
+                )
+                .cast("long")
+                .alias("_num"),
+            )
+            .select("node", F.expr("_num div 100").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    if big:
+        e.unpersist()
+        e_deg.unpersist()
+    return ranks

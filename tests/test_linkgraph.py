@@ -1,0 +1,119 @@
+"""Link-graph analytics (operators/linkgraph.py): integer-exact PageRank
+vs a pure-Python brute mirror, degree tables, host-graph aggregation, and
+the big-graph path forced through the persist gate."""
+
+import random
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from crawley_spark.operators import linkgraph
+from crawley_spark.operators.linkgraph import (
+    DEFAULT_DAMPING,
+    RANK_SCALE,
+    degrees,
+    host_graph,
+    pagerank,
+)
+
+
+def brute_pagerank(nodes, edges, iterations=3, damping=DEFAULT_DAMPING, scale=RANK_SCALE):
+    """The documented update rule, straight-line Python (floor div == Spark
+    `div` on the all-positive values involved)."""
+    n = len(nodes)
+    base = scale // n
+    tel = (100 - damping) * base
+    e = sorted(set(edges))
+    outd = Counter(s for s, _ in e)
+    rank = {v: base for v in nodes}
+    for _ in range(iterations):
+        mass = Counter()
+        for s, d in e:
+            mass[d] += rank[s] // outd[s]
+        rank = {v: (tel + damping * mass[v]) // 100 for v in nodes}
+    return rank
+
+
+def _dfs(spark, nodes, edges):
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    return ndf, edf
+
+
+class TestPageRank:
+    def test_two_node_cycle_plus_dangling(self, spark):
+        nodes, edges = [0, 1, 2], [(0, 1), (1, 0), (0, 2)]
+        ndf, edf = _dfs(spark, nodes, edges)
+        got = {r.node: r.rank for r in pagerank(ndf, edf, iterations=2).collect()}
+        assert got == brute_pagerank(nodes, edges, iterations=2)
+        # node 2 is dangling: it receives mass but re-emits none (dropped)
+        assert got[2] > 0
+
+    def test_random_graph_brute_parity(self, spark):
+        random.seed(23)
+        nodes = list(range(40))
+        edges = list(
+            {
+                (random.randrange(40), random.randrange(40))
+                for _ in range(150)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        # duplicate some edges: operator must dedup before outdeg
+        edf_rows = edges + edges[:20]
+        ndf, edf = _dfs(spark, nodes, edf_rows)
+        for iters in (0, 1, 3):
+            got = {r.node: r.rank for r in pagerank(ndf, edf, iterations=iters).collect()}
+            assert got == brute_pagerank(nodes, edges, iterations=iters), iters
+
+    def test_mass_conservation_bound(self, spark):
+        # total rank never exceeds SCALE (dangling mass only leaks out)
+        nodes = list(range(20))
+        edges = [(i, (i * 3 + 1) % 20) for i in range(20)]
+        ndf, edf = _dfs(spark, nodes, edges)
+        total = (
+            pagerank(ndf, edf, iterations=4)
+            .agg(F.sum("rank").alias("s")).collect()[0].s
+        )
+        assert 0 < total <= RANK_SCALE
+
+    def test_big_graph_path_identical(self, spark, monkeypatch):
+        # force the persist/repartition gate and pin output equality
+        monkeypatch.setattr(linkgraph, "BIG_GRAPH_EDGES", 1)
+        nodes = list(range(30))
+        edges = [(i, (i * 7 + 3) % 30) for i in range(30) if i != (i * 7 + 3) % 30]
+        ndf, edf = _dfs(spark, nodes, edges)
+        got = {r.node: r.rank for r in pagerank(ndf, edf).collect()}
+        assert got == brute_pagerank(nodes, edges)
+
+    def test_rank_exchanges_carry_scalars(self, spark):
+        # the per-iteration plan must exchange only (node/src, long) columns —
+        # no strings, no arrays — and never range-partition
+        nodes = list(range(10))
+        edges = [(i, (i + 1) % 10) for i in range(10)]
+        ndf, edf = _dfs(spark, nodes, edges)
+        plan = (
+            pagerank(ndf, edf, iterations=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_empty_graph(self, spark):
+        ndf = spark.createDataFrame([], "node long")
+        edf = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(ndf, edf).collect() == []
+
+
+class TestDegreesAndHostGraph:
+    def test_degrees(self, spark):
+        ndf, edf = _dfs(spark, [0, 1, 2, 3], [(0, 1), (0, 2), (1, 2), (1, 2)])
+        got = {r.node: (r.out_deg, r.in_deg) for r in degrees(ndf, edf).collect()}
+        assert got == {0: (2, 0), 1: (1, 1), 2: (0, 2), 3: (0, 0)}
+
+    def test_host_graph_counts_and_self_loops(self, spark):
+        rows = [("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")]
+        edf = spark.createDataFrame(rows, "src_host string, dst_host string")
+        got = {
+            (r.src_host, r.dst_host): r.n_links for r in host_graph(edf).collect()
+        }
+        assert got == {("a", "b"): 2, ("b", "c"): 1}
