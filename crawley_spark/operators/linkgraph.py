@@ -115,35 +115,39 @@ def pagerank(
         e_deg = e_deg.persist()
 
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
-    for _ in range(iterations):
-        contribs = (
-            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                # integer `div`, NOT double `/`+cast: a double quotient one
-                # ulp under an integer boundary would truncate differently
-                # than the oracle's integer division
-                F.expr("rank div out_deg").alias("contrib"),
-            )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("in_mass"))
-        )
-        ranks = (
-            nodes.select("node")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0))
+    try:
+        for _ in range(iterations):
+            contribs = (
+                e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    # integer `div`, NOT double `/`+cast: a double quotient
+                    # one ulp under an integer boundary would truncate
+                    # differently than the oracle's integer division
+                    F.expr("rank div out_deg").alias("contrib"),
                 )
-                .cast("long")
-                .alias("_num"),
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("in_mass"))
             )
-            .select("node", F.expr("_num div 100").alias("rank"))
-            .localCheckpoint(eager=True)
-        )
-    if big:
-        e.unpersist()
-        e_deg.unpersist()
+            ranks = (
+                nodes.select("node")
+                .join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce("in_mass", F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("_num"),
+                )
+                .select("node", F.expr("_num div 100").alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # release the big-graph cache on every exit path (the cluster.py
+        # leak ADVICE r04 flagged — don't reintroduce it here)
+        if big:
+            e.unpersist()
+            e_deg.unpersist()
     return ranks
