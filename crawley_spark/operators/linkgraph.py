@@ -47,6 +47,37 @@ DEFAULT_ITERATIONS = 3
 # this the persist costs more than the re-scan it saves (warm-A/B'd there)
 BIG_GRAPH_EDGES = 200_000
 
+# driver-local fast path, same rationale (and thresholds) as
+# cluster.SMALL_GRAPH_NODES: below this the per-iteration DataFrame rounds
+# are pure Spark-job floor (~0.3-0.5 s each for microseconds of integer
+# arithmetic), and because ranks are integers the driver replay is EXACT —
+# parity is forced through both paths in tests/test_linkgraph.py. The edge
+# cap guards dense small-n graphs where the collect itself would be the
+# problem; past either cap the distributed rounds run.
+SMALL_GRAPH_NODES = 4096
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _driver_pagerank(node_ids, edge_rows, iterations, damping, base, teleport):
+    """The documented update rule, straight-line Python over collected
+    (src, dst) rows. Python ``//`` == Spark ``div`` on the all-nonnegative
+    values involved, so the result is bit-identical to the distributed
+    rounds. Edges whose src is outside ``node_ids`` contribute nothing and
+    masses for dsts outside it are dropped — exactly what the distributed
+    joins do."""
+    from collections import Counter
+
+    outd = Counter(s for s, _ in edge_rows)
+    rank = {v: base for v in node_ids}
+    for _ in range(iterations):
+        mass = Counter()
+        for s, d in edge_rows:
+            r = rank.get(s)
+            if r is not None:
+                mass[d] += r // outd[s]
+        rank = {v: (teleport + damping * mass[v]) // 100 for v in node_ids}
+    return rank
+
 
 def host_graph(
     edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host"
@@ -87,13 +118,21 @@ def pagerank(
     iterations: int = DEFAULT_ITERATIONS,
     damping: int = DEFAULT_DAMPING,
     scale: int = RANK_SCALE,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank. ``nodes``: (node long); ``edges``:
     (src long, dst long), deduplicated internally. Returns
     (node, rank long) after ``iterations`` rounds from the uniform start
     ``SCALE // N``. Fixed iteration count, not convergence-tested: the
     scheduler wants a stable priority signal, and a fixed count is what
-    makes the oracle expressible as ``iterations`` chained CTEs."""
+    makes the oracle expressible as ``iterations`` chained CTEs.
+
+    Graphs with ≤ ``small_graph_nodes`` nodes (and a bounded edge count)
+    replay the identical integer rule on the driver instead of launching
+    2·iterations shuffles — exact by construction (pass 0 to force the
+    distributed path; tests do, to pin its plan shape). ``stats`` (optional
+    dict) receives ``{"mode": "driver"|"distributed", "nodes": n}``."""
     n_nodes = nodes.count()  # driver scalar, needed for the base term
     if n_nodes == 0:
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank"))
@@ -101,7 +140,21 @@ def pagerank(
     teleport = (100 - damping) * base
 
     e = edges.select("src", "dst").distinct()
-    big = e.count() > BIG_GRAPH_EDGES
+    n_edges = e.count()
+    if n_nodes <= small_graph_nodes and n_edges <= SMALL_GRAPH_EDGES:
+        node_ids = [r[0] for r in nodes.select("node").collect()]
+        edge_rows = [(r[0], r[1]) for r in e.collect()]
+        rank = _driver_pagerank(
+            node_ids, edge_rows, iterations, damping, base, teleport
+        )
+        if stats is not None:
+            stats.update(mode="driver", nodes=n_nodes)
+        return nodes.sparkSession.createDataFrame(
+            [(v, rank[v]) for v in node_ids], "node long, rank long"
+        )
+    if stats is not None:
+        stats.update(mode="distributed", nodes=n_nodes)
+    big = n_edges > BIG_GRAPH_EDGES
     if big:
         shuffle_n = int(
             nodes.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

@@ -66,6 +66,28 @@ class TestPageRank:
             got = {r.node: r.rank for r in pagerank(ndf, edf, iterations=iters).collect()}
             assert got == brute_pagerank(nodes, edges, iterations=iters), iters
 
+    def test_driver_vs_distributed_parity(self, spark):
+        # the small-graph driver replay must be bit-identical to the
+        # distributed rounds (and both to the brute mirror)
+        random.seed(7)
+        nodes = list(range(60))
+        edges = [
+            (s, d)
+            for s, d in {
+                (random.randrange(60), random.randrange(60)) for _ in range(200)
+            }
+            if s != d
+        ]
+        ndf, edf = _dfs(spark, nodes, edges)
+        st_drv, st_dist = {}, {}
+        drv = {r.node: r.rank for r in pagerank(ndf, edf, stats=st_drv).collect()}
+        dist = {
+            r.node: r.rank
+            for r in pagerank(ndf, edf, small_graph_nodes=0, stats=st_dist).collect()
+        }
+        assert st_drv["mode"] == "driver" and st_dist["mode"] == "distributed"
+        assert drv == dist == brute_pagerank(nodes, edges)
+
     def test_mass_conservation_bound(self, spark):
         # total rank never exceeds SCALE (dangling mass only leaks out)
         nodes = list(range(20))
@@ -78,12 +100,16 @@ class TestPageRank:
         assert 0 < total <= RANK_SCALE
 
     def test_big_graph_path_identical(self, spark, monkeypatch):
-        # force the persist/repartition gate and pin output equality
+        # force the persist/repartition gate (and past the driver fast
+        # path) and pin output equality
         monkeypatch.setattr(linkgraph, "BIG_GRAPH_EDGES", 1)
         nodes = list(range(30))
         edges = [(i, (i * 7 + 3) % 30) for i in range(30) if i != (i * 7 + 3) % 30]
         ndf, edf = _dfs(spark, nodes, edges)
-        got = {r.node: r.rank for r in pagerank(ndf, edf).collect()}
+        got = {
+            r.node: r.rank
+            for r in pagerank(ndf, edf, small_graph_nodes=0).collect()
+        }
         assert got == brute_pagerank(nodes, edges)
 
     def test_rank_exchanges_carry_scalars(self, spark):
@@ -93,7 +119,7 @@ class TestPageRank:
         edges = [(i, (i + 1) % 10) for i in range(10)]
         ndf, edf = _dfs(spark, nodes, edges)
         plan = (
-            pagerank(ndf, edf, iterations=1)
+            pagerank(ndf, edf, iterations=1, small_graph_nodes=0)
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "rangepartitioning" not in plan.lower()
