@@ -1440,6 +1440,40 @@ def _q_host_rank(spark, sf_dir):
     )
 
 
+def _q_frontier_priority(spark, sf_dir):
+    """Authority-ordered fetch-batch selection (linkgraph.
+    prioritize_frontier — the scheduler step that consumes pagerank):
+    the derived URL table is the frontier, host ranks come from the same
+    host-graph PageRank as `host_rank` with h6 withheld (a newly
+    discovered, not-yet-ranked domain: the left join defaults it to rank
+    0, so its URLs are picked last but not dropped), picks are capped at
+    40 per host, and the global batch of 260 is the top of the total
+    (rank DESC, url) order — TakeOrderedAndProject in the plan, never a
+    full sort. 260 > 6 ranked hosts × 40, so the batch provably reaches
+    into the rank-0 cohort. HASH-EXACT: DuckDB recomputes the rank
+    iterations, the per-host slots, and the ordered cut independently."""
+    from crawley_spark.operators.linkgraph import prioritize_frontier
+
+    ranks = (
+        _q_host_rank(spark, sf_dir)
+        .filter(F.substring("host", 2, 1).cast("long") != 6)
+        .select("host", "rank")
+    )
+    frontier = _urls(spark, sf_dir).select("url", "host")
+    sel = prioritize_frontier(
+        frontier,
+        ranks,
+        batch_size=_FRONTIER_PRIORITY_BATCH,
+        per_host_cap=_FRONTIER_PRIORITY_CAP,
+    )
+    return sel.select(
+        "url",
+        "host",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("slot").cast("bigint").alias("slot"),
+    )
+
+
 def _pagerank_rounds(iterations: int) -> str:
     """Chained per-iteration CTEs implementing the documented integer
     PageRank update rule, GENERATED from the same (RANK_SCALE is inlined by
@@ -1501,11 +1535,13 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     """
 
 
-def _host_rank_oracle(iterations: int = 3) -> str:
+def _host_graph_ctes(iterations: int = 3) -> str:
+    """The shared host-graph + integer-rank CTE chain (links → g → edges/
+    nodes/outd/params → r0..rN), used by both host_rank and
+    frontier_priority oracles. Must appear inside a WITH list."""
     from crawley_spark.operators.linkgraph import RANK_SCALE
 
-    return f"""
-        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    return f"""nn AS (SELECT COUNT(*) AS n FROM documents),
         links AS (
             SELECT doc_id % 7 AS src,
                    ((doc_id * 3 + 7) % (SELECT n FROM nn)) % 7 AS dst
@@ -1526,7 +1562,12 @@ def _host_rank_oracle(iterations: int = 3) -> str:
         ),
         outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
         params AS (SELECT {RANK_SCALE} // COUNT(*) AS base FROM nodes),
-        {_pagerank_rounds(iterations)},
+        {_pagerank_rounds(iterations)}"""
+
+
+def _host_rank_oracle(iterations: int = 3) -> str:
+    return f"""
+        WITH {_host_graph_ctes(iterations)},
         outl AS (
             SELECT src, SUM(n_links) AS n_links_out, COUNT(*) AS n_dst
             FROM g GROUP BY src
@@ -1539,6 +1580,32 @@ def _host_rank_oracle(iterations: int = 3) -> str:
         JOIN r{iterations} r ON r.node = n.node
         LEFT JOIN outl o ON o.src = n.node
     """
+
+
+_FRONTIER_PRIORITY_CAP = 40
+_FRONTIER_PRIORITY_BATCH = 260
+
+
+def _frontier_priority_oracle(iterations: int = 3) -> str:
+    cap, batch = _FRONTIER_PRIORITY_CAP, _FRONTIER_PRIORITY_BATCH
+    return (
+        _with_url(_URLS_SQL)
+        + f""", {_host_graph_ctes(iterations)},
+        hostrank AS (
+            SELECT 'h' || CAST(node AS VARCHAR) || '.test' AS rhost, rank
+            FROM r{iterations} WHERE node <> 6
+        ),
+        sel AS (
+            SELECT u.url, u.host, COALESCE(r.rank, 0) AS rank,
+                   ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url) AS slot
+            FROM urls u LEFT JOIN hostrank r ON r.rhost = u.host
+        )
+        SELECT url, host, CAST(rank AS BIGINT) AS rank,
+               CAST(slot AS BIGINT) AS slot
+        FROM sel WHERE slot <= {cap}
+        ORDER BY rank DESC, url LIMIT {batch}
+    """
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1592,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "pagerank": _q_pagerank,
         "host_rank": _q_host_rank,
+        "frontier_priority": _q_frontier_priority,
     }
 
 
@@ -2245,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _normalize_oracle(),
         "pagerank": _pagerank_oracle(),
         "host_rank": _host_rank_oracle(),
+        "frontier_priority": _frontier_priority_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

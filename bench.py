@@ -55,6 +55,7 @@ HEADLINE = [
     "normalize_text",
     "pagerank",
     "host_rank",
+    "frontier_priority",
 ]
 
 

@@ -111,6 +111,48 @@ def degrees(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def prioritize_frontier(
+    frontier: DataFrame,
+    host_ranks: DataFrame,
+    *,
+    batch_size: int,
+    per_host_cap: int,
+    host_col: str = "host",
+    rank_col: str = "rank",
+    url_col: str = "url",
+) -> DataFrame:
+    """Select the next fetch batch by host authority — the scheduler step
+    that consumes :func:`pagerank`. Each frontier URL joins its host's
+    rank (broadcast: the rank table is one row per host, tiny next to a
+    10^10-row frontier; hosts not yet ranked default to 0 — newly
+    discovered domains still get fetched, last), a per-host ``slot``
+    window caps picks per host (politeness — and the window's one shuffle
+    keys on host, the same key the politeness scheduler already uses),
+    and the global ``batch_size`` cut is ``orderBy(rank desc, url).limit``
+    — Spark compiles that to TakeOrderedAndProject, the two-stage
+    distributed top-k (per-partition heads, then one driver-side merge of
+    K rows), never a full global sort. Ties are total-ordered by
+    (rank, url) so the selected SET is deterministic at any parallelism.
+
+    Returns the selected rows with ``rank`` (long) and ``slot`` (long)
+    appended."""
+    from pyspark.sql import Window
+
+    ranks = host_ranks.select(
+        F.col(host_col), F.col(rank_col).cast("long").alias("_hrank")
+    )
+    j = frontier.join(F.broadcast(ranks), host_col, "left").withColumn(
+        "_hrank", F.coalesce("_hrank", F.lit(0))
+    )
+    w = Window.partitionBy(host_col).orderBy(F.col(url_col))
+    capped = (
+        j.withColumn("slot", F.row_number().over(w).cast("long"))
+        .filter(F.col("slot") <= per_host_cap)
+        .withColumnRenamed("_hrank", rank_col)
+    )
+    return capped.orderBy(F.col(rank_col).desc(), F.col(url_col)).limit(batch_size)
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,

@@ -14,6 +14,7 @@ from crawley_spark.operators.linkgraph import (
     degrees,
     host_graph,
     pagerank,
+    prioritize_frontier,
 )
 
 
@@ -143,3 +144,45 @@ class TestDegreesAndHostGraph:
             (r.src_host, r.dst_host): r.n_links for r in host_graph(edf).collect()
         }
         assert got == {("a", "b"): 2, ("b", "c"): 1}
+
+
+class TestPrioritizeFrontier:
+    def _frontier(self, spark):
+        # hosts a (rank 900), b (rank 100), c unranked; 4 urls each
+        rows = [
+            (f"http://{h}/{i}", h) for h in ("a", "b", "c") for i in range(4)
+        ]
+        f = spark.createDataFrame(rows, "url string, host string")
+        r = spark.createDataFrame([("a", 900), ("b", 100)], "host string, rank long")
+        return f, r
+
+    def test_cap_and_rank_order(self, spark):
+        f, r = self._frontier(spark)
+        got = prioritize_frontier(f, r, batch_size=5, per_host_cap=2).collect()
+        # top 5 of the (rank desc, url) order after a 2-per-host cap:
+        # a/0 a/1 (900), b/0 b/1 (100), then the first rank-0 c url
+        assert [(x.url, x.rank, x.slot) for x in got] == [
+            ("http://a/0", 900, 1),
+            ("http://a/1", 900, 2),
+            ("http://b/0", 100, 1),
+            ("http://b/1", 100, 2),
+            ("http://c/0", 0, 1),
+        ]
+
+    def test_unranked_host_defaults_to_zero_not_dropped(self, spark):
+        f, r = self._frontier(spark)
+        got = prioritize_frontier(f, r, batch_size=100, per_host_cap=10).collect()
+        assert sum(1 for x in got if x.host == "c") == 4
+        assert all(x.rank == 0 for x in got if x.host == "c")
+
+    def test_plan_is_topk_not_global_sort(self, spark):
+        # the batch cut must be TakeOrderedAndProject (two-stage top-k);
+        # a single-partition global sort would serialize a 10^10 frontier
+        f, r = self._frontier(spark)
+        plan = (
+            prioritize_frontier(f, r, batch_size=5, per_host_cap=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "SinglePartition" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
