@@ -120,19 +120,31 @@ def prioritize_frontier(
     host_col: str = "host",
     rank_col: str = "rank",
     url_col: str = "url",
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Select the next fetch batch by host authority — the scheduler step
     that consumes :func:`pagerank`. Each frontier URL joins its host's
     rank (broadcast: the rank table is one row per host, tiny next to a
     10^10-row frontier; hosts not yet ranked default to 0 — newly
     discovered domains still get fetched, last), a per-host ``slot``
-    window caps picks per host (politeness — and the window's one shuffle
-    keys on host, the same key the politeness scheduler already uses),
-    and the global ``batch_size`` cut is ``orderBy(rank desc, url).limit``
-    — Spark compiles that to TakeOrderedAndProject, the two-stage
-    distributed top-k (per-partition heads, then one driver-side merge of
-    K rows), never a full global sort. Ties are total-ordered by
-    (rank, url) so the selected SET is deterministic at any parallelism.
+    window caps picks per host (politeness — keyed on host, the same key
+    the politeness scheduler already uses), and the global ``batch_size``
+    cut is ``orderBy(rank desc, url).limit`` — Spark compiles that to
+    TakeOrderedAndProject, the two-stage distributed top-k (per-partition
+    heads, then one driver-side merge of K rows), never a full global
+    sort. Ties are total-ordered by (rank, url) so the selected SET is
+    deterministic at any parallelism.
+
+    Skew: a mega-host (one host holding 10^8+ frontier rows) would put
+    its whole row set through a single window task, so the per-host cap
+    runs in TWO stages — first a per-(host, url-salt) local cap over
+    ``salt_buckets`` buckets (bounds any single task's sort to
+    rows/bucket and cuts a mega-host to ≤ cap·salt_buckets candidates),
+    then the exact per-host window over the survivors. Exactness is
+    structural: every url in a host's true top-``per_host_cap`` is also
+    in its own bucket's top-``per_host_cap``, so stage 1 never drops a
+    winner (salted ≡ unsalted pinned in tests). ``salt_buckets=1``
+    disables stage 1.
 
     Returns the selected rows with ``rank`` (long) and ``slot`` (long)
     appended."""
@@ -144,6 +156,15 @@ def prioritize_frontier(
     j = frontier.join(F.broadcast(ranks), host_col, "left").withColumn(
         "_hrank", F.coalesce("_hrank", F.lit(0))
     )
+    if salt_buckets > 1:
+        w1 = Window.partitionBy(
+            host_col, F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+        ).orderBy(F.col(url_col))
+        j = (
+            j.withColumn("_s1", F.row_number().over(w1))
+            .filter(F.col("_s1") <= per_host_cap)
+            .drop("_s1")
+        )
     w = Window.partitionBy(host_col).orderBy(F.col(url_col))
     capped = (
         j.withColumn("slot", F.row_number().over(w).cast("long"))

@@ -175,6 +175,23 @@ class TestPrioritizeFrontier:
         assert sum(1 for x in got if x.host == "c") == 4
         assert all(x.rank == 0 for x in got if x.host == "c")
 
+    def test_salted_precap_equals_unsalted(self, spark):
+        # the two-stage skew guard must never change the selected set or
+        # the slot numbers (structural: every true top-cap url survives
+        # its own salt bucket's top-cap)
+        rows = [
+            (f"http://mega/{i:04d}", "mega") for i in range(300)
+        ] + [(f"http://b/{i}", "b") for i in range(5)]
+        f = spark.createDataFrame(rows, "url string, host string")
+        r = spark.createDataFrame([("mega", 10), ("b", 700)], "host string, rank long")
+        kw = dict(batch_size=20, per_host_cap=12)
+        salted = prioritize_frontier(f, r, salt_buckets=64, **kw).collect()
+        plain = prioritize_frontier(f, r, salt_buckets=1, **kw).collect()
+        assert [tuple(x) for x in salted] == [tuple(x) for x in plain]
+        # b's 5 urls (rank 700) lead, then mega's 12-cap fills the batch
+        assert [x.host for x in salted][:5] == ["b"] * 5
+        assert sum(1 for x in salted if x.host == "mega") == 12
+
     def test_plan_is_topk_not_global_sort(self, spark):
         # the batch cut must be TakeOrderedAndProject (two-stage top-k);
         # a single-partition global sort would serialize a 10^10 frontier
