@@ -515,8 +515,14 @@ def crawl(
             else:
                 frontier = state.frontier(iteration - 1)
 
-            # 1. politeness schedule (Q2)
-            now, deferred = schedule(frontier, quotas)
+            # 1. politeness schedule (Q2) — big waves get the salted
+            # pre-cap (same gate as the fetch-join salting: a mega-host
+            # must not pin a single slot-window task)
+            now, deferred = schedule(
+                frontier,
+                quotas,
+                salt_buckets=64 if frontier_rows > broadcast_frontier_rows else None,
+            )
 
             # 2. fetch join (F1) — canParse-gated rows only reach the corpus scan.
             # Inner join: a frontier URL with no page row produces no candidates

@@ -22,23 +22,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def schedule(frontier: DataFrame, quotas: dict) -> tuple[DataFrame, DataFrame]:
+def schedule(
+    frontier: DataFrame, quotas: dict, salt_buckets: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (now, deferred) by per-run host quotas.
 
     quotas: run_id → max fetches per host per iteration (None = unlimited).
-    """
+
+    ``salt_buckets`` (the engine passes it on big waves only — the same
+    gate as the fetch-join salting): a mega-host would put its whole row
+    set through one slot-window task, so a per-(run, host, url-salt)
+    pre-cap first bounds any single task's sort and cuts the host to
+    ≤ quota·salt_buckets survivors. The split is EXACTLY the unsalted
+    one: a row dropped at stage 1 has bucket-rank > quota ⇒ true slot >
+    quota (definitely deferred), and every true top-quota row survives
+    its own bucket's top-quota, so stage 2's slots for kept rows equal
+    the unsalted slots (salted ≡ unsalted pinned in tests)."""
     if not any(q is not None for q in quotas.values()):
         return frontier, frontier.limit(0)
     from ..plans.ordering import sql_long_map
 
-    w = Window.partitionBy("run_id", "host").orderBy("rank")
-    slotted = frontier.withColumn("_slot", F.row_number().over(w))
     qmap = sql_long_map(
         {run: int(q) if q is not None else 2**62 for run, q in quotas.items()}
     )
-    cond = F.col("_slot") <= F.element_at(qmap, F.col("run_id"))
+    qexpr = F.element_at(qmap, F.col("run_id"))
+    base = frontier
+    pre_deferred = None
+    if salt_buckets and salt_buckets > 1:
+        w1 = Window.partitionBy(
+            "run_id",
+            "host",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)),
+        ).orderBy("rank")
+        s1 = frontier.withColumn("_s1", F.row_number().over(w1))
+        pre_deferred = s1.filter(F.col("_s1") > qexpr).drop("_s1")
+        base = s1.filter(F.col("_s1") <= qexpr).drop("_s1")
+    w = Window.partitionBy("run_id", "host").orderBy("rank")
+    slotted = base.withColumn("_slot", F.row_number().over(w))
+    cond = F.col("_slot") <= qexpr
     now = slotted.filter(cond).drop("_slot")
     deferred = slotted.filter(~cond).drop("_slot")
+    if pre_deferred is not None:
+        deferred = deferred.unionByName(pre_deferred)
     return now, deferred
 
 

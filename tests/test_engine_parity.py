@@ -113,6 +113,29 @@ def test_politeness_deferral_preserves_sets(spark):
     report.state.cleanup()
 
 
+def test_politeness_salted_precap_equals_unsalted(spark):
+    """The big-wave salted pre-cap (schedule(salt_buckets=...)) must produce
+    EXACTLY the unsalted (now, deferred) split — structural argument in the
+    docstring: a bucket-rank > quota row has true slot > quota, and every
+    true top-quota row survives its own bucket's top-quota."""
+    from crawley_spark.operators.politeness import schedule
+
+    rows = (
+        [("run0", "mega", f"http://mega/{i:04d}", i) for i in range(300)]
+        + [("run0", "b", f"http://b/{i}", i) for i in range(7)]
+        + [("run1", "mega", f"http://mega/r1/{i:03d}", i) for i in range(40)]
+        + [("run1", "c", f"http://c/{i}", i) for i in range(3)]
+    )
+    f = spark.createDataFrame(rows, "run_id string, host string, url string, rank long")
+    for quotas in ({"run0": 5, "run1": 2}, {"run0": 5, "run1": None}):
+        for buckets in (8, 64, 1024):  # incl. buckets >> rows-per-host
+            now_p, def_p = schedule(f, quotas)
+            now_s, def_s = schedule(f, quotas, salt_buckets=buckets)
+            key = lambda df: sorted(tuple(r) for r in df.collect())
+            assert key(now_s) == key(now_p), (quotas, buckets)
+            assert key(def_s) == key(def_p), (quotas, buckets)
+
+
 def test_resume_mid_crawl(spark, tmp_path):
     """Kill after iteration k, resume from checkpoint → identical output."""
     pages = synth_site()
