@@ -362,6 +362,25 @@ def _q_token_count_bpe(spark, sf_dir):
     return d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style unigram LM perplexity (operators/lmscore.py): the model
+    is trained on the corpus itself (Laplace-smoothed, closed-form), every
+    token type gets an integer micro-nat surprisal, and each doc's score is
+    the exact BIGINT surprisal sum plus a derived milli-perplexity.
+    Hash-exact independent oracle: DuckDB retrains the same model (counts →
+    surprisal table) and rescoring from scratch; integer sums make the
+    result order-independent on both engines."""
+    from crawley_spark.operators.lmscore import lm_perplexity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return lm_perplexity(d).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "nats_micro",
+        "ppl_milli",
+    )
+
+
 def _q_embed_dedup(spark, sf_dir):
     """Embedding-cosine near-dup (exact variant — the SQL-oracle-able
     baseline; the LSH scale path is recall-tested in tests/). Plants exact
@@ -1624,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
+        "lm_perplexity": _q_lm_perplexity,
         "embed_dedup": _q_embed_dedup,
         "quality_stats": _q_quality,
         "gopher_quality": _q_gopher,
@@ -2265,6 +2285,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
                    AS n_bpe_tokens
         FROM documents
+        """,
+        "lm_perplexity": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        ),
+        cnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS nv FROM cnts),
+        model AS (
+            SELECT tok,
+                   CAST(round(1e6 * ln(nv / (c + 1.0))) AS BIGINT) AS s
+            FROM cnts, tot
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   sum(m.s) AS nats_micro
+            FROM toks t JOIN model m USING (tok)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(s.nats_micro, 0) AS BIGINT) AS nats_micro,
+               CASE WHEN s.n_tokens > 0
+                    THEN CAST(round(1000.0 * exp((s.nats_micro / 1000000.0)
+                                                 / s.n_tokens)) AS BIGINT)
+               END AS ppl_milli
+        FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "embed_dedup": """
         WITH base AS MATERIALIZED (

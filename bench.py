@@ -56,6 +56,7 @@ HEADLINE = [
     "pagerank",
     "host_rank",
     "frontier_priority",
+    "lm_perplexity",
 ]
 
 

@@ -240,3 +240,39 @@ def test_ann_candidate_dedup_exchange_carries_no_vectors(spark):
             for l in input_lines:
                 assert "cv#" not in l and "qv#" not in l, b
                 assert "ua#" not in l and "ub#" not in l and "unit#" not in l, b
+
+
+def test_lm_perplexity_plan_shapes(spark, tmp_path):
+    """The LM scoring join must broadcast the (bounded) model — a shuffled
+    join would exchange the full exploded token stream twice — and the
+    parquet scan must prune to (doc_id, text)."""
+    import os
+
+    from crawley_spark.operators.lmscore import lm_perplexity
+
+    path = os.path.join(str(tmp_path), "docs.parquet")
+    spark.createDataFrame(
+        # letter-distinct tokens (the [a-z]+ tokenizer strips digits, so
+        # "w0".."w8" would collapse to one type and defeat the cap check)
+        [(i, " ".join(chr(97 + j) * 3 for j in range(i % 9)), "x" * i) for i in range(50)],
+        "doc_id long, text string, extra string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = _fmt_plan(lm_perplexity(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    # column pruning: the untouched 'extra' column never leaves the scan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "extra" not in line, line
+    # past the broadcast cap the operator must NOT hint a broadcast of an
+    # unbounded model (Spark's size-aware auto-broadcast may still fire for
+    # genuinely small models — disable it to observe the hint alone)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_hint = _fmt_plan(lm_perplexity(docs))
+        assert "BroadcastHashJoin" in plan_hint, plan_hint  # explicit hint
+        plan_big = _fmt_plan(lm_perplexity(docs, max_vocab_broadcast=1))
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big, plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

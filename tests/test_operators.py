@@ -2406,3 +2406,100 @@ def test_media_gif_header_metadata(spark):
         assert [float(v) for v in rows[0]["feature"]] == [
             12.0, 34.0, 89.0, 1.0, 4.0, -1.0,
         ]
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity (operators/lmscore.py)
+
+
+def _lm_brute(train_texts, score_texts, min_count=1):
+    """Pure-Python recomputation of the documented formula (HALF_UP via
+    floor(x+0.5) — positive values only, matching both engines' round)."""
+    import math
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return re.findall("[a-z]+", (t or "").lower())
+
+    cnt = Counter(tok for t in train_texts for tok in toks(t))
+    n = sum(cnt.values())
+    v = sum(1 for c in cnt.values() if c >= min_count)
+    nv = float(n + v + 1)
+    s = {
+        t: int(math.floor(1e6 * math.log(nv / (c + 1.0)) + 0.5))
+        for t, c in cnt.items()
+        if c >= min_count
+    }
+    s_unk = int(math.floor(1e6 * math.log(nv) + 0.5))
+    out = {}
+    for i, t in enumerate(score_texts):
+        tt = toks(t)
+        nats = sum(s.get(x, s_unk) for x in tt)
+        ppl = (
+            int(math.floor(1000.0 * math.exp((nats / 1e6) / len(tt)) + 0.5))
+            if tt
+            else None
+        )
+        out[i] = (len(tt), nats, ppl)
+    return out
+
+
+def test_lm_perplexity_exact_vs_brute(spark):
+    from crawley_spark.operators.lmscore import lm_perplexity
+
+    texts = [
+        "the cat sat on the mat",
+        "the the the the",
+        "???  12345  !!!",  # zero [a-z] tokens
+        "Dog dog CAT runs FAST",
+        None,  # null text -> zero tokens
+        "completely novel wording here",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nats_micro, r.ppl_milli)
+        for r in lm_perplexity(df).collect()
+    }
+    assert got == _lm_brute(texts, texts)
+    # repeated-token doc must score lower (more predictable) than novel doc
+    assert got[1][2] < got[5][2]
+
+
+def test_lm_perplexity_min_count_prunes_to_unseen(spark):
+    """min_count > 1 drops rare types from the model; their occurrences
+    score as unseen (c=0 in the same smoothed formula) and V shrinks."""
+    from crawley_spark.operators.lmscore import lm_perplexity, unigram_model
+
+    texts = ["aa aa aa bb bb cc", "aa cc dd"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nats_micro, r.ppl_milli)
+        for r in lm_perplexity(df, min_count=2).collect()
+    }
+    assert got == _lm_brute(texts, texts, min_count=2)
+    model, s_unk, v_kept = unigram_model(df, min_count=2)
+    kept = {r.tok for r in model.collect()}
+    assert kept == {"aa", "bb", "cc"} and v_kept == 3  # dd (c=1) pruned
+    assert all(r.s < s_unk for r in model.collect())  # seen beats unseen
+
+
+def test_lm_perplexity_train_score_split(spark):
+    """Scoring held-out text: unseen tokens take the s_unk surprisal and the
+    model is trained ONLY on train_df."""
+    from crawley_spark.operators.lmscore import lm_perplexity
+
+    train = ["the cat sat", "the dog ran"]
+    score = ["the cat", "zebra quux"]
+    tdf = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+    sdf = spark.createDataFrame(list(enumerate(score)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.nats_micro, r.ppl_milli)
+        for r in lm_perplexity(sdf, train_df=tdf).collect()
+    }
+    assert got == _lm_brute(train, score)
+    assert got[1][2] > got[0][2]  # all-unseen doc scores worst
