@@ -40,7 +40,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="crawley_spark", add_help=True)
     ap.add_argument(
         "--corpus", required=False,
-        help="pages corpus path: parquet, or .warc/.warc.gz capture files",
+        help="pages corpus path: parquet, .warc/.warc.gz capture files, "
+        "or .jsonl/.ndjson(.gz) page dumps",
     )
     ap.add_argument("--checkpoint", default=None, help="crawl state dir (resume with --resume)")
     ap.add_argument("--resume", action="store_true")
@@ -106,14 +107,23 @@ def main(argv=None):
     from .engine import crawl
 
     # .warc/.warc.gz corpora (Common Crawl's native container) route
-    # through the WARC source; anything else is a parquet pages table
-    if args.corpus.rstrip("/").endswith((".warc", ".warc.gz")) or any(
-        f.endswith((".warc", ".warc.gz"))
-        for f in (os.listdir(args.corpus) if os.path.isdir(args.corpus) else [])
+    # through the WARC source; .jsonl/.ndjson dumps through the JSONL
+    # source; anything else is a parquet pages table
+    _dir_files = os.listdir(args.corpus) if os.path.isdir(args.corpus) else []
+    _warc_exts = (".warc", ".warc.gz")
+    _jsonl_exts = (".jsonl", ".jsonl.gz", ".ndjson", ".ndjson.gz")
+    if args.corpus.rstrip("/").endswith(_warc_exts) or any(
+        f.endswith(_warc_exts) for f in _dir_files
     ):
         from .sources.warc import pages_from_warc
 
         pages = pages_from_warc(spark, args.corpus)
+    elif args.corpus.rstrip("/").endswith(_jsonl_exts) or any(
+        f.endswith(_jsonl_exts) for f in _dir_files
+    ):
+        from .sources.pages import pages_from_jsonl
+
+        pages = pages_from_jsonl(spark, args.corpus)
     else:
         pages = spark.read.parquet(args.corpus)
     report = crawl(

@@ -62,6 +62,60 @@ def prepare_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFr
     )
 
 
+JSONL_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.StringType()),  # JSON carries text, not bytes
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+    ]
+)
+
+
+def pages_from_jsonl(
+    spark, path: str, html_base64: bool = False, drop_corrupt: bool = True
+) -> DataFrame:
+    """JSON-Lines page dumps (one object per line, the other common webtext
+    interchange format besides WARC/parquet) -> the engine's corpus schema.
+
+    The schema is PINNED (JSONL_PAGES_SCHEMA), never inferred — schema
+    inference is a full extra pass over the data, a non-starter at corpus
+    scale; extra fields in the objects are simply not read. ``.gz`` /
+    ``.zst`` files and directories of part files work as-is (Spark's JSON
+    source is line-splittable on uncompressed data, whole-file per gzip
+    member otherwise — shard compressed dumps into many files, which is how
+    they ship anyway).
+
+    ``html`` arrives as a JSON string: UTF-8 encoded to binary by default,
+    or base64-decoded with ``html_base64=True`` for dumps that carry raw
+    bytes. With ``drop_corrupt`` (default), unparseable lines — which
+    surface as all-null rows under the JSON source's PERMISSIVE mode with a
+    pinned schema — are dropped by ``url IS NOT NULL`` instead of becoming
+    phantom pages. Crawling a JSONL-sourced corpus is byte-identical to
+    crawling the same pages from parquet (tests/test_sources_jsonl.py).
+    """
+    df = spark.read.schema(JSONL_PAGES_SCHEMA).json(path)
+    if drop_corrupt:
+        df = df.filter(F.col("url").isNotNull())
+    html = (
+        F.unbase64(F.col("html"))
+        if html_base64
+        else F.encode(F.col("html"), "UTF-8")
+    )
+    return df.select(
+        "url",
+        "warc_ts",
+        html.alias("html"),
+        "text",
+        "lang",
+        "content_type",
+        "status",
+    )
+
+
 def dedup_latest_snapshot(pages: DataFrame) -> DataFrame:
     """Common-Crawl corpora carry one row per (url, warc_ts) capture; the
     fetch join needs url-unique pages. Keep the latest capture. Run once at
