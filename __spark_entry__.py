@@ -556,6 +556,30 @@ def _q_c4_span_dedup(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate line removal (dedup.boilerplate_line_dedup,
+    RefinedWeb-style) over the derived multi-line corpus with a planted nav
+    header and copyright footer on EVERY doc — guaranteed >= min_docs
+    boilerplate — plus whatever content lines repeat naturally. The query
+    runs the hash-keyed scale path; the oracle groups real line strings
+    (collision cross-check, the c4_span_dedup pattern)."""
+    from crawley_spark.operators.dedup import boilerplate_line_dedup
+
+    docs = _docs(spark, sf_dir)
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV home | about | contact\n"),
+            F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+            F.lit(".\nCOPYRIGHT 2026 example corp"),
+        ).alias("text"),
+    )
+    out = boilerplate_line_dedup(derived, min_docs=3)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("kept_text").alias("kept_md5")
+    )
+
+
 def _q_source_quality(spark, sf_dir):
     """Source/domain-level quality rollup (textstats.source_quality):
     per-source doc counts, Gopher-keep counts, word mass, and the
@@ -1652,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": _q_pii_mask,
         "decontam_13gram": _q_decontam,
         "c4_span_dedup": _q_c4_span_dedup,
+        "line_dedup": _q_line_dedup,
         "source_quality": _q_source_quality,
         "prep_pipeline": _q_prep_pipeline,
         "stratified_sample": _q_stratified_sample,
@@ -2066,6 +2091,44 @@ _C4_SPAN_DEDUP_ORACLE = """
     """
 
 
+_LINE_DEDUP_ORACLE = """
+    WITH derived AS (
+        SELECT doc_id,
+               'NAV home | about | contact' || chr(10) ||
+               replace(text, ' table ', '.' || chr(10)) || '.' || chr(10) ||
+               'COPYRIGHT 2026 example corp' AS text
+        FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM derived),
+    allp AS (
+        SELECT doc_id, p, lines[p] AS line
+        FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS p FROM s) t
+    ),
+    occ AS (SELECT * FROM allp WHERE trim(line) <> ''),
+    boiler AS (
+        SELECT line
+        FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM occ GROUP BY line) b
+        WHERE nd >= 3
+    ),
+    dp AS (SELECT occ.doc_id, occ.p FROM occ JOIN boiler USING (line)),
+    kepts AS (
+        SELECT allp.doc_id,
+               COALESCE(string_agg(allp.line, chr(10) ORDER BY allp.p), '') AS kept_text
+        FROM allp LEFT JOIN dp ON allp.doc_id = dp.doc_id AND allp.p = dp.p
+        WHERE dp.p IS NULL
+        GROUP BY allp.doc_id
+    ),
+    nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM dp GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(kepts.kept_text, '')) AS kept_md5
+    FROM s
+    LEFT JOIN kepts ON s.doc_id = kepts.doc_id
+    LEFT JOIN nrem ON s.doc_id = nrem.doc_id
+    """
+
+
 def _prep_pipeline_oracle() -> str:
     """prep_pipeline oracle SQL: the full funnel recomputed as one chained
     CTE — the same derivation as c4_span_dedup/c4_lines, the C4 line
@@ -2354,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_mask": _pii_oracle(),
         "decontam_13gram": _DECONTAM_ORACLE,
         "c4_span_dedup": _C4_SPAN_DEDUP_ORACLE,
+        "line_dedup": _LINE_DEDUP_ORACLE,
         "source_quality": _source_quality_oracle(),
         "prep_pipeline": _prep_pipeline_oracle(),
         "stratified_sample": _stratified_sample_oracle(),

@@ -57,6 +57,7 @@ HEADLINE = [
     "host_rank",
     "frontier_priority",
     "lm_perplexity",
+    "line_dedup",
 ]
 
 

@@ -572,3 +572,68 @@ def c4_span_dedup(
         F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long").alias("n_removed"),
         F.array_join(kept, "\n").alias("kept_text"),
     )
+
+
+def boilerplate_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    hash_lines: bool = True,
+) -> DataFrame:
+    """Cross-document exact line deduplication (RefinedWeb §"line-wise
+    corrections" / MassiveText-style boilerplate removal; public knowledge):
+    a line whose exact string occurs in at least ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, footers) and every
+    occurrence of it is removed corpus-wide.
+
+    Deliberately distinct from the neighbouring stages: within-doc
+    repetition is gopher_repetition's domain (a line repeated 5x inside ONE
+    doc is not boilerplate here), and c4_span_dedup keeps the canonical
+    occurrence while this removes ALL occurrences (boilerplate has no
+    canonical home). Blank/whitespace-only lines are structure, never
+    boilerplate — they are kept and never counted.
+
+    One row per input doc: ``n_lines`` (split size), ``n_removed``
+    (occurrences removed in that doc), ``kept_text`` (surviving lines in
+    original order).
+
+    Scale shape (the c4_span_dedup pattern): lines explode map-side; with
+    ``hash_lines`` the corpus-wide exchanges carry xxhash64 keys — (id,
+    key) distinct then a partial-agg key count — never line text (64-bit
+    collision ~2^-64/pair is the declared approximation; the driver oracle
+    groups real strings and cross-checks it). Only the boilerplate
+    MINORITY joins back to mark positions, and reconstruction is a per-row
+    indexed array filter — no per-line shuffle of document content."""
+    lines = F.split(F.col(text_col), "\n")
+    occ = df.select(
+        id_col, F.posexplode(lines).alias("pos0", "line")
+    ).filter(F.trim(F.col("line")) != "")
+    key = F.xxhash64("line").alias("k") if hash_lines else F.col("line").alias("k")
+    doc_keys = occ.select(id_col, key).distinct()
+    boiler = (
+        doc_keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    drop_pos = (
+        occ.select(id_col, (F.col("pos0") + 1).alias("p"), key)
+        .join(boiler, "k")
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("drop_pos"))
+    )
+    base = df.select(id_col, lines.alias("lines"))
+    joined = base.join(drop_pos, id_col, "left")
+    kept = F.filter(
+        F.col("lines"),
+        lambda s, i: F.coalesce(
+            ~F.array_contains(F.col("drop_pos"), i + 1), F.lit(True)
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("lines").cast("long").alias("n_lines"),
+        F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("kept_text"),
+    )

@@ -2503,3 +2503,60 @@ def test_lm_perplexity_train_score_split(spark):
     }
     assert got == _lm_brute(train, score)
     assert got[1][2] > got[0][2]  # all-unseen doc scores worst
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line dedup (dedup.boilerplate_line_dedup)
+
+
+def _line_dedup_fixture(spark):
+    texts = {
+        0: "NAV home\nunique zero\n\nNAV home\nfooter (c)",
+        1: "NAV home\nunique one\nfooter (c)",
+        2: "NAV home\nrepeat me\nrepeat me\nrepeat me\nunique two",
+        3: "   \nonly blanks and me",
+        4: "",  # empty doc
+    }
+    return spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+
+def test_line_dedup_cross_doc_rule(spark):
+    from crawley_spark.operators.dedup import boilerplate_line_dedup
+
+    df = _line_dedup_fixture(spark)
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.kept_text)
+        for r in boilerplate_line_dedup(df, min_docs=2).collect()
+    }
+    # 'NAV home' is in docs 0,1,2 -> removed everywhere (both copies in doc 0);
+    # 'footer (c)' in docs 0,1 -> removed; 'repeat me' x3 is WITHIN one doc
+    # only -> kept (within-doc repetition is gopher_repetition's domain);
+    # blank lines always survive
+    assert out[0] == (5, 3, "unique zero\n")
+    assert out[1] == (3, 2, "unique one")
+    assert out[2] == (5, 1, "repeat me\nrepeat me\nrepeat me\nunique two")
+    assert out[3] == (2, 0, "   \nonly blanks and me")
+    assert out[4] == (1, 0, "")
+    # min_docs=3: only the 3-doc NAV line qualifies
+    out3 = {
+        r.doc_id: r.n_removed
+        for r in boilerplate_line_dedup(df, min_docs=3).collect()
+    }
+    assert out3 == {0: 2, 1: 1, 2: 1, 3: 0, 4: 0}
+
+
+def test_line_dedup_hash_equals_string_path(spark):
+    """The xxhash64-keyed scale path must produce exactly the string-grouped
+    result (collision cross-check at fixture scale)."""
+    from crawley_spark.operators.dedup import boilerplate_line_dedup
+
+    df = _line_dedup_fixture(spark)
+    a = sorted(
+        tuple(r) for r in boilerplate_line_dedup(df, hash_lines=True).collect()
+    )
+    b = sorted(
+        tuple(r) for r in boilerplate_line_dedup(df, hash_lines=False).collect()
+    )
+    assert a == b
