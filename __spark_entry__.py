@@ -1651,6 +1651,196 @@ def _frontier_priority_oracle(iterations: int = 3) -> str:
     )
 
 
+def _q_crawl_delta(spark, sf_dir):
+    """Epoch-to-epoch crawl snapshot delta (operators/snapshot.crawl_delta):
+    epoch A = the documents table as a crawl result set; epoch B derived
+    with every 11th url removed, every 7th surviving url changed (suffix
+    appended), and every 13th url re-emitted under a /v2 path (added).
+    The join exchanges carry (url, md5) only — digests computed map-side.
+    Hash-exact: DuckDB recomputes the same derivation and a FULL OUTER
+    JOIN classification."""
+    from crawley_spark.operators.snapshot import crawl_delta
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    a = d.select(url.alias("url"), "text")
+    surv = d.filter(F.col("doc_id") % 11 != 0)
+    b_kept = surv.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    b_added = d.filter(F.col("doc_id") % 13 == 0).select(
+        F.concat(url, F.lit("/v2")).alias("url"), "text"
+    )
+    return crawl_delta(a, b_kept.unionAll(b_added))
+
+
+def _q_recrawl_priority(spark, sf_dir):
+    """Cho/Garcia-Molina change-rate estimation (operators/snapshot.
+    change_rate): a 4-epoch fetch history is derived per document with a
+    deterministic churn schedule — the digest version at epoch e is
+    floor((doc_id + e) / p) with period p = 1 + doc_id % 4, so the page
+    changes between consecutive fetches iff (doc_id + e) % p == 0 (from
+    every-epoch churn at p=1 down to 1-in-4 at p=4); odd doc_ids miss
+    epoch 3 (age > 0 cohort) and every 17th doc is fetched once (the
+    NULL-lambda path). lambda and pr_stale are integer micro-units
+    (round-of-ln/exp, the lmscore libm surface) so DuckDB recomputes the
+    estimator hash-exactly from the same replayed history."""
+    from crawley_spark.operators.snapshot import change_rate
+
+    d = _docs(spark, sf_dir)
+    epochs = spark.range(4).select(F.col("id").cast("long").alias("epoch"))
+    hist = (
+        d.select("doc_id").crossJoin(epochs)
+        .filter(
+            ((F.col("doc_id") % 17 != 0) | (F.col("epoch") == 0))
+            & ((F.col("doc_id") % 2 == 0) | (F.col("epoch") < 3))
+        )
+        .select(
+            F.concat(F.lit("https://h/doc/"), F.col("doc_id").cast("string"))
+            .alias("url"),
+            "epoch",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("-"),
+                    F.floor(
+                        (F.col("doc_id") + F.col("epoch"))
+                        / (F.lit(1) + F.col("doc_id") % 4)
+                    ).cast("string"),
+                )
+            ).alias("digest"),
+        )
+    )
+    return change_rate(hist, now_epoch=3)
+
+
+def _q_url_canonical(spark, sf_dir):
+    """Duplicate-URL clustering (operators/urlnorm): three alias variants
+    per document — uppercased www host + default port + trailing slash +
+    tracking params + fragment; a clean form; and a reordered-params form
+    — canonicalize to one key (cluster of 3) except doc_id % 5 == 0, whose
+    third variant keeps a real param difference (cluster of 2 + 1).
+    Canonicalization is pure JVM regex/array expressions in the
+    Java∩RE2-identical subset; DuckDB recomputes every step (all patterns
+    anchored, so Spark's replace-all ≡ DuckDB's replace-first)."""
+    from crawley_spark.operators.urlnorm import url_canonical_clusters
+
+    d = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    v1 = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"),
+        F.lit(".Example.com:443/docs/"), ids,
+        F.lit("/?utm_source=feed&b=2&a=1#frag"),
+    )
+    v2 = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"), ids,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?b=2&c=3&a=1")).otherwise(
+            F.lit("?b=2&a=1")
+        ),
+    )
+    v3 = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"), ids,
+        F.lit("?a=1&b=2&gclid=xyz"),
+    )
+    urls = d.select(F.explode(F.array(v1, v2, v3)).alias("url"))
+    return url_canonical_clusters(urls)
+
+
+def _q_bm25(spark, sf_dir):
+    """BM25 top-k ranking (operators/search.bm25_topk) over the documents
+    table for three keyword queries drawn from the synthetic vocabulary.
+    Per-(doc, term) contributions are rounded once to integer micro-scores
+    and summed as BIGINTs (order-independent); DuckDB recomputes N, L, df,
+    idf, and the identically-parenthesized tfnorm expression from scratch.
+    Deterministic tiebreak (score DESC, doc_id ASC) on both sides."""
+    from crawley_spark.operators.search import bm25_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(d, BM25_QUERIES, k=10)
+
+
+# shared by _q_bm25 and the generated oracle; values are whitespace-joined
+# keyword strings over the synthetic corpus vocabulary
+BM25_QUERIES = {
+    "q1": "table spark",
+    "q2": "window sort merge",
+    "q3": "batch",
+}
+
+
+def _bm25_oracle() -> str:
+    """bm25 oracle SQL, GENERATED from the same BM25_QUERIES dict and
+    (k1, b) milli-knobs the Spark query uses, while DuckDB recomputes
+    every statistic (N, L, dl, tf, df, idf) and the identically-written
+    float expression independently."""
+    from crawley_spark.operators.search import (
+        DEFAULT_B_MILLI,
+        DEFAULT_K1_MILLI,
+    )
+
+    terms = []
+    for qid, qtext in BM25_QUERIES.items():
+        seen = set()
+        for tok in qtext.lower().split():
+            run = "".join(ch for ch in tok if "a" <= ch <= "z")
+            if run and run not in seen:
+                seen.add(run)
+                terms.append(f"('{qid}', '{run}')")
+    values = ", ".join(terms)
+    k1 = float(DEFAULT_K1_MILLI)
+    b = DEFAULT_B_MILLI / 1000.0
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        l AS (SELECT CAST(count(*) AS DOUBLE) AS l_total FROM toks),
+        qterms AS (SELECT * FROM (VALUES {values}) AS t(query_id, tok)),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM toks JOIN (SELECT DISTINCT tok FROM qterms) q USING (tok)
+            GROUP BY doc_id, tok
+        ),
+        dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        idf AS (
+            SELECT tok,
+                   CAST(round(1e6 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+                        AS BIGINT) AS idf_micro
+            FROM dfreq, n
+        ),
+        st AS (
+            SELECT tf.doc_id, tf.tok,
+                   CAST(round(idf_micro * ((tf * {k1 + 1000.0}) /
+                        (tf * 1000.0 + {k1} * ({1.0 - b} + {b} *
+                         (dl * n_docs / l_total))))) AS BIGINT) AS tsm
+            FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), n, l
+        ),
+        ds AS (
+            SELECT query_id, doc_id, sum(tsm) AS score_micro
+            FROM st JOIN qterms USING (tok)
+            GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, score_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_micro DESC, doc_id) AS r
+            FROM ds
+        )
+        SELECT query_id, CAST(r AS BIGINT) AS rank, doc_id,
+               CAST(score_micro AS BIGINT) AS score_micro
+        FROM ranked WHERE r <= 10
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -1705,6 +1895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "host_rank": _q_host_rank,
         "frontier_priority": _q_frontier_priority,
+        "crawl_delta": _q_crawl_delta,
+        "recrawl_priority": _q_recrawl_priority,
+        "url_canonical": _q_url_canonical,
+        "bm25": _q_bm25,
     }
 
 
@@ -2427,6 +2621,131 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(),
         "host_rank": _host_rank_oracle(),
         "frontier_priority": _frontier_priority_oracle(),
+        "crawl_delta": """
+        WITH a AS (
+            SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5(text) AS digest_a
+            FROM documents
+        ),
+        b AS (
+            SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS digest_b
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) || '/v2',
+                   md5(text)
+            FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT COALESCE(a.url, b.url) AS url,
+               CASE WHEN a.url IS NULL THEN 'added'
+                    WHEN b.url IS NULL THEN 'removed'
+                    WHEN digest_a = digest_b THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               digest_a, digest_b
+        FROM a FULL OUTER JOIN b ON a.url = b.url
+        """,
+        "recrawl_priority": """
+        WITH hist AS (
+            SELECT 'https://h/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   e.epoch,
+                   md5(CAST(doc_id AS VARCHAR) || '-' ||
+                       CAST(CAST(floor((doc_id + e.epoch) / (1 + doc_id % 4)) AS BIGINT) AS VARCHAR)) AS digest
+            FROM documents, (SELECT unnest(range(4)) AS epoch) e
+            WHERE (doc_id % 17 <> 0 OR e.epoch = 0)
+              AND (doc_id % 2 = 0 OR e.epoch < 3)
+        ),
+        lagged AS (
+            SELECT url, epoch, digest,
+                   lag(digest) OVER (PARTITION BY url ORDER BY epoch) AS prev
+            FROM hist
+        ),
+        per AS (
+            SELECT url, count(*) AS n_obs,
+                   sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS n_intervals,
+                   sum(CASE WHEN prev IS NOT NULL AND digest <> prev THEN 1 ELSE 0 END) AS n_changes,
+                   max(epoch) AS last_epoch
+            FROM lagged GROUP BY url
+        ),
+        lam AS (
+            SELECT *,
+                   CASE WHEN n_intervals > 0 THEN
+                        CAST(round(-1e6 * ln((n_intervals - n_changes + 0.5)
+                                             / (n_intervals + 0.5))) AS BIGINT)
+                   END AS lambda_micro,
+                   3 - last_epoch AS age
+            FROM per
+        )
+        SELECT url,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(n_intervals AS BIGINT) AS n_intervals,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CAST(last_epoch AS BIGINT) AS last_epoch,
+               lambda_micro,
+               CAST(age AS BIGINT) AS age,
+               CASE WHEN lambda_micro IS NOT NULL THEN
+                    CAST(round(1e6 * (1.0 - exp(-(lambda_micro / 1000000.0) * age)))
+                         AS BIGINT)
+               END AS pr_stale_micro
+        FROM lam
+        """,
+        # every regex below is anchored, so Spark's replace-all semantics
+        # and DuckDB's replace-first semantics coincide (at most one match)
+        "url_canonical": """
+        WITH raw AS (
+            SELECT unnest([
+              'HTTPS://WWW.' || source || '.Example.com:443/docs/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag',
+              'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) ||
+                  CASE WHEN doc_id % 5 = 0 THEN '?b=2&c=3&a=1' ELSE '?b=2&a=1' END,
+              'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2&gclid=xyz'
+            ]) AS url
+            FROM documents
+        ),
+        c1 AS (
+            SELECT url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+            FROM raw
+        ),
+        c2 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS authority FROM c1),
+        c3 AS (
+            SELECT *,
+                   CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+                        ELSE authority END AS host0,
+                   substring(rest, length(authority) + 1) AS pathq
+            FROM c2
+        ),
+        c4 AS (
+            SELECT *, regexp_replace(host0, '^www\\.', '') AS host,
+                   regexp_extract(pathq, '^([^?]*)', 1) AS path,
+                   CASE WHEN instr(pathq, '?') > 0
+                        THEN substring(pathq, instr(pathq, '?') + 1)
+                        ELSE '' END AS query
+            FROM c3
+        ),
+        c5 AS (
+            SELECT *,
+                   list_sort(list_filter(string_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_eid)(=.*)?$'))) AS params,
+                   CASE WHEN path = '' THEN '/'
+                        WHEN path <> '/' AND path LIKE '%/' THEN substring(path, 1, length(path) - 1)
+                        ELSE path END AS path_c
+            FROM c4
+        ),
+        c6 AS (
+            SELECT url,
+                   scheme || '://' || host || path_c ||
+                   CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+            FROM c5
+        )
+        SELECT canon_url,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_urls,
+               min(url) AS rep_url
+        FROM c6 GROUP BY canon_url
+        """,
+        "bm25": _bm25_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

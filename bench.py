@@ -58,6 +58,10 @@ HEADLINE = [
     "frontier_priority",
     "lm_perplexity",
     "line_dedup",
+    "crawl_delta",
+    "recrawl_priority",
+    "url_canonical",
+    "bm25",
 ]
 
 

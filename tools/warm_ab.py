@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument(
         "queries", nargs="*",
-        default=["simhash", "ann_lsh", "minhash_dedup", "ann_brute", "decontam_13gram", "near_dup_clusters", "pagerank", "frontier_priority"],
+        default=["simhash", "ann_lsh", "minhash_dedup", "ann_brute", "decontam_13gram", "near_dup_clusters", "pagerank", "frontier_priority", "lm_perplexity", "line_dedup"],
     )
     args = ap.parse_args()
 
