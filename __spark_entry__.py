@@ -1651,6 +1651,75 @@ def _frontier_priority_oracle(iterations: int = 3) -> str:
     )
 
 
+def _q_sitemap_roundtrip(spark, sf_dir):
+    """Sitemap sink roundtrip (sources/sitemap_sink.py — the inverse of the
+    reference's sitemap parser): per-doc URLs (one host per source, an
+    escapable '&' in every query string) are exported as per-host chunked
+    sitemap XML (max 7 urls/file so the 50k-protocol chunking genuinely
+    exercises), read back through the distributed binaryFile scan + the
+    engine's own extract_sitemap kernel, and rolled up per host. HASH-EXACT:
+    DuckDB recomputes n_urls, the ceil(n/7) file count, and the md5 of the
+    bytewise-sorted url list straight from documents — any escaping,
+    chunk-assignment, or parse defect flips a hash."""
+    import tempfile
+
+    from crawley_spark.sources.sitemap_sink import read_sitemaps, write_sitemaps
+
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".sm.test/doc/"),
+            F.col("doc_id").cast("string"), F.lit("?a=1&b=2"),
+        ).alias("url")
+    )
+    out_dir = tempfile.mkdtemp(prefix="crawley_sm_rt_")
+    write_sitemaps(urls, out_dir, max_urls_per_file=7).collect()
+    got = read_sitemaps(spark, out_dir)
+    return (
+        got.withColumn(
+            "host", F.regexp_extract("url", "^http://([^/]*)", 1)
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("path").alias("n_files"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("url")), "|")).alias(
+                "urls_md5"
+            ),
+        )
+    )
+
+
+def _q_anchor_texts(spark, sf_dir):
+    """Per-target anchor-text aggregation (operators/anchortext.py) over a
+    derived HTML corpus: each doc's page links three targets — a shared
+    /doc/{id%50} target with text 'anchor {id%3}', the next doc's target
+    with an HTML entity ('see &amp; note' -> decoded), and a cross-host
+    absolute URL with collapsible whitespace. The Spark side runs the real
+    HTML parse + clean_url resolution; DuckDB recomputes the aggregation
+    from the construction rules (decoded/collapsed forms), so any parse,
+    entity, resolution, or argmax defect breaks the hash."""
+    from crawley_spark.operators.anchortext import anchor_text_agg
+
+    d = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/doc/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">anchor '),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('</a><a href="/doc/'),
+        ((F.col("doc_id") + 1) % 50).cast("string"),
+        F.lit('">see &amp; note</a>'),
+        F.lit('<a href="http://other.test/x">multi   space</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://anch.test/page/"), ids).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_text_agg(pages)
+
+
 def _q_crawl_delta(spark, sf_dir):
     """Epoch-to-epoch crawl snapshot delta (operators/snapshot.crawl_delta):
     epoch A = the documents table as a crawl result set; epoch B derived
@@ -1899,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
         "bm25": _q_bm25,
+        "sitemap_roundtrip": _q_sitemap_roundtrip,
+        "anchor_texts": _q_anchor_texts,
     }
 
 
@@ -2746,6 +2817,53 @@ def oracle_sql() -> dict[str, str]:
         FROM c6 GROUP BY canon_url
         """,
         "bm25": _bm25_oracle(),
+        "sitemap_roundtrip": """
+        WITH urls AS (
+            SELECT source || '.sm.test' AS host,
+                   'http://' || source || '.sm.test/doc/' ||
+                       CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url
+            FROM documents
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(ceil(count(*) / 7.0) AS BIGINT) AS n_files,
+               md5(string_agg(url, '|' ORDER BY url)) AS urls_md5
+        FROM urls GROUP BY host
+        """,
+        "anchor_texts": """
+        WITH pairs AS (
+            SELECT 'http://anch.test/doc/' || CAST(doc_id % 50 AS VARCHAR) AS target_url,
+                   'anchor ' || CAST(doc_id % 3 AS VARCHAR) AS anchor_text
+            FROM documents
+            UNION ALL
+            SELECT 'http://anch.test/doc/' || CAST((doc_id + 1) % 50 AS VARCHAR),
+                   'see & note'
+            FROM documents
+            UNION ALL
+            SELECT 'http://other.test/x', 'multi space' FROM documents
+        ),
+        pt AS (
+            SELECT target_url, anchor_text, count(*) AS cnt
+            FROM pairs GROUP BY target_url, anchor_text
+        ),
+        tot AS (
+            SELECT target_url, sum(cnt) AS n_anchors, count(*) AS n_unique_texts
+            FROM pt GROUP BY target_url
+        ),
+        top AS (
+            SELECT target_url, anchor_text AS top_text, cnt AS top_text_count
+            FROM (SELECT *, row_number() OVER (PARTITION BY target_url
+                                               ORDER BY cnt DESC, anchor_text) AS rn
+                  FROM pt)
+            WHERE rn = 1
+        )
+        SELECT t.target_url,
+               CAST(n_anchors AS BIGINT) AS n_anchors,
+               CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+               top_text,
+               CAST(top_text_count AS BIGINT) AS top_text_count
+        FROM tot t JOIN top USING (target_url)
+        """,
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -62,6 +62,7 @@ HEADLINE = [
     "recrawl_priority",
     "url_canonical",
     "bm25",
+    "sitemap_roundtrip",
 ]
 
 
