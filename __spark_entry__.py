@@ -1720,6 +1720,31 @@ def _q_anchor_texts(spark, sf_dir):
     return anchor_text_agg(pages)
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (textstats.vocab_topk): top-100 token types
+    by occurrence count with per-type doc frequency and a dense 1..k rank
+    under the deterministic (count DESC, tok ASC) tiebreak — the
+    vocabulary-construction report of a tokenizer-training pipeline.
+    Tokenization is the shared Java-and-DuckDB-identical ``[a-z]+``
+    construct (same as bm25/lm_perplexity), so DuckDB recomputes the whole
+    head independently. k=20 < the synthetic corpus's type count, so the
+    top-k cut genuinely binds. HASH-EXACT: any count, doc-frequency,
+    tiebreak, or rank defect flips a row."""
+    from crawley_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=20)
+
+
+def _q_vocab_summary(spark, sf_dir):
+    """One-row corpus vocabulary summary (textstats.corpus_vocab_summary):
+    total token occurrences, type count, hapax count, and the type-token
+    ratio in integer micro units. All-integer row so the driver hash
+    compares exactly; DuckDB recomputes from its own tokenization."""
+    from crawley_spark.operators.textstats import corpus_vocab_summary
+
+    return corpus_vocab_summary(_docs(spark, sf_dir))
+
+
 def _q_crawl_delta(spark, sf_dir):
     """Epoch-to-epoch crawl snapshot delta (operators/snapshot.crawl_delta):
     epoch A = the documents table as a crawl result set; epoch B derived
@@ -1970,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "anchor_texts": _q_anchor_texts,
+        "vocab_topk": _q_vocab_topk,
+        "vocab_summary": _q_vocab_summary,
     }
 
 
@@ -2863,6 +2890,40 @@ def oracle_sql() -> dict[str, str]:
                top_text,
                CAST(top_text_count AS BIGINT) AS top_text_count
         FROM tot t JOIN top USING (target_url)
+        """,
+        "vocab_topk": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM toks GROUP BY tok
+        )
+        SELECT tok,
+               CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok)
+                    AS BIGINT) AS rank
+        FROM counts
+        ORDER BY n_occurrences DESC, tok
+        LIMIT 20
+        """,
+        "vocab_summary": """
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+        SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(round(1e6 * count(*) / sum(c)) AS BIGINT) AS ttr_micro
+        FROM counts
         """,
         "lang_id": _lang_id_oracle(),
         "fingerprint": r"""

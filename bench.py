@@ -63,6 +63,7 @@ HEADLINE = [
     "url_canonical",
     "bm25",
     "sitemap_roundtrip",
+    "vocab_topk",
 ]
 
 

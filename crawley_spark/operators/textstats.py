@@ -10,7 +10,7 @@ has a DuckDB-oracle-checkable equivalent in __spark_entry__.oracle_sql
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -619,3 +619,66 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed text. Exact-dedup key robust to spacing/case."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.select(F.col("doc_id"), F.md5(norm).alias("fp"))
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary head: top-k token types by frequency — the
+    tokenizer-training / vocabulary-construction step of a training-data
+    pipeline (and the sanity report every corpus build prints).
+
+    Tokens are the lmscore ``[a-z]+`` JVM regex (the Java∩RE2-identical
+    construct, so the oracle tokenizes identically). Returns
+    (tok, n_occurrences, n_docs, rank) ordered by (count DESC, tok ASC) —
+    the deterministic tiebreak. Scale shape: explode + one
+    map-side-combined shuffle on tok, then a global top-k that compiles
+    to TakeOrderedAndProject (two-stage, no single-partition sort over
+    the vocab); only the already-cut k rows pass through the final rank
+    window (bounded single partition, the TakeOrdered result)."""
+    toks = df.select(
+        F.col("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("tok").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "tok",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def corpus_vocab_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus vocabulary summary: total tokens, type count, hapax
+    count (types seen once — the Zipf tail the vocab cut drops), and
+    type-token ratio in micro units (round(1e6 * types / tokens)). All
+    integers, so the row hash-compares exactly; one map-side-combined
+    shuffle on tok then a scalar aggregate."""
+    toks = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(
+            F.lit(1e6) * F.count(F.lit(1)) / F.sum("c")
+        )
+        .cast("long")
+        .alias("ttr_micro"),
+    )

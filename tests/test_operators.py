@@ -2560,3 +2560,58 @@ def test_line_dedup_hash_equals_string_path(spark):
         tuple(r) for r in boilerplate_line_dedup(df, hash_lines=False).collect()
     )
     assert a == b
+
+
+def test_vocab_topk_counts_tiebreak_and_cut(spark, docs):
+    """vocab_topk: counts and doc frequencies match a brute Python recount,
+    rank follows the (count DESC, tok ASC) tiebreak, and k cuts the head."""
+    import re
+    from collections import Counter
+
+    from crawley_spark.operators.textstats import vocab_topk
+
+    rows = docs.select("doc_id", "text").collect()
+    occ, dfreq = Counter(), Counter()
+    for r in rows:
+        toks = re.findall(r"[a-z]+", r.text.lower())
+        occ.update(toks)
+        dfreq.update(set(toks))
+    expect = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    got = vocab_topk(docs, k=5).collect()
+    assert [r.tok for r in got] == [t for t, _ in expect[:5]]
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+    for r in got:
+        assert r.n_occurrences == occ[r.tok]
+        assert r.n_docs == dfreq[r.tok]
+    # k larger than the vocabulary returns every type, still ranked
+    full = vocab_topk(docs, k=10_000).collect()
+    assert len(full) == len(occ)
+    assert [r.tok for r in full] == [t for t, _ in expect]
+
+
+def test_vocab_topk_plan_is_two_stage_topk(spark, docs):
+    """The global head must compile to TakeOrderedAndProject (distributed
+    two-stage top-k), not a single-partition sort over the whole vocab."""
+    from crawley_spark.operators.textstats import vocab_topk
+
+    plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_vocab_summary_brute_parity(spark, docs):
+    import re
+    from collections import Counter
+
+    from crawley_spark.operators.textstats import corpus_vocab_summary
+
+    occ = Counter()
+    for r in docs.select("text").collect():
+        occ.update(re.findall(r"[a-z]+", r.text.lower()))
+    n_tokens = sum(occ.values())
+    n_types = len(occ)
+    row = corpus_vocab_summary(docs).collect()[0]
+    assert row.n_tokens == n_tokens
+    assert row.n_types == n_types
+    assert row.n_hapax == sum(1 for c in occ.values() if c == 1)
+    assert row.ttr_micro == round(1e6 * n_types / n_tokens)
