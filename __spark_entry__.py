@@ -648,6 +648,38 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "sample_bucket", "sampled")
 
 
+# train/val/test weights for the split_assign query; the oracle's CASE
+# thresholds are GENERATED from this same dict (order matters: the last
+# split absorbs the rounding remainder)
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SALT = "split-v1"
+
+
+def _q_split_assign(spark, sf_dir):
+    """Deterministic disjoint train/val/test assignment
+    (sampling.assign_splits): membership is a pure function of
+    (salt, doc_id) — md5_low60 bucket vs cumulative integer thresholds —
+    so reruns never migrate a doc between train and test (the leakage
+    guarantee), and the DuckDB oracle reproduces the EXACT assignment via
+    md5_number % 2^60, rolled up per (source, split) with an md5 of the
+    sorted member list so one misassigned doc flips a hash. Zero shuffle
+    in the assignment itself."""
+    from crawley_spark.operators.sampling import assign_splits
+
+    out = assign_splits(
+        _docs(spark, sf_dir), splits=_SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    )
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+                "|",
+            )
+        ).alias("members_md5"),
+    )
+
+
 def _q_pack_shards(spark, sf_dir):
     """Token-budget shard packing (sampling.pack_token_shards): docs in
     doc_id order, greedy-packed into ~5000-token shards via the two-pass
@@ -1964,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": _q_source_quality,
         "prep_pipeline": _q_prep_pipeline,
         "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
         "pack_shards": _q_pack_shards,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -2467,6 +2500,47 @@ def _prep_pipeline_oracle() -> str:
     """
 
 
+def _split_assign_oracle() -> str:
+    """split_assign oracle SQL: the exact assignment recomputed via
+    DuckDB's md5_number low-60 residue (same canonical-non-negative form
+    as the stratified_sample oracle); the threshold CASE is GENERATED
+    from the same _SPLIT_WEIGHTS dict and the same last-split-absorbs-
+    remainder rule the Spark operator applies."""
+    from crawley_spark.operators.sampling import SAMPLE_DEN
+
+    names = list(_SPLIT_WEIGHTS)
+    cum, thresholds = 0.0, []
+    for name in names:
+        cum += _SPLIT_WEIGHTS[name]
+        thresholds.append(int(round(cum * SAMPLE_DEN)))
+    thresholds[-1] = SAMPLE_DEN
+    low60 = (
+        f"((md5_number('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR))"
+        " % 1152921504606846976) + 1152921504606846976) % 1152921504606846976"
+    )
+    whens = " ".join(
+        f"WHEN bucket < {hi} THEN '{name}'"
+        for name, hi in zip(names[:-1], thresholds[:-1])
+    )
+    return f"""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CAST(({low60}) % {SAMPLE_DEN} AS BIGINT) AS bucket
+        FROM documents
+    ),
+    named AS (
+        SELECT doc_id, source,
+               CASE {whens} ELSE '{names[-1]}' END AS split
+        FROM assigned
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), '|'
+               ORDER BY CAST(doc_id AS VARCHAR))) AS members_md5
+    FROM named GROUP BY source, split
+    """
+
+
 def _stratified_sample_oracle() -> str:
     """stratified_sample oracle SQL: the selection recomputed via DuckDB's
     md5_number (little-endian 128-bit md5) — (md5_number % 2^60) %
@@ -2713,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality": _source_quality_oracle(),
         "prep_pipeline": _prep_pipeline_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
+        "split_assign": _split_assign_oracle(),
         "pack_shards": _PACK_SHARDS_ORACLE,
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
         "normalize_text": _normalize_oracle(),

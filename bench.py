@@ -64,6 +64,7 @@ HEADLINE = [
     "bm25",
     "sitemap_roundtrip",
     "vocab_topk",
+    "split_assign",
 ]
 
 

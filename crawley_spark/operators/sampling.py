@@ -143,3 +143,60 @@ def pack_token_shards(
         # integer div (exact at any corpus size; prefix sums are BIGINTs)
         F.expr(f"prefix_tokens div {int(budget)}").cast("long").alias("shard"),
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: dict | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic disjoint-and-exhaustive dataset split assignment
+    (train/val/test): each row gets ``split_bucket`` =
+    md5_low60(salt || key) % SAMPLE_DEN and ``split`` = the name whose
+    cumulative integer range [lo, hi) contains the bucket, with weights
+    rounded to 1e-6 and the FINAL split (in the dict's order) absorbing
+    the rounding remainder so the ranges exactly tile [0, SAMPLE_DEN).
+
+    Properties an RNG split cannot give: every rerun/resume assigns the
+    IDENTICAL rows (membership is a pure function of (salt, key), so a
+    doc never migrates between train and test across corpus rebuilds —
+    the leakage guarantee); ranges are disjoint and exhaustive BY
+    CONSTRUCTION (one bucket, consecutive thresholds), not by sampling
+    three times and hoping; disjoint salts give independent splits; and
+    a DuckDB oracle reproduces the exact assignment via
+    md5_number % 2^60. One scan, zero shuffle, pure column expressions.
+
+    ``splits``: ordered {name: weight}, weights summing to ~1 (validated
+    to 1e-6·len tolerance). Default 98/1/1 train/val/test.
+    """
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if len(splits) < 1:
+        raise ValueError("assign_splits: need at least one split")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-6 * max(1, len(splits)):
+        raise ValueError(
+            f"assign_splits: weights must sum to 1 (got {total})"
+        )
+    names = list(splits)
+    # cumulative integer thresholds; the last is pinned to SAMPLE_DEN so
+    # rounding can never leave a bucket unassigned or double-assigned
+    cum, thresholds = 0.0, []
+    for name in names:
+        cum += splits[name]
+        thresholds.append(int(round(cum * SAMPLE_DEN)))
+    thresholds[-1] = SAMPLE_DEN
+    bucket = (
+        md5_low60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+        % SAMPLE_DEN
+    )
+    out = df.withColumn("split_bucket", bucket.cast("long"))
+    # chained when(): the FIRST threshold exceeding the bucket wins, which
+    # is exactly [lo, hi) range containment under cumulative bounds; the
+    # last split is the otherwise() branch (its threshold is SAMPLE_DEN,
+    # so the chain is exhaustive by construction)
+    expr = F.when(F.col("split_bucket") < thresholds[0], F.lit(names[0]))
+    for name, hi in zip(names[1:-1], thresholds[1:-1]):
+        expr = expr.when(F.col("split_bucket") < hi, F.lit(name))
+    return out.withColumn("split", expr.otherwise(F.lit(names[-1])))

@@ -2615,3 +2615,51 @@ def test_corpus_vocab_summary_brute_parity(spark, docs):
     assert row.n_types == n_types
     assert row.n_hapax == sum(1 for c in occ.values() if c == 1)
     assert row.ttr_micro == round(1e6 * n_types / n_tokens)
+
+
+def test_assign_splits_disjoint_exhaustive_deterministic(spark, docs):
+    """assign_splits: every row gets exactly one split, assignment is a
+    pure function of (salt, key) (rerun-identical), thresholds match a
+    brute Python recomputation of the bucket ranges, and disjoint salts
+    reshuffle membership."""
+    from crawley_spark.operators.sampling import SAMPLE_DEN, assign_splits
+
+    weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = assign_splits(docs, splits=weights).collect()
+    assert len(out) == docs.count()
+    # brute range check: cumulative thresholds over the SAME rounding rule
+    t_train, t_val = round(0.5 * SAMPLE_DEN), round(0.75 * SAMPLE_DEN)
+    for r in out:
+        expect = (
+            "train" if r.split_bucket < t_train
+            else "val" if r.split_bucket < t_val
+            else "test"
+        )
+        assert r.split == expect, (r.doc_id, r.split_bucket)
+    # rerun-identical
+    again = assign_splits(docs, splits=weights).collect()
+    assert sorted((r.doc_id, r.split) for r in out) == sorted(
+        (r.doc_id, r.split) for r in again
+    )
+    # a different salt draws an independent assignment (buckets move)
+    other = assign_splits(docs, splits=weights, salt="split-v2").collect()
+    assert {r.doc_id: r.split_bucket for r in other} != {
+        r.doc_id: r.split_bucket for r in out
+    }
+
+
+def test_assign_splits_validates_weights_and_plan(spark, docs):
+    from crawley_spark.operators.sampling import assign_splits
+
+    with pytest.raises(ValueError):
+        assign_splits(docs, splits={"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        assign_splits(docs, splits={})
+    # single split degenerates to a constant assignment
+    one = assign_splits(docs, splits={"all": 1.0}).collect()
+    assert {r.split for r in one} == {"all"}
+    # zero shuffle: the assignment is pure column expressions
+    plan = (
+        assign_splits(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
