@@ -697,6 +697,66 @@ def _q_pack_shards(spark, sf_dir):
     return pack_token_shards(docs, budget=5000)
 
 
+# chunk_sequences knobs for the chunk_seqs query: stride < seq_len so the
+# windows genuinely overlap, both small enough that sf0.01 docs produce
+# multi-chunk outputs with short tails
+_CHUNK_SEQ_LEN = 32
+_CHUNK_STRIDE = 24
+
+# training_order shard count for the training_order query
+_ORDER_SHARDS = 16
+_ORDER_SALT = "order-v1"
+
+
+def _q_crawl_budget(spark, sf_dir):
+    """Host-level crawl-budget allocation (budget.allocate_crawl_budget):
+    largest-remainder (Hamilton) apportionment of one global fetch budget
+    across per-host frontier counts — the scheduler step between
+    prioritization and the fetch wave. Hosts/weights derive from documents
+    (23 hosts, per-doc weight doc_id%13+1 so counts genuinely vary); the
+    budget is total div 3, data-derived on BOTH sides so it always binds.
+    Exact integer arithmetic throughout ⇒ the DuckDB oracle reproduces the
+    allocation (incl. the remainder ranking) hash-exactly. Top-K runs via
+    the two-pass bucketed selection — no global sort (plan-test-pinned in
+    tests/test_budget.py)."""
+    from crawley_spark.operators.budget import allocate_crawl_budget
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"), F.lit(".test")).alias(
+            "host"
+        )
+    ).agg(F.sum(F.col("doc_id") % 13 + 1).cast("long").alias("n_frontier"))
+    total = int(counts.agg(F.sum("n_frontier").alias("t")).collect()[0]["t"])
+    return allocate_crawl_budget(counts, budget=total // 3)
+
+
+def _q_chunk_seqs(spark, sf_dir):
+    """Sliding-window token chunking (sampling.chunk_sequences): documents
+    split into 32-token training sequences every 24 tokens (overlapping
+    windows, short tails) with an md5 per chunk — the sequence-construction
+    step before pack_token_shards. Zero shuffle (chunking is per-document);
+    the DuckDB oracle re-derives every chunk via string_split / list_slice
+    and must match the md5 of each window byte-exactly."""
+    from crawley_spark.operators.sampling import chunk_sequences
+
+    return chunk_sequences(
+        _docs(spark, sf_dir), seq_len=_CHUNK_SEQ_LEN, stride=_CHUNK_STRIDE
+    )
+
+
+def _q_training_order(spark, sf_dir):
+    """Deterministic training-order shuffle (sampling.training_order):
+    every doc gets (shard, ord) = (md5-bucket % 16, rank within shard) — a
+    fixed pseudo-random permutation that reruns/resumes reproduce exactly
+    (restart mid-epoch at (shard, ord)). One hash shuffle, bounded
+    per-shard rank windows, no global sort (plan-test-pinned). The DuckDB
+    oracle replays the permutation via md5_number % 2^60 + ROW_NUMBER."""
+    from crawley_spark.operators.sampling import training_order
+
+    return training_order(_docs(spark, sf_dir), n_shards=_ORDER_SHARDS, salt=_ORDER_SALT)
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -1998,6 +2058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "pack_shards": _q_pack_shards,
+        "crawl_budget": _q_crawl_budget,
+        "chunk_seqs": _q_chunk_seqs,
+        "training_order": _q_training_order,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -2589,6 +2652,96 @@ _PACK_SHARDS_ORACLE = """
     """
 
 
+_CRAWL_BUDGET_ORACLE = """
+    WITH counts AS (
+        SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.test' AS host,
+               CAST(SUM(doc_id % 13 + 1) AS BIGINT) AS n_frontier
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n_frontier) AS total, SUM(n_frontier) // 3 AS budget
+        FROM counts
+    ),
+    calc AS (
+        SELECT host, n_frontier,
+               (budget * n_frontier) // total AS base,
+               (budget * n_frontier) % total AS rem
+        FROM counts, tot
+    ),
+    kk AS (
+        SELECT (SELECT budget FROM tot) - SUM(base) AS k FROM calc
+    ),
+    ranked AS (
+        SELECT host, n_frontier, base,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rnk
+        FROM calc
+    )
+    SELECT host, n_frontier,
+           CAST(base + CASE WHEN rnk <= (SELECT k FROM kk) THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """
+
+
+def _chunk_seqs_oracle() -> str:
+    """chunk_seqs oracle: every window re-derived from the same published
+    rule (n<=L ⇒ 1 chunk, else 1+ceil((n-L)/S)) with the constants taken
+    from the SAME _CHUNK_SEQ_LEN/_CHUNK_STRIDE knobs the Spark query uses;
+    list_slice is 1-based inclusive-end, matching Spark's slice(arr,
+    k*S+1, L) with the tail clamped by the list length."""
+    L, S = _CHUNK_SEQ_LEN, _CHUNK_STRIDE
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM toks WHERE len(toks) > 0
+    ),
+    chunked AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= {L} THEN 1
+                    ELSE 1 + (n - {L} + {S} - 1) // {S} END AS n_chunks
+        FROM sized
+    ),
+    ex AS (
+        SELECT doc_id, toks, n, UNNEST(range(n_chunks)) AS k FROM chunked
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {S} AS BIGINT) AS start_tok,
+           CAST(LEAST({L}, n - k * {S}) AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+               list_slice(toks, k * {S} + 1, LEAST(k * {S} + {L}, n)), ' '
+           )) AS chunk_md5
+    FROM ex
+    """
+
+
+def _training_order_oracle() -> str:
+    """training_order oracle: the full permutation replayed via DuckDB's
+    md5_number low-60 residue (canonical non-negative form — the
+    split_assign pattern) with the same salt/shard knobs."""
+    low60 = (
+        f"((md5_number('{_ORDER_SALT}' || CAST(doc_id AS VARCHAR))"
+        " % 1152921504606846976) + 1152921504606846976) % 1152921504606846976"
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id, CAST({low60} AS BIGINT) AS bucket FROM documents
+    )
+    SELECT doc_id,
+           CAST(bucket % {_ORDER_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY bucket % {_ORDER_SHARDS}
+               ORDER BY bucket ASC, doc_id ASC
+           ) AS BIGINT) AS ord
+    FROM b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     U = _with_url(_URLS_SQL)
     return {
@@ -2789,6 +2942,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
         "pack_shards": _PACK_SHARDS_ORACLE,
+        "crawl_budget": _CRAWL_BUDGET_ORACLE,
+        "chunk_seqs": _chunk_seqs_oracle(),
+        "training_order": _training_order_oracle(),
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
         "normalize_text": _normalize_oracle(),
         "pagerank": _pagerank_oracle(),

@@ -145,6 +145,116 @@ def pack_token_shards(
     )
 
 
+def chunk_sequences(
+    df: DataFrame,
+    seq_len: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: split each document's whitespace
+    tokens (space-split, empties dropped — the exact ``textstats.
+    token_count`` tokenizer) into training sequences of ``seq_len`` tokens
+    starting every ``stride`` tokens (``stride == seq_len`` ⇒ disjoint
+    chunks; ``stride < seq_len`` ⇒ the published overlapping-context
+    windows). Chunk count per doc is the standard rule
+
+        ``n_chunks = 1                         if n <= seq_len
+                   = 1 + ceil((n-seq_len)/stride)  otherwise``
+
+    (0 chunks for an empty doc), so every token is covered, the last chunk
+    may be short, and no chunk is a suffix of its predecessor. All
+    arithmetic is integer and the chunk text hash is md5 of the
+    space-rejoined slice, so a DuckDB oracle (string_split / list_slice /
+    array_to_string) reproduces every row hash-exactly.
+
+    Scale shape: one scan, explode is map-side, ZERO shuffle — chunking is
+    embarrassingly parallel per document. Pure JVM column expressions
+    (split / sequence / slice / array_join); no Python.
+    """
+    if seq_len < 1:
+        raise ValueError(f"chunk_sequences: seq_len must be >= 1 (got {seq_len})")
+    stride = seq_len if stride is None else stride
+    if not (1 <= stride <= seq_len):
+        raise ValueError(
+            f"chunk_sequences: need 1 <= stride <= seq_len (got stride={stride})"
+        )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n = F.size(toks).cast("long")
+    # ceil((n - seq_len)/stride) in exact integers
+    extra = F.expr(
+        f"(size(filter(split({text_col}, ' '), x -> x != '')) - {seq_len}"
+        f" + {stride} - 1) div {stride}"
+    ).cast("long")
+    n_chunks = F.when(n <= seq_len, F.lit(1).cast("long")).otherwise(1 + extra)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        n_chunks.alias("_nc"),
+    ).filter(F.col("_n") > 0)
+    k = F.col("chunk_id")
+    start = (k * stride).cast("long")
+    chunk = F.slice(F.col("_toks"), (k * stride + 1).cast("int"), seq_len)
+    return base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)).alias(
+            "chunk_id"
+        ),
+        "_toks",
+        "_n",
+    ).select(
+        id_col,
+        k.cast("long").alias("chunk_id"),
+        start.alias("start_tok"),
+        F.least(F.lit(seq_len).cast("long"), F.col("_n") - start).alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+    salt: str = "order-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets
+    ``shard`` = md5_low60(salt || key) % n_shards and ``ord`` = its
+    1-based rank within the shard by (hash-bucket, key). Reading shards
+    0..n_shards-1 each in ``ord`` order visits the corpus in a fixed
+    pseudo-random permutation — the standard deterministic alternative to
+    an RNG shuffle for training-data orders: reruns and resumes produce
+    the IDENTICAL order (restart mid-epoch at (shard, ord) exactly),
+    disjoint salts give independent epoch permutations, and a DuckDB
+    oracle reproduces the full permutation hash-exactly via
+    md5_number % 2^60 + ROW_NUMBER.
+
+    Scale shape: ONE hash shuffle on the shard key; the rank window
+    partitions by shard (bounded — size n_shards like pack_token_shards'
+    n_buckets so a shard's rows fit one task; md5 spreads keys uniformly
+    so shards cannot skew). Never a global sort: the permutation is
+    defined per-shard, so no cross-shard order exists to sort for —
+    pinned by a plan test (no SinglePartition).
+    """
+    if n_shards < 1:
+        raise ValueError(f"training_order: n_shards must be >= 1 (got {n_shards})")
+    from pyspark.sql import Window
+
+    bucket = md5_low60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    t = df.select(
+        F.col(key_col),
+        bucket.cast("long").alias("_bucket"),
+    ).withColumn("shard", (F.col("_bucket") % n_shards).cast("long"))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_bucket").asc(), F.col(key_col).asc()
+    )
+    return t.select(
+        key_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("ord"),
+    )
+
+
 def assign_splits(
     df: DataFrame,
     splits: dict | None = None,

@@ -470,6 +470,122 @@ def test_pack_token_shards(spark):
         assert via_join[i]["shard"] == got2[i]["shard"]
 
 
+def _chunk_brute(text, seq_len, stride):
+    toks = [w for w in text.split(" ") if w != ""]
+    n = len(toks)
+    if n == 0:
+        return []
+    nc = 1 if n <= seq_len else 1 + -(-(n - seq_len) // stride)
+    out = []
+    for k in range(nc):
+        sl = toks[k * stride : k * stride + seq_len]
+        out.append((k, k * stride, len(sl), " ".join(sl)))
+    return out
+
+
+def test_chunk_sequences(spark):
+    """Sliding-window token chunking (closing r05): brute parity on random
+    docs incl. multi-space and empty, full-coverage property, disjoint
+    default stride, validation, and the zero-shuffle plan pin."""
+    import hashlib
+    import random
+
+    import pytest
+
+    from crawley_spark.operators.sampling import chunk_sequences
+
+    rng = random.Random(11)
+    rows = [(0, ""), (1, "   "), (2, "solo")]
+    for i in range(3, 40):
+        words = [f"w{rng.randint(0, 99)}" for _ in range(rng.randint(1, 60))]
+        txt = ""
+        for w in words:
+            txt += w + " " * rng.randint(1, 3)
+        rows.append((i, txt.strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for seq_len, stride in [(8, 8), (8, 5), (4, 1), (1, 1), (64, 64)]:
+        got = {}
+        for r in chunk_sequences(docs, seq_len, stride).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["start_tok"], r["chunk_len"], r["chunk_md5"])
+            )
+        for i, txt in rows:
+            want = _chunk_brute(txt, seq_len, stride)
+            gi = sorted(got.get(i, []))
+            assert len(gi) == len(want), (i, seq_len, stride, gi, want)
+            covered = set()
+            for (k, st, ln, h), (wk, wst, wln, wtxt) in zip(gi, want):
+                assert (k, st, ln) == (wk, wst, wln), (i, seq_len, stride)
+                assert h == hashlib.md5(wtxt.encode()).hexdigest()
+                covered.update(range(st, st + ln))
+            n = len([w for w in txt.split(" ") if w])
+            assert covered == set(range(n)), (i, seq_len, stride)
+            if stride == seq_len and want:  # disjoint tiling
+                assert sum(ln for _, _, ln, _ in gi) == n
+
+    with pytest.raises(ValueError):
+        chunk_sequences(docs, 0)
+    with pytest.raises(ValueError):
+        chunk_sequences(docs, 4, 5)
+    with pytest.raises(ValueError):
+        chunk_sequences(docs, 4, 0)
+
+    # chunking is per-document: no exchange anywhere in the plan
+    plan = (
+        chunk_sequences(docs, 8, 5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_training_order(spark):
+    """Deterministic training-order shuffle (closing r05): dense 1..n ranks
+    per shard, exact brute parity via the md5 mirror, rerun identity, salt
+    independence, and the no-global-sort plan pin."""
+    import hashlib
+
+    from crawley_spark.operators.sampling import training_order
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = training_order(docs, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 300
+
+    def low60(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest(), "little") % (1 << 60)
+
+    want = {}
+    for i in range(300):
+        b = low60(f"order-v1{i}")
+        want.setdefault(b % 8, []).append((b, i))
+    expect = {}
+    for sh, lst in want.items():
+        for pos, (_, i) in enumerate(sorted(lst), start=1):
+            expect[i] = (sh, pos)
+    got = {r["doc_id"]: (r["shard"], r["ord"]) for r in rows}
+    assert got == expect
+
+    # dense ranks per shard
+    per_shard = {}
+    for sh, pos in got.values():
+        per_shard.setdefault(sh, []).append(pos)
+    for sh, lst in per_shard.items():
+        assert sorted(lst) == list(range(1, len(lst) + 1))
+
+    # rerun identity and salt independence
+    again = {r["doc_id"]: (r["shard"], r["ord"]) for r in out.collect()}
+    assert again == got
+    other = {
+        r["doc_id"]: (r["shard"], r["ord"])
+        for r in training_order(docs, n_shards=8, salt="order-v2").collect()
+    }
+    assert other != got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_lang_id_widened_languages(spark):
     """One fixture sentence per language of the widened marker set
     (VERDICT r03 #5, 4 -> 12); each must be identified, and a text with no
