@@ -757,6 +757,32 @@ def _q_training_order(spark, sf_dir):
     return training_order(_docs(spark, sf_dir), n_shards=_ORDER_SHARDS, salt=_ORDER_SALT)
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 tf-idf keywords (search.tfidf_topk): salient-term
+    extraction over the crawled (id, text) table — tfidf_micro =
+    round(1e6·((tf/dl)·ln(N/df))) rounded ONCE per (doc, term) so the
+    ranking is partition-independent and the DuckDB oracle recomputes every
+    score and the (score DESC, tok ASC) ranking hash-exactly. Map-side
+    tf/df aggregates, broadcast-gated df join, per-doc bounded top-k
+    windows (no global sort — plan-test-pinned)."""
+    from crawley_spark.operators.search import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir).select("doc_id", "text"), k=5)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (lmscore.dsir_weights, Xie et al.
+    2023): log w(d) = Σ (s_raw - s_target) in integer micro-nats under two
+    Laplace unigram LMs — target = every 10th document (the 'trusted set'),
+    raw = the whole corpus. The DuckDB oracle retrains BOTH models and
+    rescores from scratch; exact-integer per-type diffs make the per-doc
+    sums order-independent on both engines."""
+    from crawley_spark.operators.lmscore import dsir_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return dsir_weights(d, d.filter("doc_id % 10 = 0"))
+
+
 def _q_lang_id(spark, sf_dir):
     from crawley_spark.operators.textstats import lang_id
 
@@ -2061,6 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q_crawl_budget,
         "chunk_seqs": _q_chunk_seqs,
         "training_order": _q_training_order,
+        "tfidf_topk": _q_tfidf_topk,
+        "dsir_weights": _q_dsir_weights,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "crawl_bfs": _q_crawl_bfs,
@@ -2720,6 +2748,74 @@ def _chunk_seqs_oracle() -> str:
     """
 
 
+# tfidf_topk oracle: the one-ln float surface is written as the identical
+# parse tree (1e6 * ((tf/dl) * ln(N/df))); ln(N/df) >= 0 since df <= N, so
+# HALF_UP rounding agrees across engines (the bm25/lmscore discipline)
+_TFIDF_TOPK_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id, t.tok, CAST(t.tf AS BIGINT) AS tf,
+               CAST(round(1e6 * ((CAST(t.tf AS DOUBLE) / CAST(d.dl AS DOUBLE))
+                                 * ln(n.n_docs / CAST(f.df AS DOUBLE))))
+                    AS BIGINT) AS tfidf_micro
+        FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (tok), n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf_micro DESC, tok ASC
+        ) AS rank FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, tfidf_micro
+    FROM ranked WHERE rank <= 5
+    """
+
+# dsir_weights oracle: BOTH unigram models retrained from scratch (target =
+# doc_id % 10 == 0), per-token diff s_raw - coalesce(s_target, s_unk_target)
+# summed per doc; the raw model covers every corpus token by construction
+_DSIR_WEIGHTS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    tcnts AS (
+        SELECT tok, count(*) AS c FROM toks WHERE doc_id % 10 = 0 GROUP BY tok
+    ),
+    ttot AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS nv FROM tcnts),
+    tmodel AS (
+        SELECT tok, CAST(round(1e6 * ln(nv / (c + 1.0))) AS BIGINT) AS st
+        FROM tcnts, ttot
+    ),
+    tunk AS (SELECT CAST(round(1e6 * ln(nv)) AS BIGINT) AS s_unk_t FROM ttot),
+    rcnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    rtot AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS nv FROM rcnts),
+    rmodel AS (
+        SELECT tok, CAST(round(1e6 * ln(nv / (c + 1.0))) AS BIGINT) AS sr
+        FROM rcnts, rtot
+    ),
+    scored AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               SUM(r.sr - COALESCE(m.st, (SELECT s_unk_t FROM tunk))) AS logw
+        FROM toks t
+        JOIN rmodel r USING (tok)
+        LEFT JOIN tmodel m USING (tok)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.logw, 0) AS BIGINT) AS logw_micro
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 def _training_order_oracle() -> str:
     """training_order oracle: the full permutation replayed via DuckDB's
     md5_number low-60 residue (canonical non-negative form — the
@@ -2945,6 +3041,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "chunk_seqs": _chunk_seqs_oracle(),
         "training_order": _training_order_oracle(),
+        "tfidf_topk": _TFIDF_TOPK_ORACLE,
+        "dsir_weights": _DSIR_WEIGHTS_ORACLE,
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
         "normalize_text": _normalize_oracle(),
         "pagerank": _pagerank_oracle(),

@@ -90,6 +90,79 @@ def unigram_model(
     return model, s_unk, v_kept
 
 
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_vocab_broadcast: int = 2_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public knowledge): score
+    every raw document by how target-like it is under two generative
+    models, ``log w(d) = log p_target(d) - log p_raw(d)``, here with the
+    module's oracle-checkable Laplace unigram LMs:
+
+        logw_micro(d) = sum_tokens (s_raw(t) - s_target(t))     # BIGINT
+
+    since s = -ln p in integer micro-nats, the per-token difference IS the
+    log-probability ratio; positive totals mean "more target-like than
+    corpus-like" (resample/keep head), negative the opposite. Tokens unseen
+    by either model take that model's unseen-class surprisal, so the weight
+    is defined for every document. The exact-integer per-type differences
+    make the per-doc sum order-independent — bit-identical under any
+    partitioning, DuckDB-recomputable hash-exactly.
+
+    Returns (id, n_tokens, logw_micro); zero-token docs score 0 (the ratio
+    of two empty products — neutral, neither kept nor dropped first).
+
+    Scale shape: both model trainings are one map-side-combined type-count
+    shuffle each (the target side is the SMALL trusted set); the two
+    surprisal tables merge full-outer on token into one diff table whose
+    size is the union vocabulary — broadcast under ``max_vocab_broadcast``
+    (above it a token-keyed sort-merge join); scoring is the lm_perplexity
+    shape: tokenize scan, diff-table join, one (id, long, long) per-doc
+    aggregate exchange.
+    """
+    model_t, s_unk_t, v_t = unigram_model(target_df, text_col, id_col, min_count)
+    model_r, s_unk_r, v_r = unigram_model(df, text_col, id_col, min_count)
+    # per-type micro-nat log ratio: d(t) = s_raw(t) - s_target(t), with the
+    # respective unseen-class surprisal standing in for an absent type
+    diff = (
+        model_t.select("tok", F.col("s").alias("_st"))
+        .join(model_r.select("tok", F.col("s").alias("_sr")), "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce(F.col("_sr"), F.lit(s_unk_r))
+                - F.coalesce(F.col("_st"), F.lit(s_unk_t))
+            )
+            .cast("long")
+            .alias("_d"),
+        )
+    )
+    if max_vocab_broadcast and (v_t + v_r) <= max_vocab_broadcast:
+        diff = F.broadcast(diff)
+    toks = _tokens(df, text_col, id_col)
+    joined = toks.join(diff, "tok", "left")
+    unk_diff = s_unk_r - s_unk_t  # token in neither vocab (min_count-pruned)
+    return joined.groupBy(id_col).agg(
+        F.count("tok").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull(),
+                    F.coalesce(F.col("_d"), F.lit(unk_diff)),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("logw_micro"),
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     text_col: str = "text",

@@ -53,6 +53,83 @@ DEFAULT_K1_MILLI = 1200  # Okapi k1 = 1.2
 DEFAULT_B_MILLI = 750  # Okapi b = 0.75
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_vocab_broadcast: int = 2_000_000,
+) -> DataFrame:
+    """Per-document top-k tf-idf keywords — the corpus-analytics staple
+    (salient-term extraction for tagging, clustering labels, search
+    snippets) over the crawled (id, text) table.
+
+    Classic normalized form, rounded ONCE per (doc, term) to an integer
+    micro-score so ranking is bit-identical under any partitioning and a
+    DuckDB oracle recomputes it hash-exactly (the bm25_topk float
+    discipline — one fixed parse tree of IEEE-double ops + one ``ln``,
+    written identically on both sides):
+
+        tfidf_micro(d,t) = round(1e6 * ((tf/dl) * ln(N/df)))
+
+    with tf the term count in the doc, dl the doc's token count, N the
+    corpus doc count, df the term's document frequency. Terms appearing in
+    every document score exactly 0 (ln 1) and still rank deterministically
+    via the (score DESC, tok ASC) tiebreak.
+
+    Returns (id, rank, tok, tf, tfidf_micro), rank 1..k per document.
+
+    Scale shape: one tokenize scan; (doc, term, tf) and df(t) are both
+    map-side-combined aggregates; dl derives from tf (no second scan); the
+    df table broadcasts while the vocabulary is at most
+    ``max_vocab_broadcast`` rows (the lmscore gate — above it Spark plans a
+    token-keyed sort-merge join); top-k is a window partitioned by doc
+    over each doc's own distinct-term rows — bounded, never a global sort.
+    """
+    toks = _tokens(df, text_col, id_col).filter(F.col("tok").isNotNull())
+    n_docs = int(df.count())
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    v = int(dfreq.count())
+    if max_vocab_broadcast and v <= max_vocab_broadcast:
+        dfreq = F.broadcast(dfreq)
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.lit(1e6)
+                * (
+                    (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                    * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_micro").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            "tf",
+            "tfidf_micro",
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: dict[str, str],

@@ -2584,6 +2584,93 @@ def test_lm_perplexity_exact_vs_brute(spark):
     assert got[1][2] < got[5][2]
 
 
+def _dsir_brute(raw_texts, target_texts, min_count=1):
+    """Pure-Python mirror of dsir_weights: two _lm_brute-style models,
+    per-token diff s_raw - s_target summed per raw doc."""
+    import math
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return re.findall("[a-z]+", (t or "").lower())
+
+    def model(texts):
+        cnt = Counter(tok for t in texts for tok in toks(t))
+        n = sum(cnt.values())
+        v = sum(1 for c in cnt.values() if c >= min_count)
+        nv = float(n + v + 1)
+        s = {
+            t: int(math.floor(1e6 * math.log(nv / (c + 1.0)) + 0.5))
+            for t, c in cnt.items()
+            if c >= min_count
+        }
+        return s, int(math.floor(1e6 * math.log(nv) + 0.5))
+
+    s_t, unk_t = model(target_texts)
+    s_r, unk_r = model(raw_texts)
+    out = {}
+    for i, t in enumerate(raw_texts):
+        tt = toks(t)
+        out[i] = (
+            len(tt),
+            sum(s_r.get(x, unk_r) - s_t.get(x, unk_t) for x in tt),
+        )
+    return out
+
+
+def test_dsir_weights_exact_vs_brute(spark):
+    """DSIR importance weights == the straight-line two-model mirror,
+    incl. zero-token docs and tokens unseen by the target model."""
+    from crawley_spark.operators.lmscore import dsir_weights
+
+    raw = [
+        "the cat sat on the mat",
+        "stock market crash economy inflation",
+        "the cat ran",
+        "???",
+        None,
+        "cat cat cat cat",
+    ]
+    target = ["the cat sat", "a cat ran home", "the cat the cat"]
+    rdf = spark.createDataFrame(list(enumerate(raw)), "doc_id long, text string")
+    tdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.logw_micro)
+        for r in dsir_weights(rdf, tdf).collect()
+    }
+    assert got == _dsir_brute(raw, target)
+    # target-like docs must outscore the off-target doc
+    assert got[0][1] > got[1][1] and got[2][1] > got[1][1]
+    # zero-token docs are neutral
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+
+
+def test_dsir_weights_min_count_and_smj_paths(spark):
+    """min_count pruning flows through both models; the forced sort-merge
+    diff-join path (gate=0-sized) agrees with the broadcast path."""
+    from crawley_spark.operators.lmscore import dsir_weights
+
+    raw = ["aa aa bb cc dd", "aa zz zz", "bb bb bb"]
+    target = ["aa aa aa bb", "aa cc"]
+    rdf = spark.createDataFrame(list(enumerate(raw)), "doc_id long, text string")
+    tdf = spark.createDataFrame(
+        [(50 + i, t) for i, t in enumerate(target)], "doc_id long, text string"
+    )
+    want = _dsir_brute(raw, target, min_count=2)
+    got = {
+        r.doc_id: (r.n_tokens, r.logw_micro)
+        for r in dsir_weights(rdf, tdf, min_count=2).collect()
+    }
+    assert got == want
+    got_smj = {
+        r.doc_id: (r.n_tokens, r.logw_micro)
+        for r in dsir_weights(rdf, tdf, min_count=2, max_vocab_broadcast=1).collect()
+    }
+    assert got_smj == want
+
+
 def test_lm_perplexity_min_count_prunes_to_unseen(spark):
     """min_count > 1 drops rare types from the model; their occurrences
     score as unseen (c=0 in the same smoothed formula) and V shrinks."""

@@ -144,3 +144,83 @@ def test_empty_query_raises(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         bm25_topk(df, {"q": "123 !!"})
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top-k keywords (operators/search.py, closing r05)
+
+
+def _brute_tfidf(docs, k):
+    """Pure-Python mirror of the documented arithmetic (same parse tree,
+    HALF_UP via floor(x+0.5) on values that can be negative only at exact
+    0 — ln(N/df) >= 0 always since df <= N)."""
+    import re
+
+    tok_lists = {i: re.findall("[a-z]+", (t or "").lower()) for i, t in docs.items()}
+    n_docs = len(docs)
+    dfreq = {}
+    for v in tok_lists.values():
+        for t in set(v):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    out = {}
+    for i, v in tok_lists.items():
+        if not v:
+            continue
+        dl = len(v)
+        scores = []
+        for t in set(v):
+            tf = v.count(t)
+            x = 1e6 * ((float(tf) / float(dl)) * math.log(float(n_docs) / float(dfreq[t])))
+            scores.append((t, tf, int(math.floor(x + 0.5))))
+        ranked = sorted(scores, key=lambda s: (-s[2], s[0]))[:k]
+        out[i] = [(r + 1, t, tf, s) for r, (t, tf, s) in enumerate(ranked)]
+    return out
+
+
+def _run_tfidf(spark, docs, k=5, **kw):
+    from crawley_spark.operators.search import tfidf_topk
+
+    df = spark.createDataFrame([(i, t) for i, t in docs.items()], ["doc_id", "text"])
+    got = {}
+    for r in sorted(tfidf_topk(df, k=k, **kw).collect(), key=lambda r: (r["doc_id"], r["rank"])):
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["tok"], r["tf"], r["tfidf_micro"]))
+    return got
+
+
+def test_tfidf_brute_parity(spark):
+    """40-doc deterministic corpus: Spark == Python mirror at several k,
+    through both the broadcast and the sort-merge df-join paths."""
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    docs = {
+        i: " ".join(vocab[(i * 5 + j * 3) % len(vocab)] for j in range((i % 7) + 1))
+        for i in range(40)
+    }
+    docs[40] = ""  # zero-token doc: absent from output
+    for k in (1, 3, 100):
+        got = _run_tfidf(spark, docs, k=k)
+        assert got == _brute_tfidf(docs, k)
+        assert 40 not in got
+    # forced sort-merge (vocab > gate) must agree with broadcast
+    assert _run_tfidf(spark, docs, k=3, max_vocab_broadcast=1) == _brute_tfidf(docs, 3)
+
+
+def test_tfidf_everywhere_term_scores_zero(spark):
+    docs = {0: "common rare", 1: "common", 2: "common common"}
+    got = _run_tfidf(spark, docs, k=5)
+    d0 = {t: s for _, t, _, s in got[0]}
+    assert d0["common"] == 0  # df == N => ln 1
+    assert d0["rare"] > 0
+    # rank order: rare first in doc 0; common ranks via tok-ASC among zeros
+    assert got[0][0][1] == "rare"
+
+
+def test_tfidf_plan_no_global_sort(spark):
+    from crawley_spark.operators.search import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i * 3) % 7} common") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
