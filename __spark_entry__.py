@@ -1201,6 +1201,59 @@ def _q_near_dup_clusters_score(spark, sf_dir):
     )
 
 
+# semdedup knobs — shared between the Spark query and the generated oracle
+# so the two sides cannot desynchronize on a constant
+_SEMDEDUP_K = 8
+_SEMDEDUP_ITERATIONS = 2
+_SEMDEDUP_THRESHOLD_MILLI = 900
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py — Abbas et al. 2023): integer-exact
+    k-means over quantized embeddings, within-cluster cosine pairs, connected
+    components, keep the max-centroid-distance member per duplicate group
+    (the paper's keep-the-most-atypical rule; min-id tiebreak). Input is the
+    embed_dedup-style derived set: 100 base vectors + 10 exact copies
+    (+10000) + 10 uniformly-perturbed copies (+20000, +0.01/dim). Every
+    number in the output is an exact integer (quantization micro-units,
+    trunc-div centroid updates, DECIMAL(38,0) threshold test), so the DuckDB
+    oracle replays k-means round by round via GENERATED CTEs (the pagerank
+    pattern) and recomputes pairs/components/keeper independently —
+    hash-exact end to end."""
+    from crawley_spark.operators.semdedup import semdedup
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    dup_exact = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    dup_near = base.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    cand = base.unionByName(dup_exact).unionByName(dup_near)
+    out = semdedup(
+        cand,
+        k=_SEMDEDUP_K,
+        iterations=_SEMDEDUP_ITERATIONS,
+        threshold_milli=_SEMDEDUP_THRESHOLD_MILLI,
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("dist_q").cast("bigint").alias("dist_q"),
+        F.col("component").cast("bigint").alias("component"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("is_kept"),
+    )
+
+
 def _q_bpe_tokens(spark, sf_dir):
     """True merge-table BPE (operators/textstats.bpe_token_stats +
     functions/bpe.py, VERDICT r03 "next" #4). Three checks in one output:
@@ -1633,6 +1686,134 @@ def _q_frontier_priority(spark, sf_dir):
         F.col("rank").cast("bigint").alias("rank"),
         F.col("slot").cast("bigint").alias("slot"),
     )
+
+
+def _semdedup_rounds(iterations: int) -> str:
+    """Chained per-iteration CTEs replaying the documented integer k-means
+    update (assign → argmin with (dist, cid) tie-break → element-wise
+    trunc-div centroid update with empty-cluster carryover), GENERATED so
+    the oracle cannot desynchronize from the operator's rule while DuckDB
+    still recomputes every round independently. Expects CTEs pt(id, dim, v)
+    and c0(cid, dim, v)."""
+    parts = []
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT p.id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS d
+            FROM pt p JOIN c{i - 1} c USING (dim) GROUP BY p.id, c.cid
+        ), s{i} AS MATERIALIZED (
+            SELECT id, cid FROM (
+                SELECT id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+                FROM a{i}
+            ) WHERE rn = 1
+        ), u{i} AS (
+            SELECT s.cid, p.dim, SUM(p.v) AS sv, COUNT(*) AS n
+            FROM s{i} s JOIN pt p USING (id) GROUP BY s.cid, p.dim
+        ), c{i} AS MATERIALIZED (
+            SELECT c.cid, c.dim, CAST(COALESCE(u.sv // u.n, c.v) AS BIGINT) AS v
+            FROM c{i - 1} c LEFT JOIN u{i} u ON u.cid = c.cid AND u.dim = c.dim
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _semdedup_oracle() -> str:
+    """Full independent DuckDB replay of the semdedup query: derived input,
+    quantization (identical round/cast parse tree), k-means rounds
+    (generated from the same _SEMDEDUP_* knobs + QUANT_SCALE), final
+    assignment, within-cluster HUGEINT cosine-threshold pairs, recursive-CTE
+    components, argmax-distance keeper with min-id tiebreak. DuckDB `//`
+    truncates toward zero like Spark `div` (verified on negatives), and
+    HUGEINT products mirror the operator's DECIMAL(38,0) comparison
+    exactly. The 64-dim range literal matches the embeddings table schema
+    (TESTDATA.md)."""
+    from crawley_spark.operators.semdedup import QUANT_SCALE
+
+    it = _SEMDEDUP_ITERATIONS
+    fin = it + 1
+    t2 = _SEMDEDUP_THRESHOLD_MILLI**2
+    return f"""
+        WITH RECURSIVE base AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id < 100
+        ),
+        cand AS (
+            SELECT vec_id, e FROM base
+            UNION ALL SELECT vec_id + 10000, e FROM base WHERE vec_id < 10
+            UNION ALL SELECT vec_id + 20000, list_transform(e, x -> x + 0.01)
+                      FROM base WHERE vec_id >= 10 AND vec_id < 20
+        ),
+        qv AS MATERIALIZED (
+            SELECT vec_id AS id,
+                   list_transform(e, x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT)) AS q
+            FROM cand
+        ),
+        dims AS (SELECT unnest(range(1, 65)) AS dim),
+        pt AS MATERIALIZED (
+            SELECT id, t.dim, q[t.dim] AS v FROM qv, dims t
+        ),
+        seeds AS (
+            SELECT id, q, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cid
+            FROM qv ORDER BY id LIMIT {_SEMDEDUP_K}
+        ),
+        c0 AS (SELECT s.cid, t.dim, s.q[t.dim] AS v FROM seeds s, dims t),
+        {_semdedup_rounds(it)},
+        a{fin} AS MATERIALIZED (
+            SELECT p.id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS d
+            FROM pt p JOIN c{it} c USING (dim) GROUP BY p.id, c.cid
+        ),
+        fin AS MATERIALIZED (
+            SELECT id, cid, d FROM (
+                SELECT id, cid, d,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+                FROM a{fin}
+            ) WHERE rn = 1
+        ),
+        n2 AS (SELECT id, SUM(v * v) AS n2 FROM pt GROUP BY id),
+        cpairs AS (
+            SELECT fa.id AS u, fb.id AS w
+            FROM fin fa JOIN fin fb ON fa.cid = fb.cid AND fa.id < fb.id
+        ),
+        pdot AS (
+            SELECT pr.u, pr.w, SUM(pa.v * pb.v) AS dot
+            FROM cpairs pr
+            JOIN pt pa ON pa.id = pr.u
+            JOIN pt pb ON pb.id = pr.w AND pb.dim = pa.dim
+            GROUP BY pr.u, pr.w
+        ),
+        dup AS MATERIALIZED (
+            SELECT d.u, d.w
+            FROM pdot d JOIN n2 na ON na.id = d.u JOIN n2 nb ON nb.id = d.w
+            WHERE d.dot > 0
+              AND CAST(d.dot AS HUGEINT) * d.dot * 1000000
+                  >= CAST({t2} AS HUGEINT) * na.n2 * nb.n2
+        ),
+        edges AS (SELECT u, w FROM dup UNION ALL SELECT w, u FROM dup),
+        reach(id, comp) AS (
+            SELECT id, id FROM qv
+            UNION
+            SELECT e.w, r.comp FROM reach r JOIN edges e ON e.u = r.id
+        ),
+        comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        ranked AS (
+            SELECT c.id, c.component,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component ORDER BY f.d DESC, c.id ASC
+                   ) AS rk
+            FROM comps c JOIN fin f USING (id)
+        ),
+        keepers AS (SELECT component, id AS keep_id FROM ranked WHERE rk = 1)
+        SELECT CAST(c.id AS BIGINT) AS id,
+               CAST(f.cid AS BIGINT) AS cluster,
+               CAST(f.d AS BIGINT) AS dist_q,
+               CAST(c.component AS BIGINT) AS component,
+               CAST(k.keep_id AS BIGINT) AS keep_id,
+               c.id = k.keep_id AS is_kept
+        FROM comps c
+        JOIN fin f USING (id)
+        JOIN keepers k USING (component)
+    """
 
 
 def _pagerank_rounds(iterations: int) -> str:
@@ -2107,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_clusters_score": _q_near_dup_clusters_score,
+        "semdedup": _q_semdedup,
         "bpe_tokens": _q_bpe_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
         "normalize_text": _q_normalize_text,
@@ -3046,6 +3228,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
         "normalize_text": _normalize_oracle(),
         "pagerank": _pagerank_oracle(),
+        "semdedup": _semdedup_oracle(),
         "host_rank": _host_rank_oracle(),
         "frontier_priority": _frontier_priority_oracle(),
         "crawl_delta": """
