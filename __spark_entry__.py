@@ -580,6 +580,97 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+# exact_substring_dedup knobs + planted passages, shared with the generated
+# oracle. The shared passage (> L chars, appended to every 3rd doc) plants
+# the cross-document duplicate; the doubled phrase (appended to every 7th
+# doc) plants the WITHIN-doc duplicate — ' repeatrepeatrepeatxq' (21 chars
+# >= L) occurs twice inside one document, which the published rule also
+# removes. L = 20 is scaled to the short synthetic docs (published default
+# 50; the operator default stays 50).
+_SUBSTR_L = 20
+_SUBSTR_SHARED = " exactsubstr shared boilerplate passage for dedup oracle"
+_SUBSTR_REP = " repeatrepeatrepeatxq repeatrepeatrepeatxq"
+
+
+def _q_substr_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal (dedup.exact_substring_dedup — Lee
+    et al. 2021 ExactSubstr: every char covered by a >= L-char substring
+    occurring twice anywhere in the corpus is cut, in every copy; the
+    L-gram-marking formulation is exactly equivalent to the suffix-array
+    tool). Derived corpus plants a cross-doc passage (every 3rd doc) and a
+    within-doc doubled phrase (every 7th doc); natural word-soup repeats
+    count too — both sides compute them. The query runs the hash-keyed
+    scale path; the oracle groups real substrings (collision cross-check,
+    the c4_span_dedup pattern) and reconstructs kept text char-by-char."""
+    from crawley_spark.operators.dedup import exact_substring_dedup
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(_SUBSTR_SHARED)).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(_SUBSTR_REP)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = exact_substring_dedup(derived, min_len=_SUBSTR_L)
+    return out.select(
+        "doc_id", "n_chars", "n_removed", F.md5("kept_text").alias("kept_md5")
+    )
+
+
+def _substr_dedup_oracle() -> str:
+    """Independent DuckDB replay of exact_substring_dedup over the same
+    derived corpus: L-grams via unnest(range(...)), duplicate grams grouped
+    by REAL substring values (cross-checking the operator's xxhash64 keys
+    against collisions), covered positions as the union of [p, p+L)
+    intervals, kept text rebuilt char-by-char with an ordered string_agg.
+    Generated from the same _SUBSTR_* knobs as the Spark query."""
+    L = _SUBSTR_L
+    return f"""
+        WITH d2 AS MATERIALIZED (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 3 = 0 THEN '{_SUBSTR_SHARED}' ELSE '' END
+                        || CASE WHEN doc_id % 7 = 0 THEN '{_SUBSTR_REP}' ELSE '' END AS t
+            FROM documents
+        ),
+        g2 AS MATERIALIZED (
+            SELECT doc_id, p, substring(t, p, {L}) AS g FROM (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - {L} + 2, 1))) AS p
+                FROM d2
+            )
+        ),
+        dupg AS (SELECT g FROM g2 GROUP BY g HAVING COUNT(*) >= 2),
+        dpos AS (SELECT DISTINCT doc_id, p FROM g2 JOIN dupg USING (g)),
+        cover AS (
+            SELECT DISTINCT doc_id, c FROM (
+                SELECT doc_id, unnest(range(p, p + {L})) AS c FROM dpos
+            )
+        ),
+        ch2 AS (
+            SELECT doc_id, c, substring(t, c, 1) AS ch FROM (
+                SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS c FROM d2
+            )
+        ),
+        kept AS (
+            SELECT ch2.doc_id, string_agg(ch2.ch, '' ORDER BY ch2.c) AS kt
+            FROM ch2 LEFT JOIN cover ON cover.doc_id = ch2.doc_id AND cover.c = ch2.c
+            WHERE cover.c IS NULL
+            GROUP BY ch2.doc_id
+        ),
+        nrem AS (SELECT doc_id, COUNT(*) AS nr FROM cover GROUP BY doc_id)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(length(d.t) AS BIGINT) AS n_chars,
+               CAST(COALESCE(n.nr, 0) AS BIGINT) AS n_removed,
+               md5(COALESCE(k.kt, '')) AS kept_md5
+        FROM d2 d
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN nrem n USING (doc_id)
+    """
+
+
 def _q_source_quality(spark, sf_dir):
     """Source/domain-level quality rollup (textstats.source_quality):
     per-source doc counts, Gopher-keep counts, word mass, and the
@@ -2260,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_13gram": _q_decontam,
         "c4_span_dedup": _q_c4_span_dedup,
         "line_dedup": _q_line_dedup,
+        "substr_dedup": _q_substr_dedup,
         "source_quality": _q_source_quality,
         "prep_pipeline": _q_prep_pipeline,
         "stratified_sample": _q_stratified_sample,
@@ -3215,6 +3307,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_13gram": _DECONTAM_ORACLE,
         "c4_span_dedup": _C4_SPAN_DEDUP_ORACLE,
         "line_dedup": _LINE_DEDUP_ORACLE,
+        "substr_dedup": _substr_dedup_oracle(),
         "source_quality": _source_quality_oracle(),
         "prep_pipeline": _prep_pipeline_oracle(),
         "stratified_sample": _stratified_sample_oracle(),

@@ -637,3 +637,134 @@ def boilerplate_line_dedup(
         F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long").alias("n_removed"),
         F.array_join(kept, "\n").alias("kept_text"),
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    hash_grams: bool = True,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", §ExactSubstr; public
+    knowledge): every character that is part of a substring of length >=
+    ``min_len`` occurring more than once in the corpus (ANY two occurrences
+    — across documents or within one) is removed, in every copy. That is
+    the released suffix-array tool's semantics (all copies cut, no
+    canonical survivor — deliberately different from c4_span_dedup's
+    keep-one rule).
+
+    Equivalence that replaces the suffix array with DataFrame ops: a
+    character is covered by SOME duplicated substring of length >= L iff it
+    is covered by a duplicated L-gram — every duplicated substring of
+    length >= L is tiled by duplicated L-grams, and every duplicated L-gram
+    IS a duplicated substring of length L. So: slide an L-char window at
+    every position, count occurrences per gram value corpus-wide, and
+    remove the union of [p, p+L) intervals of grams with count >= 2.
+
+    One row per input doc: ``n_chars``, ``n_removed`` (covered char
+    positions), ``kept_text`` (surviving chars, original order).
+
+    Scale shape (the c4_span_dedup / boilerplate_line_dedup pattern): grams
+    hash map-side in the scan projection, so the corpus-wide exchanges
+    carry (xxhash64, doc, pos) scalars — never text (64-bit collision
+    ~2^-64/pair is the declared approximation; the driver oracle groups
+    real substrings and cross-checks it; ``hash_grams=False`` keeps string
+    keys for zero-collision runs, parity-tested). Only the duplicated
+    MINORITY of positions expands to covered-char rows ((long, int)
+    scalars) and rejoins by doc — AQE broadcasts it when small.
+    Reconstruction is per-row: ``impl="sql"`` filters a char-index sequence
+    with JVM HOFs (interpreted lambdas — the gopher_repetition finding);
+    ``impl="arrow"`` (default) does the same with an O(len) set-lookup
+    kernel per Arrow batch. Row-for-row identical (parity-pinned).
+
+    The L-gram blowup (one row per character) is the honest cost of the
+    published exact algorithm — it is linear in corpus size with a
+    constant-factor row count, not quadratic, and each row is 20 bytes."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    if impl not in ("sql", "arrow"):
+        raise ValueError(f"unknown impl {impl!r}")
+    L = min_len
+    tcol = F.col(text_col)
+    n = F.length(tcol)
+    ps = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.col("_t").substr(F.col("p"), F.lit(L))
+    key = F.xxhash64(gram) if hash_grams else gram
+    occ = df.select(F.col(id_col), tcol.alias("_t"), F.explode(ps).alias("p")).select(
+        id_col, "p", key.alias("k")
+    )
+    dup = (
+        occ.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("k")
+    )
+    cover = (
+        occ.join(dup, "k")
+        .select(id_col, F.explode(F.sequence(F.col("p"), F.col("p") + L - 1)).alias("c"))
+        .distinct()
+    )
+    drop_pos = cover.groupBy(id_col).agg(F.collect_set("c").alias("drop_pos"))
+    joined = df.select(id_col, tcol.alias("_t")).join(drop_pos, id_col, "left")
+    if impl == "sql":
+        nt = F.length("_t")
+        idx = F.when(nt >= 1, F.sequence(F.lit(1), nt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        keep_idx = F.filter(
+            idx,
+            lambda c: F.coalesce(~F.array_contains(F.col("drop_pos"), c), F.lit(True)),
+        )
+        return joined.select(
+            id_col,
+            F.length("_t").cast("long").alias("n_chars"),
+            F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(keep_idx, lambda c: F.col("_t").substr(c, F.lit(1))), ""
+            ).alias("kept_text"),
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_removed", T.LongType()),
+            T.StructField("kept_text", T.StringType()),
+        ]
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            d = batch.to_pydict()
+            ids, ncs, nrs, kts = [], [], [], []
+            for did, t, dp in zip(d[id_col], d["_t"], d["drop_pos"]):
+                drop = set(dp) if dp is not None else ()
+                kept = (
+                    "".join(ch for j, ch in enumerate(t, start=1) if j not in drop)
+                    if drop
+                    else t
+                )
+                ids.append(did)
+                ncs.append(len(t))
+                nrs.append(len(drop))
+                kts.append(kept)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(ncs, type=pa.int64()),
+                    pa.array(nrs, type=pa.int64()),
+                    pa.array(kts, type=pa.string()),
+                ],
+                names=[id_col, "n_chars", "n_removed", "kept_text"],
+            )
+
+    return joined.select(
+        F.col(id_col).cast("long").alias(id_col), "_t", "drop_pos"
+    ).mapInArrow(fn, out_schema)
