@@ -771,6 +771,114 @@ def _q_split_assign(spark, sf_dir):
     )
 
 
+# temperature_mix knobs, shared with the generated oracle
+_MIX_ALPHA_MILLI = 500  # α = 0.5 — the XLM paper's sqrt smoothing
+_MIX_SALT = "mix-v1"
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture rates + the realized sample
+    (sampling.temperature_mix_rates → stratified_sample): per source the
+    smoothed mixture weight q ∝ (n/N)^0.5 in ppm, the doc allocation for
+    budget = N div 4, the exact stratified_sample rate knob, and the
+    REALIZED deterministic selection rolled up per source (count + md5 of
+    the sorted sampled member list, so one misselected doc flips the
+    hash). The per-source rate table is bounded (one row per source) and
+    is the one driver-collected object — the same bounded-rollup pattern
+    as semdedup's centroids. The oracle recomputes the whole chain:
+    exp/ln/round (the lmscore libm surface), integer q/take/rate, and the
+    md5_number low-60 row selection."""
+    from crawley_spark.operators.sampling import (
+        SAMPLE_DEN,
+        stratified_sample,
+        temperature_mix_rates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    budget = docs.count() // 4
+    rates_df = temperature_mix_rates(
+        docs, strat_col="source", alpha_milli=_MIX_ALPHA_MILLI, budget=budget
+    )
+    rate_rows = rates_df.collect()  # bounded: one row per source
+    rates = {r["source"]: r["rate_ppm"] / SAMPLE_DEN for r in rate_rows}
+    sampled = stratified_sample(
+        docs, rates=rates, default_rate=0.0, strat_col="source", salt=_MIX_SALT
+    )
+    rollup = sampled.groupBy("source").agg(
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("sampled"), F.col("doc_id").cast("string"))
+                    )
+                ),
+                "|",
+            )
+        ).alias("sampled_md5"),
+    )
+    return rates_df.join(rollup, on="source").select(
+        "source", "n_docs", "w_micro", "q_ppm", "take_docs", "rate_ppm",
+        "n_sampled", "sampled_md5",
+    )
+
+
+def _temperature_mix_oracle() -> str:
+    """Full independent DuckDB replay: counts → w_micro = round(1e6 ·
+    exp(α·ln(n/N))) (identical parse tree; α inlined as an exact double
+    literal) → integer q_ppm/take/rate (// ≡ div) → md5_number low-60
+    selection → per-source rollup with the sorted-member md5."""
+    from crawley_spark.operators.sampling import SAMPLE_DEN
+
+    alpha = _MIX_ALPHA_MILLI / 1000.0
+    low60 = (
+        f"((md5_number('{_MIX_SALT}' || CAST(doc_id AS VARCHAR))"
+        " % 1152921504606846976) + 1152921504606846976) % 1152921504606846976"
+    )
+    return f"""
+        WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        t AS (SELECT COUNT(*) AS n_total, COUNT(*) // 4 AS budget FROM documents),
+        w AS (
+            SELECT source, n_docs,
+                   CAST(round(1000000 * exp(CAST({alpha!r} AS DOUBLE)
+                        * ln(CAST(n_docs AS DOUBLE) / n_total))) AS BIGINT) AS w_micro
+            FROM c, t
+        ),
+        s AS (SELECT SUM(w_micro) AS sum_w FROM w),
+        q AS (
+            SELECT source, n_docs, w_micro,
+                   CAST((w_micro * 1000000) // sum_w AS BIGINT) AS q_ppm
+            FROM w, s
+        ),
+        r AS (
+            SELECT q.*, CAST((q_ppm * budget) // 1000000 AS BIGINT) AS take_docs
+            FROM q, t
+        ),
+        r2 AS (
+            SELECT r.*,
+                   CAST(least({SAMPLE_DEN}, (take_docs * {SAMPLE_DEN}) // n_docs)
+                        AS BIGINT) AS rate_ppm
+            FROM r
+        ),
+        picked AS (
+            SELECT d.source, d.doc_id,
+                   CAST(({low60}) % {SAMPLE_DEN} AS BIGINT) < r2.rate_ppm AS sampled
+            FROM documents d JOIN r2 ON r2.source = d.source
+        ),
+        roll AS (
+            SELECT source,
+                   CAST(COUNT(*) FILTER (sampled) AS BIGINT) AS n_sampled,
+                   md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), '|'
+                       ORDER BY CAST(doc_id AS VARCHAR)) FILTER (sampled), ''))
+                       AS sampled_md5
+            FROM picked GROUP BY source
+        )
+        SELECT r2.source, r2.n_docs, r2.w_micro, r2.q_ppm, r2.take_docs,
+               r2.rate_ppm, roll.n_sampled, roll.sampled_md5
+        FROM r2 JOIN roll USING (source)
+    """
+
+
 def _q_pack_shards(spark, sf_dir):
     """Token-budget shard packing (sampling.pack_token_shards): docs in
     doc_id order, greedy-packed into ~5000-token shards via the two-pass
@@ -2356,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_pipeline": _q_prep_pipeline,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
+        "temperature_mix": _q_temperature_mix,
         "pack_shards": _q_pack_shards,
         "crawl_budget": _q_crawl_budget,
         "chunk_seqs": _q_chunk_seqs,
@@ -3312,6 +3421,7 @@ def oracle_sql() -> dict[str, str]:
         "prep_pipeline": _prep_pipeline_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
+        "temperature_mix": _temperature_mix_oracle(),
         "pack_shards": _PACK_SHARDS_ORACLE,
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "chunk_seqs": _chunk_seqs_oracle(),

@@ -310,3 +310,64 @@ def assign_splits(
     for name, hi in zip(names[1:-1], thresholds[1:-1]):
         expr = expr.when(F.col("split_bucket") < hi, F.lit(name))
     return out.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    strat_col: str = "source",
+    alpha_milli: int = 500,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based training-mixture sampling rates (Conneau & Lample
+    2019 §3.1, the multinomial smoothing rule mT5/XLM-R also use; public
+    knowledge): with per-stratum shares p_i = n_i/N, sample stratum i with
+    probability q_i ∝ p_i^α — α < 1 up-weights small strata (low-resource
+    languages / rare domains) without letting any stratum dominate.
+
+    One row per stratum: ``n_docs``, ``w_micro`` = round(1e6 · p^α)
+    (α = alpha_milli/1000 — a milli-integer knob so the float literal is
+    exact), ``q_ppm`` = the normalized mixture weight in parts-per-million
+    (integer division — sums to ≤ 1e6 with truncation remainder, like the
+    pre-apportionment step of crawl_budget), and with ``budget`` B:
+    ``take_docs`` = B·q_i (the stratum's document allocation) and
+    ``rate_ppm`` = min(1e6, take·1e6 // n) — the EXACT integer knob to feed
+    :func:`stratified_sample`, closing the loop from policy to row
+    selection. p^α is computed as exp(α·ln p) with one fixed IEEE parse
+    tree and rounded ONCE to micro-units (the lmscore/change_rate libm
+    surface — ln/exp written identically on both engines); everything
+    after is exact integer arithmetic (Spark ``div`` ≡ DuckDB ``//``).
+
+    Scale shape: one map-side-combined count shuffle on the stratum key;
+    N and Σw are one-row aggregates broadcast back (no driver collect);
+    the output is the bounded per-stratum rollup. Bounds: q_ppm·budget
+    must fit BIGINT ⇒ budget ≤ ~9e12 documents — beyond any corpus."""
+    if not (0 < alpha_milli <= 1000):
+        raise ValueError("alpha_milli must be in (0, 1000]")
+    alpha = alpha_milli / 1000.0
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = df.agg(F.count(F.lit(1)).alias("n_total"))
+    w = F.round(
+        F.lit(1e6) * F.exp(F.lit(alpha) * F.log(F.col("n_docs") / F.col("n_total")))
+    ).cast("long")
+    wt = counts.crossJoin(F.broadcast(tot)).withColumn("w_micro", w)
+    sw = wt.agg(F.sum("w_micro").alias("sum_w"))
+    out = (
+        wt.crossJoin(F.broadcast(sw))
+        .withColumn("q_ppm", F.expr("(w_micro * 1000000) div sum_w").cast("long"))
+    )
+    cols = [strat_col, "n_docs", "w_micro", "q_ppm"]
+    if budget is not None:
+        if budget < 0:
+            raise ValueError("budget must be >= 0")
+        out = out.withColumn(
+            "take_docs",
+            F.expr(f"(q_ppm * CAST({int(budget)} AS BIGINT)) div 1000000").cast("long"),
+        ).withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(SAMPLE_DEN).cast("long"),
+                F.expr(f"(take_docs * {SAMPLE_DEN}) div n_docs").cast("long"),
+            ),
+        )
+        cols += ["take_docs", "rate_ppm"]
+    return out.select(*[F.col(c).cast("long").alias(c) if c != strat_col else F.col(c) for c in cols])

@@ -2866,3 +2866,71 @@ def test_assign_splits_validates_weights_and_plan(spark, docs):
         assign_splits(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_temperature_mix_rates_brute_parity(spark):
+    import math
+
+    from crawley_spark.operators.sampling import SAMPLE_DEN, temperature_mix_rates
+
+    rows = [(i, f"s{min(i, 3)}") for i in range(40)]  # sizes 1,1,1,37
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    n = {f"s{k}": v for k, v in {0: 1, 1: 1, 2: 1, 3: 37}.items()}
+    N, alpha, budget = 40, 0.5, 10
+    w = {s: round(1e6 * math.exp(alpha * math.log(c / N))) for s, c in n.items()}
+    sw = sum(w.values())
+    q = {s: (wv * 1_000_000) // sw for s, wv in w.items()}
+    take = {s: (qv * budget) // 1_000_000 for s, qv in q.items()}
+    rate = {s: min(SAMPLE_DEN, (take[s] * SAMPLE_DEN) // n[s]) for s in n}
+    got = {
+        r["source"]: (r["n_docs"], r["w_micro"], r["q_ppm"], r["take_docs"], r["rate_ppm"])
+        for r in temperature_mix_rates(df, alpha_milli=500, budget=budget).collect()
+    }
+    assert got == {s: (n[s], w[s], q[s], take[s], rate[s]) for s in n}
+    # α = 0.5 up-weights the small strata: their mixture share beats their
+    # raw share, the giant stratum's is below it
+    assert q["s0"] * N > 1_000_000 * n["s0"]
+    assert q["s3"] * N < 1_000_000 * n["s3"]
+
+
+def test_temperature_mix_alpha_one_is_proportional_and_cap(spark):
+    from crawley_spark.operators.sampling import SAMPLE_DEN, temperature_mix_rates
+
+    rows = [(i, "a" if i < 30 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # α = 1: w = round(1e6·n/N) exactly — no smoothing
+    got = {r["source"]: r for r in
+           temperature_mix_rates(df, alpha_milli=1000, budget=100).collect()}
+    assert got["a"]["w_micro"] == 750_000 and got["b"]["w_micro"] == 250_000
+    # budget ≥ N: every stratum's rate caps at SAMPLE_DEN (take ≥ n)
+    assert got["a"]["rate_ppm"] == SAMPLE_DEN and got["b"]["rate_ppm"] == SAMPLE_DEN
+    # single stratum: p = 1 ⇒ w = q = 1e6 exactly for any α
+    one = temperature_mix_rates(
+        df.withColumn("source", F.lit("only")), alpha_milli=300, budget=5
+    ).collect()[0]
+    assert one["w_micro"] == 1_000_000 and one["q_ppm"] == 1_000_000
+    assert one["take_docs"] == 5
+
+
+def test_temperature_mix_feeds_stratified_sample(spark):
+    from crawley_spark.operators.sampling import (
+        SAMPLE_DEN,
+        stratified_sample,
+        temperature_mix_rates,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r["source"]: r["rate_ppm"] / SAMPLE_DEN
+        for r in temperature_mix_rates(df, budget=50).collect()
+    }
+    a = {r["doc_id"] for r in stratified_sample(df, rates=rates, salt="mix-t").collect()
+         if r["sampled"]}
+    b = {r["doc_id"] for r in stratified_sample(df, rates=rates, salt="mix-t").collect()
+         if r["sampled"]}
+    assert a == b and 0 < len(a) < 200  # deterministic, genuinely selective
+    with pytest.raises(ValueError):
+        temperature_mix_rates(df, alpha_milli=0)
+    with pytest.raises(ValueError):
+        temperature_mix_rates(df, budget=-1)
