@@ -771,6 +771,138 @@ def _q_split_assign(spark, sf_dir):
     )
 
 
+# crawl_traps planted fixtures (shared Spark/oracle constants): a
+# pathological repeated segment, a 21-distinct-segment deep path (distinct
+# so the depth rule fires ALONE, not via the run rule), and an
+# 11-parameter query
+_TRAP_CAL = "/cal/cal/cal"
+_TRAP_DEEP = "/" + "/".join(f"d{i}" for i in range(21))
+_TRAP_PARAMS = "?" + "&".join(f"k{i}=v" for i in range(11))
+
+
+def _q_crawl_traps(spark, sf_dir):
+    """Crawler-trap detection (operators/traps.py — Heritrix
+    PathologicalPath/TooManyPathSegments decide rules + query-parameter
+    explosion): per-URL integer signals (max consecutive-segment run, path
+    depth, parameter count), the trap flag, and the per-host rollup
+    (n_urls, n_traps, trap_ppm) joined onto every row. URLs are derived
+    from documents with each rule planted on a disjoint doc_id residue.
+    The per-URL pass is a zero-shuffle projection; the oracle recomputes
+    the segment-run signal with an INDEPENDENT method (window functions
+    over ordinal segment rows vs the operator's aggregate-HOF scan) and
+    parses path/query from the derivation parts rather than Spark's
+    parse_url."""
+    from crawley_spark.operators.traps import host_trap_stats, url_trap_signals
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example/sec"),
+        (did % 5).cast("string"),
+        F.lit("/p"),
+        ids,
+        F.when(did % 13 == 0, F.lit(_TRAP_CAL)).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(_TRAP_DEEP)).otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.lit(_TRAP_PARAMS)).otherwise(F.lit("")),
+    )
+    sig = url_trap_signals(docs.select("doc_id", url.alias("url")))
+    roll = host_trap_stats(sig)
+    return sig.join(roll, on="host").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "host",
+        "max_seg_run",
+        "n_segments",
+        "n_params",
+        "is_trap",
+        "n_urls",
+        "n_traps",
+        "trap_ppm",
+    )
+
+
+def _crawl_traps_oracle() -> str:
+    """Independent DuckDB replay: rebuilds path/query from the derivation
+    parts, recomputes the consecutive-run signal via a window change-flag +
+    per-group counts — a different algorithm from the operator's HOF scan —
+    and the rollup via GROUP BY. Thresholds are imported from the operator
+    module."""
+    from crawley_spark.operators.traps import (
+        MAX_PATH_SEGMENTS,
+        MAX_QUERY_PARAMS,
+        MAX_SEG_REPEATS,
+    )
+
+    return f"""
+        WITH parts AS MATERIALIZED (
+            SELECT doc_id,
+                   source || '.example' AS host,
+                   '/sec' || CAST(doc_id % 5 AS VARCHAR) || '/p'
+                        || CAST(doc_id AS VARCHAR)
+                        || CASE WHEN doc_id % 13 = 0 THEN '{_TRAP_CAL}' ELSE '' END
+                        || CASE WHEN doc_id % 17 = 0 THEN '{_TRAP_DEEP}' ELSE '' END
+                        AS path,
+                   CASE WHEN doc_id % 19 = 0
+                        THEN '{_TRAP_PARAMS[1:]}' ELSE '' END AS query
+            FROM documents
+        ),
+        seglists AS (
+            SELECT doc_id, list_filter(string_split(path, '/'), x -> x <> '') AS l
+            FROM parts
+        ),
+        segrows AS (
+            SELECT doc_id, i, l[i] AS seg FROM (
+                SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM seglists
+            )
+        ),
+        marks AS (
+            SELECT doc_id, i,
+                   CASE WHEN seg = lag(seg) OVER (PARTITION BY doc_id ORDER BY i)
+                        THEN 0 ELSE 1 END AS brk
+            FROM segrows
+        ),
+        grps AS (
+            SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM marks
+        ),
+        runs AS (
+            SELECT doc_id, MAX(cnt) AS max_run FROM (
+                SELECT doc_id, g, COUNT(*) AS cnt FROM grps GROUP BY doc_id, g
+            ) GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT p.doc_id, p.host,
+                   CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_seg_run,
+                   CAST(len(s.l) AS BIGINT) AS n_segments,
+                   CAST(CASE WHEN p.query = '' THEN 0
+                             ELSE len(string_split(p.query, '&')) END AS BIGINT)
+                        AS n_params
+            FROM parts p
+            JOIN seglists s USING (doc_id)
+            LEFT JOIN runs r USING (doc_id)
+        ),
+        flagged AS (
+            SELECT *,
+                   (max_seg_run > {MAX_SEG_REPEATS}
+                    OR n_segments > {MAX_PATH_SEGMENTS}
+                    OR n_params > {MAX_QUERY_PARAMS}) AS is_trap
+            FROM sig
+        ),
+        roll AS (
+            SELECT host,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(COUNT(*) FILTER (is_trap) AS BIGINT) AS n_traps
+            FROM flagged GROUP BY host
+        )
+        SELECT f.doc_id, f.host, f.max_seg_run, f.n_segments, f.n_params,
+               f.is_trap, r.n_urls, r.n_traps,
+               CAST((r.n_traps * 1000000) // r.n_urls AS BIGINT) AS trap_ppm
+        FROM flagged f JOIN roll r USING (host)
+    """
+
+
 # temperature_mix knobs, shared with the generated oracle
 _MIX_ALPHA_MILLI = 500  # α = 0.5 — the XLM paper's sqrt smoothing
 _MIX_SALT = "mix-v1"
@@ -2465,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "temperature_mix": _q_temperature_mix,
+        "crawl_traps": _q_crawl_traps,
         "pack_shards": _q_pack_shards,
         "crawl_budget": _q_crawl_budget,
         "chunk_seqs": _q_chunk_seqs,
@@ -3422,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
+        "crawl_traps": _crawl_traps_oracle(),
         "pack_shards": _PACK_SHARDS_ORACLE,
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "chunk_seqs": _chunk_seqs_oracle(),
