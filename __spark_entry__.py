@@ -720,6 +720,109 @@ def _q_prep_pipeline(spark, sf_dir):
     )
 
 
+def _q_nb_classifier(spark, sf_dir):
+    """Classifier distillation (operators/classifier.naive_bayes_distill —
+    the CCNet/FineWeb-Edu train-a-model-to-mimic-a-filter stage): teacher =
+    the lang_id 'en' gate, student = multinomial naive-Bayes LLR over the
+    shared [a-z]+ tokens, built from two class-conditional Laplace unigram
+    LMs in integer micro-nats plus an integer prior. One row per doc with
+    the exact margin — 87% training accuracy with full recall on the 'en'
+    class at sf0.01 (the NB approximation is the declared student limit;
+    determinism and oracle-exactness are the point). DuckDB retrains BOTH
+    class models, the prior, and every margin from scratch; the teacher
+    CASE is generated from the same LANG_MARKERS table as lang_id's."""
+    from crawley_spark.operators.classifier import naive_bayes_distill
+    from crawley_spark.operators.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    lab = lang_id(docs).select("doc_id", (F.col("pred_lang") == "en").alias("is_en"))
+    out = naive_bayes_distill(docs.join(lab, "doc_id"), label_col="is_en")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("y").cast("long").alias("y"),
+        "n_tokens",
+        "margin_micro",
+        "pred_keep",
+        "correct",
+    )
+
+
+def _nb_classifier_oracle() -> str:
+    """Full independent replay: generated lang-marker teacher, two Laplace
+    unigram models (the dsir oracle's CTE shape, per class), the
+    floor(x+0.5) prior (sign-safe HALF_UP — ln(n_pos/n_neg) can be
+    negative, where round-half-away would diverge at exact ties), and
+    per-doc margins via left joins with unseen-class fallbacks."""
+    from crawley_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"CAST({terms} AS BIGINT) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+    pred = f"CASE WHEN {best} = 0 THEN 'und' {cases} ELSE 'und' END"
+    return f"""
+    WITH lscored AS (
+        SELECT doc_id, text, {", ".join(score_exprs)}
+        FROM (SELECT doc_id, text, lower(text) AS t FROM documents)
+    ),
+    lab AS MATERIALIZED (
+        SELECT doc_id, text, ({pred}) = 'en' AS is_en FROM lscored
+    ),
+    toks AS MATERIALIZED (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM lab
+    ),
+    pcnts AS (
+        SELECT tok, count(*) AS c FROM toks JOIN lab USING (doc_id)
+        WHERE is_en GROUP BY tok
+    ),
+    ptot AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS nv FROM pcnts),
+    pmodel AS (
+        SELECT tok, CAST(round(1e6 * ln(nv / (c + 1.0))) AS BIGINT) AS s
+        FROM pcnts, ptot
+    ),
+    punk AS (SELECT CAST(floor(1e6 * ln(nv) + 0.5) AS BIGINT) AS s FROM ptot),
+    ncnts AS (
+        SELECT tok, count(*) AS c FROM toks JOIN lab USING (doc_id)
+        WHERE NOT is_en GROUP BY tok
+    ),
+    ntot AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS nv FROM ncnts),
+    nmodel AS (
+        SELECT tok, CAST(round(1e6 * ln(nv / (c + 1.0))) AS BIGINT) AS s
+        FROM ncnts, ntot
+    ),
+    nunk AS (SELECT CAST(floor(1e6 * ln(nv) + 0.5) AS BIGINT) AS s FROM ntot),
+    prior AS (
+        SELECT CAST(floor(1e6 * ln(
+                   CAST(COUNT(*) FILTER (is_en) AS DOUBLE)
+                   / COUNT(*) FILTER (NOT is_en)) + 0.5) AS BIGINT) AS p
+        FROM lab
+    ),
+    scored AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               SUM(COALESCE(n.s, (SELECT s FROM nunk))
+                   - COALESCE(p.s, (SELECT s FROM punk))) AS sll
+        FROM toks t
+        LEFT JOIN pmodel p USING (tok)
+        LEFT JOIN nmodel n USING (tok)
+        GROUP BY t.doc_id
+    )
+    SELECT l.doc_id,
+           CAST(CASE WHEN l.is_en THEN 1 ELSE -1 END AS BIGINT) AS y,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.sll, 0) + (SELECT p FROM prior) AS BIGINT) AS margin_micro,
+           (COALESCE(s.sll, 0) + (SELECT p FROM prior)) > 0 AS pred_keep,
+           ((COALESCE(s.sll, 0) + (SELECT p FROM prior)) > 0) = l.is_en AS correct
+    FROM lab l LEFT JOIN scored s USING (doc_id)
+    """
+
+
 # fineweb_pipeline planted fixtures (shared Spark/oracle constants): a
 # decisively-German doc (4 distinct de markers, two twice — zero en
 # markers) proving the language gate, and a PII line that satisfies the C4
@@ -2799,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": _q_source_quality,
         "prep_pipeline": _q_prep_pipeline,
         "fineweb_pipeline": _q_fineweb_pipeline,
+        "nb_classifier": _q_nb_classifier,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "temperature_mix": _q_temperature_mix,
@@ -3758,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality": _source_quality_oracle(),
         "prep_pipeline": _prep_pipeline_oracle(),
         "fineweb_pipeline": _fineweb_pipeline_oracle(),
+        "nb_classifier": _nb_classifier_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
