@@ -2186,6 +2186,46 @@ FROM documents
 """
 
 
+def _q_wet_roundtrip(spark, sf_dir):
+    """WET export/re-read (sources/warc.export_wet — Common Crawl's
+    extracted-plain-text format: WARC containers of ``conversion``/
+    ``text/plain`` records): documents.text out as WET, back through the
+    strict distributed parser, per-doc (doc_id, rec_type, content_type,
+    n_bytes, payload_md5). HASH-EXACT vs DuckDB recomputing from the
+    table — exercises the conversion record type and the WARC-level
+    Content-Type passthrough end to end (warc_roundtrip covers the
+    resource type and the timestamp path)."""
+    import tempfile
+
+    from crawley_spark.sources.warc import export_wet, read_warc
+
+    docs = _docs(spark, sf_dir)
+    frame = docs.select(
+        F.concat(F.lit("http://wet.test/doc/"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    out_dir = tempfile.mkdtemp(prefix="crawley_wet_rt_")
+    export_wet(frame, out_dir, num_files=8).collect()
+    got = read_warc(spark, out_dir).filter(F.col("rec_type") == "conversion")
+    return got.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "rec_type",
+        "content_type",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+_WET_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       'conversion' AS rec_type,
+       'text/plain; charset=utf-8' AS content_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # link-graph analytics (operators/linkgraph.py): integer-exact PageRank
 # ---------------------------------------------------------------------------
@@ -2934,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "bpe_tokens": _q_bpe_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
         "normalize_text": _q_normalize_text,
         "pagerank": _q_pagerank,
         "host_rank": _q_host_rank,
@@ -3874,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_TOPK_ORACLE,
         "dsir_weights": _DSIR_WEIGHTS_ORACLE,
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
+        "wet_roundtrip": _WET_ROUNDTRIP_ORACLE,
         "normalize_text": _normalize_oracle(),
         "pagerank": _pagerank_oracle(),
         "semdedup": _semdedup_oracle(),

@@ -344,3 +344,39 @@ def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
         F.col("http_content_type").alias("content_type"),
         F.col("http_status").alias("status"),
     )
+
+
+def export_wet(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    compress: bool = True,
+    num_files: int | None = None,
+) -> DataFrame:
+    """WET export — Common Crawl's extracted-plain-text sibling of the
+    capture WARC (public format: WET files are WARC containers whose
+    records are ``WARC-Type: conversion`` with a ``text/plain`` block,
+    one per source URL). Thin, deliberately: the writer is
+    :func:`write_warc` with the conversion record type, so the format,
+    determinism (byte-identical re-export), gzip member layout, and the
+    num_files contract are all the already-tested WARC machinery; the
+    reader is plain :func:`read_warc` filtered on ``rec_type =
+    'conversion'``. Returns the manifest frame."""
+    frame = df.select(
+        F.col(url_col).alias("url"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+    )
+    return write_warc(
+        frame,
+        out_dir,
+        payload_col="payload",
+        ts_col="_ts" if ts_col else None,
+        default_content_type="text/plain; charset=utf-8",
+        record_type="conversion",
+        compress=compress,
+        num_files=num_files,
+    )

@@ -248,3 +248,31 @@ class TestRoundtrip:
         assert rec.startswith(b"WARC/1.1\r\n")
         assert b"Content-Length: 3\r\n\r\nabc\r\n\r\n" in rec
         assert rec.endswith(b"\r\n\r\n")
+
+
+def test_wet_export_roundtrip(spark, tmp_path):
+    """WET (conversion/text-plain) records roundtrip through the strict
+    parser with the content type intact; re-export is byte-identical."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crawley_spark.sources.warc import export_wet, read_warc
+
+    df = spark.createDataFrame(
+        [(0, "http://w.test/a", "hello plain text"), (1, "http://w.test/b", "unicode é ☃")],
+        "doc_id long, url string, text string",
+    )
+    out = str(tmp_path / "wet1")
+    m = export_wet(df.select("url", "text"), out, num_files=1).collect()
+    assert sum(r["n_records"] for r in m) == 2
+    got = {r["url"]: r for r in read_warc(spark, out).filter(F.col("rec_type") == "conversion").collect()}
+    assert got["http://w.test/a"]["payload"] == b"hello plain text"
+    assert got["http://w.test/b"]["payload"].decode() == "unicode é ☃"
+    assert all(r["content_type"] == "text/plain; charset=utf-8" for r in got.values())
+    out2 = str(tmp_path / "wet2")
+    export_wet(df.select("url", "text"), out2, num_files=1).collect()
+    a = sorted(glob.glob(os.path.join(out, "*")))
+    b = sorted(glob.glob(os.path.join(out2, "*")))
+    assert [open(x, "rb").read() for x in a] == [open(y, "rb").read() for y in b]
