@@ -2216,6 +2216,60 @@ def _q_wet_roundtrip(spark, sf_dir):
     )
 
 
+_INDEX_CHUNK = 64  # < max df (=n_docs) at sf0.01 so the chunk cut binds
+
+
+def _q_inverted_index(spark, sf_dir):
+    """Sharded inverted index (search.build_inverted_index): per-(term,
+    chunk) rows with df, chunk size, first/last posting, and an md5 of the
+    ascending posting ids — one misplaced doc or a wrong chunk boundary
+    flips a hash. chunk_size=64 < corpus df so common terms genuinely
+    split across chunks. HASH-EXACT: DuckDB retokenizes and rebuilds the
+    whole layout (ROW_NUMBER chunk assignment + ordered string_agg)."""
+    from crawley_spark.operators.search import build_inverted_index
+
+    idx = build_inverted_index(_docs(spark, sf_dir), chunk_size=_INDEX_CHUNK)
+    return idx.select(
+        "tok",
+        F.col("chunk").cast("long").alias("chunk"),
+        "df",
+        "n_postings",
+        F.element_at("postings", 1).alias("first_doc"),
+        F.element_at("postings", -1).alias("last_doc"),
+        F.md5(
+            F.array_join(F.transform("postings", lambda d: d.cast("string")), "|")
+        ).alias("postings_md5"),
+    )
+
+
+_INVERTED_INDEX_ORACLE = f"""
+    WITH occ AS (
+        SELECT DISTINCT did, tok FROM (
+            SELECT doc_id AS did,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        )
+    ),
+    ranked AS (
+        SELECT tok, did,
+               ROW_NUMBER() OVER (PARTITION BY tok ORDER BY did) AS rn
+        FROM occ
+    ),
+    ch AS (
+        SELECT tok, (rn - 1) // {_INDEX_CHUNK} AS chunk,
+               CAST(COUNT(*) AS BIGINT) AS n_postings,
+               CAST(MIN(did) AS BIGINT) AS first_doc,
+               CAST(MAX(did) AS BIGINT) AS last_doc,
+               md5(string_agg(CAST(did AS VARCHAR), '|' ORDER BY did)) AS postings_md5
+        FROM ranked GROUP BY tok, (rn - 1) // {_INDEX_CHUNK}
+    ),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM occ GROUP BY tok)
+    SELECT c.tok, CAST(c.chunk AS BIGINT) AS chunk, d.df, c.n_postings,
+           c.first_doc, c.last_doc, c.postings_md5
+    FROM ch c JOIN dfs d USING (tok)
+"""
+
+
 _WET_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
        'conversion' AS rec_type,
@@ -2975,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
         "wet_roundtrip": _q_wet_roundtrip,
+        "inverted_index": _q_inverted_index,
         "normalize_text": _q_normalize_text,
         "pagerank": _q_pagerank,
         "host_rank": _q_host_rank,
@@ -3916,6 +3971,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_WEIGHTS_ORACLE,
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
         "wet_roundtrip": _WET_ROUNDTRIP_ORACLE,
+        "inverted_index": _INVERTED_INDEX_ORACLE,
         "normalize_text": _normalize_oracle(),
         "pagerank": _pagerank_oracle(),
         "semdedup": _semdedup_oracle(),

@@ -242,3 +242,72 @@ def bm25_topk(
             "score_micro",
         )
     )
+
+
+DEFAULT_POSTINGS_CHUNK = 4096
+
+
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = DEFAULT_POSTINGS_CHUNK,
+) -> DataFrame:
+    """Sharded inverted index — the physical artifact a search deployment
+    builds from the crawled corpus (public structure: Lucene/ES segment
+    posting lists; chunked "skip-block" layout). One row per (term,
+    chunk): ``(tok, chunk, df, n_postings, postings)`` with postings =
+    ascending doc ids, ``chunk`` assigned by that order so chunk 0 holds
+    the df smallest ids, and ``df`` the term's total document frequency
+    repeated on every chunk row (the lookup never needs a second table).
+
+    The chunking is the scale point: a stopword's posting list at corpus
+    scale is "every document" — collecting it into ONE array row is
+    unbounded executor state. Chunk assignment is a per-term window
+    (hash-partitioned by tok — bounded by the term's own df, never a
+    global sort) and each collected array is ≤ ``chunk_size`` ids.
+    Exchanges carry (tok, doc_id) scalars (one distinct + the window +
+    one bounded collect per chunk). Tokens are the shared [a-z]+ regex.
+    """
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    toks = _tokens(df, text_col, id_col).filter(F.col("tok").isNotNull())
+    occ = toks.select(F.col(id_col).cast("long").alias("did"), "tok").distinct()
+    w = Window.partitionBy("tok").orderBy("did")
+    ranked = occ.withColumn("rn", F.row_number().over(w)).withColumn(
+        "chunk", ((F.col("rn") - 1) / chunk_size).cast("long")
+    )
+    return (
+        ranked.groupBy("tok", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.sort_array(F.collect_list("did")).alias("postings"),
+        )
+        .join(
+            occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df")),
+            "tok",
+        )
+        .select("tok", "chunk", "df", "n_postings", "postings")
+    )
+
+
+def lookup_postings(index: DataFrame, terms: list) -> DataFrame:
+    """(tok, df, postings) for the probe terms — chunks re-merged in chunk
+    order. The probe list is a broadcast literal filter (isin), so the
+    index is scanned once with the predicate pushed down; absent terms
+    yield no row (the caller's semantics for a zero-df term)."""
+    merged = (
+        index.filter(F.col("tok").isin([str(t) for t in terms]))
+        .groupBy("tok", "df")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("chunk").alias("c"), F.col("postings").alias("p")))
+                    ),
+                    lambda s: s["p"],
+                )
+            ).alias("postings")
+        )
+    )
+    return merged.select("tok", "df", "postings")

@@ -224,3 +224,59 @@ def test_tfidf_plan_no_global_sort(spark):
     out = tfidf_topk(df, k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_inverted_index_layout_and_lookup(spark):
+    from crawley_spark.operators.search import build_inverted_index, lookup_postings
+
+    rows = [
+        (10, "alpha beta alpha"),
+        (3, "alpha gamma"),
+        (7, "alpha beta"),
+        (1, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {(r["tok"], r["chunk"]): r for r in
+           build_inverted_index(df, chunk_size=2).collect()}
+    # alpha: df 3 over ids {3,7,10} → chunks [3,7] and [10], df on both rows
+    assert idx[("alpha", 0)]["postings"] == [3, 7] and idx[("alpha", 0)]["df"] == 3
+    assert idx[("alpha", 1)]["postings"] == [10] and idx[("alpha", 1)]["n_postings"] == 1
+    # within-doc repetition does not duplicate postings
+    assert idx[("beta", 0)]["postings"] == [7, 10]
+    assert idx[("delta", 0)]["postings"] == [1]
+    got = {r["tok"]: (r["df"], r["postings"]) for r in
+           lookup_postings(build_inverted_index(df, chunk_size=2),
+                           ["alpha", "delta", "absent"]).collect()}
+    assert got == {"alpha": (3, [3, 7, 10]), "delta": (1, [1])}  # absent: no row
+
+
+def test_inverted_index_brute_parity(spark):
+    import random
+    import re
+    from collections import defaultdict
+
+    from crawley_spark.operators.search import build_inverted_index
+
+    rng = random.Random(9)
+    words = ["w%d" % i for i in range(12)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 15))))
+            for i in range(30)]
+    post = defaultdict(set)
+    for i, t in rows:
+        for tok in re.findall(r"[a-z]+", t.lower()):
+            post[tok].add(i)
+    K = 4
+    exp = {}
+    for tok, ids in post.items():
+        ids = sorted(ids)
+        for c in range(0, (len(ids) + K - 1) // K):
+            exp[(tok, c)] = (len(ids), ids[c * K : (c + 1) * K])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["tok"], r["chunk"]): (r["df"], r["postings"]) for r in
+           build_inverted_index(df, chunk_size=K).collect()}
+    assert got == exp
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_inverted_index(df, chunk_size=0)
