@@ -65,6 +65,17 @@ HEADLINE = [
     "sitemap_roundtrip",
     "vocab_topk",
     "split_assign",
+    # closing-r05 additions (same policy — per-query regression visibility;
+    # the earlier-round-comparable subsets are documented in BENCH.md)
+    "semdedup",
+    "substr_dedup",
+    "temperature_mix",
+    "crawl_traps",
+    "fineweb_pipeline",
+    "nb_classifier",
+    "wet_roundtrip",
+    "inverted_index",
+    "hits_rank",
 ]
 
 
