@@ -1543,6 +1543,85 @@ def _q_ngram_jaccard(spark, sf_dir):
     return j.select("doc_a", "doc_b", (F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"))
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (dedup.ngram_containment — Broder's
+    excerpt/partial-copy signal): each doc paired with a derived HALF-
+    PREFIX copy (+10000), so containment is provably asymmetric — the
+    excerpt is near-fully contained in the original while the original is
+    only partially contained in the excerpt — plus the consecutive-id
+    pairs the jaccard query uses. All-integer output (gram counts + trunc
+    milli ratios), hash-exact."""
+    from crawley_spark.operators.dedup import ngram_containment
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+    half = d.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) div 2)").alias("text"),
+    )
+    cand = d.unionByName(half)
+    a = d.select(F.col("doc_id").alias("doc_a"))
+    pairs = a.select(
+        "doc_a", (F.col("doc_a") + 10_000).alias("doc_b")
+    ).unionByName(
+        a.join(
+            d.select(F.col("doc_id").alias("doc_b")),
+            on=F.col("doc_b") == F.col("doc_a") + 1,
+        ).select("doc_a", "doc_b")
+    )
+    return ngram_containment(cand, pairs).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "n_a",
+        "n_b",
+        "n_inter",
+        "cont_a_milli",
+        "cont_b_milli",
+    )
+
+
+_NGRAM_CONTAINMENT_ORACLE = """
+    WITH d0 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ),
+    cand AS (
+        SELECT doc_id, text FROM d0
+        UNION ALL
+        SELECT doc_id + 10000, substring(text, 1, length(text) // 2) FROM d0
+    ),
+    t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+        FROM cand
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 3, 0) + 2),
+                   i -> array_to_string(t[i:i+2], ' ')
+               )) AS grams
+        FROM t
+    ),
+    pairs AS (
+        SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b FROM d0
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM d0 a JOIN d0 b ON b.doc_id = a.doc_id + 1
+    ),
+    j AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(a.grams) AS BIGINT) AS n_a,
+               CAST(len(b.grams) AS BIGINT) AS n_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter
+        FROM pairs p
+        JOIN g a ON a.doc_id = p.doc_a
+        JOIN g b ON b.doc_id = p.doc_b
+    )
+    SELECT *,
+           CAST((1000 * n_inter) // greatest(n_a, 1) AS BIGINT) AS cont_a_milli,
+           CAST((1000 * n_inter) // greatest(n_b, 1) AS BIGINT) AS cont_b_milli
+    FROM j
+"""
+
+
 def _q_ann_brute(spark, sf_dir):
     from crawley_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -3130,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
         "ann_brute": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -4475,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact n-gram Jaccard verify stage (VERDICT r01 "next" #2):
         # list_intersect / list_distinct over 3-gram lists
+        "ngram_containment": _NGRAM_CONTAINMENT_ORACLE,
         "ngram_jaccard": """
         WITH d AS (
             SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t

@@ -497,6 +497,47 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    df: DataFrame, pairs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT for candidate pairs (Broder 1997's
+    asymmetric resemblance companion: C(A,B) = |S(A)∩S(B)| / |S(A)| — the
+    signal for quote/excerpt/partial-copy detection, where Jaccard stays
+    low because the containing doc is much larger). Returns per pair the
+    exact integer gram counts (n_a, n_b, n_inter) and both directions in
+    integer milli-units (trunc division — no float anywhere, so the oracle
+    is hash-exact by construction). Same gram construction and join shape
+    as :func:`ngram_jaccard`."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))
+    joined = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("ga").cast("long").alias("n_a"),
+            F.size("gb").cast("long").alias("n_b"),
+            F.size(F.array_intersect("ga", "gb")).cast("long").alias("n_inter"),
+        )
+    )
+    return joined.select(
+        "*",
+        F.expr("(1000 * n_inter) div greatest(n_a, 1)").cast("long").alias("cont_a_milli"),
+        F.expr("(1000 * n_inter) div greatest(n_b, 1)").cast("long").alias("cont_b_milli"),
+    )
+
+
 def c4_span_dedup(
     df: DataFrame,
     text_col: str = "text",

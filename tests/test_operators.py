@@ -2934,3 +2934,28 @@ def test_temperature_mix_feeds_stratified_sample(spark):
         temperature_mix_rates(df, alpha_milli=0)
     with pytest.raises(ValueError):
         temperature_mix_rates(df, budget=-1)
+
+
+def test_ngram_containment_asymmetry_and_brute(spark):
+    from crawley_spark.operators.dedup import ngram_containment
+
+    full = "a b c d e f g h i j k l"
+    rows = [(0, full), (1, "a b c d e f"), (2, "x y z w v u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 0), (2, 0)], "doc_a long, doc_b long")
+    got = {(r["doc_a"], r["doc_b"]): r for r in ngram_containment(df, pairs, n=3).collect()}
+
+    def grams(t, n=3):
+        w = t.split()
+        return sorted({" ".join(w[i : i + n]) for i in range(max(len(w) - n, 0) + 1)})
+
+    ga, gb = grams(rows[1][1]), grams(full)
+    inter = len(set(ga) & set(gb))
+    r = got[(1, 0)]
+    # the excerpt is FULLY contained in the original; the original is not
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (len(ga), len(gb), inter)
+    assert r["cont_a_milli"] == 1000 and r["cont_b_milli"] == (1000 * inter) // len(gb)
+    assert r["cont_b_milli"] < 1000
+    # disjoint docs: zero everywhere, guarded division
+    z = got[(2, 0)]
+    assert z["n_inter"] == 0 and z["cont_a_milli"] == 0 and z["cont_b_milli"] == 0
