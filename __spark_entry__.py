@@ -381,6 +381,31 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020;
+    operators/lmscore.perplexity_buckets): per-LANGUAGE Laplace unigram LM
+    (CCNet trains one LM per language), integer micro-nat doc scores, then
+    each language's scored docs split into three equal-mass buckets at the
+    smallest ppl value whose cumulative count reaches k/3 (integer
+    cross-multiplied; value ties share a bucket; zero-token docs are
+    'tail').  Hash-exact independent oracle: DuckDB retrains the per-lang
+    models, rescores, and recomputes the cumulative-distinct-value cutoffs
+    from scratch.  The oracle-checked config is the exact full-data cutoff
+    path; at corpus scale `cutoff_sample_permille` computes the same
+    thresholds from a deterministic md5 document sample (the published
+    CCNet practice)."""
+    from crawley_spark.operators.lmscore import perplexity_buckets
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return perplexity_buckets(d).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        "ppl_milli",
+        "bucket",
+    )
+
+
 def _q_embed_dedup(spark, sf_dir):
     """Embedding-cosine near-dup (exact variant — the SQL-oracle-able
     baseline; the LSH scale path is recall-tested in tests/). Plants exact
@@ -3179,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "lm_perplexity": _q_lm_perplexity,
+        "ppl_buckets": _q_ppl_buckets,
         "embed_dedup": _q_embed_dedup,
         "quality_stats": _q_quality,
         "gopher_quality": _q_gopher,
@@ -4111,6 +4137,59 @@ def oracle_sql() -> dict[str, str]:
                                                  / s.n_tokens)) AS BIGINT)
                END AS ppl_milli
         FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "ppl_buckets": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        ),
+        cnts AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+        lt AS (
+            SELECT lang, CAST(sum(c) + count(*) + 1 AS DOUBLE) AS nv
+            FROM cnts GROUP BY lang
+        ),
+        model AS (
+            SELECT c.lang, c.tok,
+                   CAST(round(1e6 * ln(lt.nv / (c.c + 1.0))) AS BIGINT) AS s
+            FROM cnts c JOIN lt USING (lang)
+        ),
+        scored0 AS (
+            SELECT t.doc_id, count(*) AS n_tokens, sum(m.s) AS nats
+            FROM toks t JOIN model m USING (lang, tok)
+            GROUP BY t.doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN s.n_tokens > 0
+                        THEN CAST(round(1000.0 * exp((s.nats / 1000000.0)
+                                                     / s.n_tokens)) AS BIGINT)
+                   END AS ppl_milli
+            FROM documents d LEFT JOIN scored0 s USING (doc_id)
+        ),
+        vals AS (
+            SELECT lang, ppl_milli, count(*) AS cnt FROM scored
+            WHERE ppl_milli IS NOT NULL GROUP BY lang, ppl_milli
+        ),
+        cum AS (
+            SELECT lang, ppl_milli,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY ppl_milli) AS cm
+            FROM vals
+        ),
+        tots AS (SELECT lang, max(cm) AS n FROM cum GROUP BY lang),
+        cuts AS (
+            SELECT c.lang,
+                   min(CASE WHEN c.cm * 3 >= t.n THEN c.ppl_milli END) AS cut1,
+                   min(CASE WHEN c.cm * 3 >= t.n * 2 THEN c.ppl_milli END) AS cut2
+            FROM cum c JOIN tots t USING (lang) GROUP BY c.lang
+        )
+        SELECT s.doc_id, s.lang, s.n_tokens, s.ppl_milli,
+               CASE WHEN s.ppl_milli IS NULL THEN 'tail'
+                    WHEN s.ppl_milli <= k.cut1 THEN 'head'
+                    WHEN s.ppl_milli <= k.cut2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s LEFT JOIN cuts k USING (lang)
         """,
         "embed_dedup": """
         WITH base AS MATERIALIZED (

@@ -76,6 +76,7 @@ HEADLINE = [
     "wet_roundtrip",
     "inverted_index",
     "hits_rank",
+    "ppl_buckets",
 ]
 
 

@@ -217,3 +217,177 @@ def lm_perplexity(
             ).cast("long"),
         ).alias("ppl_milli"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_count: int = 1,
+    max_vocab_broadcast: int = 2_000_000,
+    cutoff_sample_permille: int | None = None,
+    cutoff_salt: str = "pplcut",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, public knowledge): train a per-language LM, score every document,
+    split each language's documents into three equal-mass buckets by
+    perplexity, keep the low-perplexity head (or sample buckets at
+    different rates downstream).  This is the published step that turns
+    ``lm_perplexity``'s raw scores into a usable corpus partition.
+
+    Model: the module's Laplace unigram LM, trained PER LANGUAGE (CCNet
+    trains one KenLM per language; here the partition key is
+    ``lang_col``): for each (lang, tok), ``s = round(1e6 *
+    ln((N_lang + V_lang + 1)/(c + 1)))`` micro-nats; per-doc score and
+    ``ppl_milli`` exactly as :func:`lm_perplexity`.
+
+    Buckets: per language, ``cutoff_k`` (k = 1, 2) is the smallest
+    ppl_milli value whose cumulative doc count reaches k/3 of the
+    language's scored docs — integer-cross-multiplied (``3*cum >= k*n``),
+    never a float quantile.  bucket = 'head' when ppl <= cutoff_1,
+    'middle' when <= cutoff_2, else 'tail'; ties share a value so they
+    share a bucket (deterministic — unlike NTILE's arbitrary tie split),
+    and zero-token docs (ppl NULL) land in 'tail' (CCNet drops them from
+    the LM head; keeping them tail-bucketed preserves every input row).
+
+    Scale shape (100 TB): per-(lang, tok) counts are one map-side-combined
+    shuffle; per-lang (N, V, s_unk) is a bounded collect (one row per
+    language); the model joins broadcast under ``max_vocab_broadcast``;
+    scoring aggregates per-doc partials map-side so the only per-doc
+    exchange carries (id, lang, long, long).  Cutoffs come from a
+    cumulative window over the DISTINCT (lang, ppl_milli) aggregate — not
+    the docs — but distinct ppl values can approach doc count at corpus
+    scale, so ``cutoff_sample_permille`` computes the cutoffs from a
+    deterministic md5-bucket document sample instead (CCNet's actual
+    published practice: quantiles from a sample, thresholds applied to the
+    full corpus).  The oracle-checked configuration is the exact full-data
+    path (sample=None).  The bucket-assignment join broadcasts a
+    one-row-per-language cutoff table.
+
+    Returns (id_col, lang_col, n_tokens, ppl_milli, bucket).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode_outer(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{LM_TOKEN_RE}', 0)")
+        ).alias("tok"),
+    )
+    cnts = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy(lang_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # one row per language: N (total tokens), V (kept types), unseen-class
+    # surprisal — bounded by the language inventory, a driver-safe collect
+    lang_rows = (
+        cnts.groupBy(lang_col)
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias("v"),
+        )
+        .collect()
+    )
+    lang_stats = {
+        r[lang_col]: (int(r["n"]), int(r["v"])) for r in lang_rows
+    }
+    spark = df.sparkSession
+    sunk_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (lg, float(n + v + 1), int(math.floor(1e6 * math.log(n + v + 1) + 0.5)))
+                for lg, (n, v) in sorted(lang_stats.items())
+            ]
+            or [("", 1.0, 0)],
+            f"{lang_col} string, _nv double, _s_unk long",
+        )
+    )
+    kept = cnts.filter(F.col("c") >= min_count) if min_count > 1 else cnts
+    model = kept.join(sunk_df.select(lang_col, "_nv"), lang_col).select(
+        lang_col,
+        "tok",
+        F.round(F.lit(1e6) * F.log(F.col("_nv") / (F.col("c") + F.lit(1.0))))
+        .cast("long")
+        .alias("_s"),
+    )
+    if max_vocab_broadcast and sum(v for _, v in lang_stats.values()) <= max_vocab_broadcast:
+        model = F.broadcast(model)
+    joined = toks.join(model, [lang_col, "tok"], "left").join(
+        sunk_df.select(lang_col, "_s_unk"), lang_col, "left"
+    )
+    scored = (
+        joined.groupBy(id_col, lang_col)
+        .agg(
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("tok").isNotNull(),
+                        F.coalesce(F.col("_s"), F.col("_s_unk"), F.lit(0)),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_nats"),
+        )
+        .select(
+            id_col,
+            lang_col,
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.lit(1000.0)
+                    * F.exp((F.col("_nats") / F.lit(1e6)) / F.col("n_tokens"))
+                ).cast("long"),
+            ).alias("ppl_milli"),
+        )
+    )
+    cut_src = scored.filter(F.col("ppl_milli").isNotNull())
+    if cutoff_sample_permille is not None:
+        # deterministic md5-bucket sample (the stratified_sample construct,
+        # dedup.md5_low60): same salt + id -> same sample every run, so the
+        # cutoffs are stable and DuckDB can reproduce the selection
+        from .dedup import md5_low60
+
+        bucket_expr = (
+            md5_low60(F.concat(F.lit(cutoff_salt), F.col(id_col).cast("string")))
+            % 1000
+        )
+        cut_src = cut_src.filter(bucket_expr < F.lit(int(cutoff_sample_permille)))
+    vals = cut_src.groupBy(lang_col, "ppl_milli").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy(lang_col).orderBy("ppl_milli")
+    cum = vals.withColumn("_cum", F.sum("_cnt").over(w))
+    tots = cum.groupBy(lang_col).agg(F.max("_cum").alias("_n"))
+    cuts = (
+        cum.join(F.broadcast(tots), lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.min(
+                F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("ppl_milli"))
+            ).alias("_cut1"),
+            F.min(
+                F.when(F.col("_cum") * 3 >= F.col("_n") * 2, F.col("ppl_milli"))
+            ).alias("_cut2"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col, "left")
+        .select(
+            id_col,
+            lang_col,
+            "n_tokens",
+            "ppl_milli",
+            F.when(F.col("ppl_milli").isNull(), F.lit("tail"))
+            .when(F.col("ppl_milli") <= F.col("_cut1"), F.lit("head"))
+            .when(F.col("ppl_milli") <= F.col("_cut2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -2959,3 +2959,137 @@ def test_ngram_containment_asymmetry_and_brute(spark):
     # disjoint docs: zero everywhere, guarded division
     z = got[(2, 0)]
     assert z["n_inter"] == 0 and z["cont_a_milli"] == 0 and z["cont_b_milli"] == 0
+
+
+def _pplb_brute(rows, min_count=1, sample_permille=None, salt="pplcut"):
+    """Pure-Python mirror of perplexity_buckets: per-language _lm_brute
+    model, value-threshold thirds from (optionally md5-sampled) scored
+    docs. rows = [(doc_id, text, lang)]; returns {doc_id: (n_tokens,
+    ppl_milli, bucket)}."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    def toks(t):
+        return re.findall("[a-z]+", (t or "").lower())
+
+    def sampled(i):
+        if sample_permille is None:
+            return True
+        h = int.from_bytes(
+            hashlib.md5((salt + str(i)).encode()).digest(), "little"
+        ) % (1 << 60)
+        return h % 1000 < sample_permille
+
+    by_lang = defaultdict(list)
+    for i, t, lg in rows:
+        by_lang[lg].append((i, t))
+    out = {}
+    for lg, docs in by_lang.items():
+        cnt = Counter(x for _, t in docs for x in toks(t))
+        n = sum(cnt.values())
+        v = sum(1 for c in cnt.values() if c >= min_count)
+        nv = float(n + v + 1)
+        s = {
+            t: int(math.floor(1e6 * math.log(nv / (c + 1.0)) + 0.5))
+            for t, c in cnt.items()
+            if c >= min_count
+        }
+        s_unk = int(math.floor(1e6 * math.log(nv) + 0.5))
+        scored = {}
+        for i, t in docs:
+            tt = toks(t)
+            nats = sum(s.get(x, s_unk) for x in tt)
+            ppl = (
+                int(math.floor(1000.0 * math.exp((nats / 1e6) / len(tt)) + 0.5))
+                if tt
+                else None
+            )
+            scored[i] = (len(tt), ppl)
+        vals = sorted(
+            p for i, (_, p) in scored.items() if p is not None and sampled(i)
+        )
+        ncut = len(vals)
+        cut1 = next((v2 for k, v2 in enumerate(vals) if 3 * (k + 1) >= ncut), None)
+        cut2 = next(
+            (v2 for k, v2 in enumerate(vals) if 3 * (k + 1) >= 2 * ncut), None
+        )
+        for i, (ntok, ppl) in scored.items():
+            if ppl is None:
+                b = "tail"
+            elif cut1 is not None and ppl <= cut1:
+                b = "head"
+            elif cut2 is not None and ppl <= cut2:
+                b = "middle"
+            else:
+                b = "tail"
+            out[i] = (ntok, ppl, b)
+    return out
+
+
+def test_perplexity_buckets_exact_vs_brute(spark):
+    import random
+
+    from crawley_spark.operators.lmscore import perplexity_buckets
+
+    rng = random.Random(77)
+    vocab = ["alpha", "beta", "gamma", "delta", "run", "jump", "the", "zz"]
+    rows = []
+    for i in range(60):
+        lang = rng.choice(["aa", "bb", "cc"])
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        rows.append((i, text, lang))
+    rows.append((60, "???", "aa"))  # zero-token -> tail
+    rows.append((61, None, "bb"))  # null text -> tail
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_tokens, r.ppl_milli, r.bucket)
+        for r in perplexity_buckets(df).collect()
+    }
+    assert got == _pplb_brute(rows)
+    assert got[60][2] == "tail" and got[61][2] == "tail"
+
+
+def test_perplexity_buckets_thirds_and_tie_determinism(spark):
+    from crawley_spark.operators.lmscore import perplexity_buckets
+
+    # 9 docs, 3 distinct texts x3 -> 3 distinct ppl values, each value is
+    # one whole bucket (ties never split); 'high high' repeats the rarest
+    # word so each text's ppl differs
+    texts = ["the the the"] * 3 + ["the cat cat"] * 3 + ["rare words here"] * 3
+    df = spark.createDataFrame(
+        [(i, t, "xx") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r.bucket for r in perplexity_buckets(df).collect()}
+    assert [got[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_perplexity_buckets_sampled_cutoffs_match_brute(spark):
+    import random
+
+    from crawley_spark.operators.lmscore import perplexity_buckets
+
+    rng = random.Random(9)
+    vocab = ["one", "two", "three", "four", "five", "six"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 10))),
+            "aa" if i % 2 else "bb",
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_tokens, r.ppl_milli, r.bucket)
+        for r in perplexity_buckets(df, cutoff_sample_permille=400).collect()
+    }
+    assert got == _pplb_brute(rows, sample_permille=400)
+    # rerun -> identical (deterministic hash sample, no RNG)
+    again = {
+        r.doc_id: (r.n_tokens, r.ppl_milli, r.bucket)
+        for r in perplexity_buckets(df, cutoff_sample_permille=400).collect()
+    }
+    assert again == got
