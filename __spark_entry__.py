@@ -406,6 +406,27 @@ def _q_ppl_buckets(spark, sf_dir):
     )
 
 
+def _q_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM perplexity (Jelinek-Mercer lambda=3/4 over
+    the Laplace unigram; operators/lmscore.bigram_perplexity) — one step
+    toward CCNet's KenLM beyond `lm_perplexity`, order-sensitive where the
+    unigram is not.  Every surprisal is a single round(1e6 * -ln(p)) from
+    doubles both engines construct identically, so per-doc BIGINT sums are
+    order-independent.  Hash-exact independent oracle: DuckDB retrains
+    unigram + bigram tables (lag window over generate_subscripts positions)
+    and rescores from scratch; Spark builds the pairs in the array domain
+    (one JVM transform + explode — no window, no positional self-join)."""
+    from crawley_spark.operators.lmscore import bigram_perplexity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return bigram_perplexity(d).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "nats_micro",
+        "ppl_milli",
+    )
+
+
 def _q_embed_dedup(spark, sf_dir):
     """Embedding-cosine near-dup (exact variant — the SQL-oracle-able
     baseline; the LSH scale path is recall-tested in tests/). Plants exact
@@ -3205,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "lm_perplexity": _q_lm_perplexity,
         "ppl_buckets": _q_ppl_buckets,
+        "bigram_lm": _q_bigram_lm,
         "embed_dedup": _q_embed_dedup,
         "quality_stats": _q_quality,
         "gopher_quality": _q_gopher,
@@ -4137,6 +4159,66 @@ def oracle_sql() -> dict[str, str]:
                                                  / s.n_tokens)) AS BIGINT)
                END AS ppl_milli
         FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "bigram_lm": """
+        WITH arrs AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+            FROM arrs
+        ),
+        ucnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (
+            SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS nv FROM ucnts
+        ),
+        uni AS (
+            SELECT tok AS w2, c + 1.0 AS c1f,
+                   CAST(round(1e6 * ln(nv / (c + 1.0))) AS BIGINT) AS s_uni,
+                   CAST(round(1e6 * ln(nv / (0.25 * (c + 1.0)))) AS BIGINT) AS s_fb
+            FROM ucnts, tot
+        ),
+        prs AS (
+            SELECT doc_id,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                   tok AS w2
+            FROM toks
+        ),
+        bcnts AS (
+            SELECT w1, w2, count(*) AS c2 FROM prs
+            WHERE w1 IS NOT NULL GROUP BY w1, w2
+        ),
+        hcnts AS (SELECT w1, sum(c2) AS c1 FROM bcnts GROUP BY w1),
+        bi AS (
+            SELECT b.w1, b.w2,
+                   CAST(round(-1e6 * ln(0.75 * (b.c2 / h.c1)
+                                        + 0.25 * (u.c1f / t.nv))) AS BIGINT) AS s_bi
+            FROM bcnts b JOIN hcnts h USING (w1) JOIN uni u ON u.w2 = b.w2, tot t
+        ),
+        scored_tok AS (
+            SELECT p.doc_id,
+                   CASE WHEN p.w1 IS NULL THEN u.s_uni
+                        WHEN bi.s_bi IS NOT NULL THEN bi.s_bi
+                        WHEN h.w1 IS NOT NULL THEN u.s_fb
+                        ELSE u.s_uni END AS s
+            FROM prs p
+            LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+            LEFT JOIN uni u ON u.w2 = p.w2
+            LEFT JOIN hcnts h ON h.w1 = p.w1
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_tokens, sum(s) AS nats
+            FROM scored_tok GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(g.nats, 0) AS BIGINT) AS nats_micro,
+               CASE WHEN g.n_tokens > 0
+                    THEN CAST(round(1000.0 * exp((g.nats / 1000000.0)
+                                                 / g.n_tokens)) AS BIGINT)
+               END AS ppl_milli
+        FROM documents d LEFT JOIN agg g USING (doc_id)
         """,
         "ppl_buckets": """
         WITH toks AS (

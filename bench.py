@@ -77,6 +77,7 @@ HEADLINE = [
     "inverted_index",
     "hits_rank",
     "ppl_buckets",
+    "bigram_lm",
 ]
 
 

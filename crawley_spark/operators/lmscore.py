@@ -391,3 +391,186 @@ def perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+# Jelinek-Mercer interpolation weight for the bigram term, an exact rational
+# so both engines compute ln() of identical doubles: lambda = 3/4.
+JM_LAMBDA_NUM = 3
+JM_LAMBDA_DEN = 4
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    max_model_broadcast: int = 2_000_000,
+) -> DataFrame:
+    """Interpolated bigram LM perplexity (Jelinek-Mercer smoothing, Chen &
+    Goodman 1999 — public knowledge): one modelling step closer to CCNet's
+    KenLM than :func:`lm_perplexity`, with the same integer micro-nat /
+    hash-exact-oracle discipline.
+
+    Model, with lam = 3/4 and the module's Laplace unigram
+    p_uni(w) = (c_w + 1)/(N + V + 1):
+
+    * observed bigram (w1, w2):
+      ``p = lam * c(w1,w2)/c(w1) + (1-lam) * p_uni(w2)``
+    * unobserved bigram, SEEN history w1: the first term is zero, so
+      ``p = (1-lam) * p_uni(w2)`` — a function of w2 alone, carried as a
+      second column of the unigram table (no per-history fallback rows);
+    * history w1 with no training continuations (unseen in train, or only
+      ever document-final there — c(w1,.) = 0 either way, so the bigram
+      MLE is undefined): back off to the proper unigram, ``p = p_uni(w2)``;
+    * the first token of a document is scored by the unigram (doc-initial
+      context; no synthetic BOS token).
+
+    For every seen history this sums to exactly 1 over V types + the
+    unseen class (lam + (1-lam)), so the model is a proper distribution.
+    Each surprisal is a SINGLE ``round(1e6 * -ln(p))`` from IEEE doubles
+    both engines build identically — never a sum of two rounded halves —
+    so per-doc BIGINT sums are order-independent and DuckDB-recomputable.
+
+    Scale shape (100 TB): tokens come from one JVM ``regexp_extract_all``;
+    bigram pairs are built IN THE ARRAY DOMAIN (one ``transform`` over the
+    token array) and exploded once — no positional self-join, no window;
+    bigram counts are one map-side-combined shuffle; both model tables
+    broadcast under ``max_model_broadcast`` total rows (past that Spark
+    plans sort-merge joins on the token keys); the only per-doc exchange
+    carries (id, long, long) partial aggregates.
+
+    Returns (id_col, n_tokens, nats_micro, ppl_milli) — same contract as
+    :func:`lm_perplexity` (ppl NULL for zero-token docs).
+    """
+    lam = JM_LAMBDA_NUM / JM_LAMBDA_DEN
+    one_m_lam = 1.0 - lam
+    tdf = train_df if train_df is not None else df
+
+    def _arr(frame):
+        return frame.select(
+            F.col(id_col),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{LM_TOKEN_RE}', 0)"
+            ).alias("_a"),
+        )
+
+    # --- unigram side (counts, N, V, per-type surprisal + fallback col) ---
+    utoks = _arr(tdf).select(F.explode("_a").alias("tok"))
+    ucnts = utoks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = ucnts.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total = int(tot["n"] or 0)
+    v_kept = int(tot["v"] or 0)
+    nv = float(n_total + v_kept + 1)
+    # s_uni = -ln(p_uni), s_fb = -ln((1-lam) * p_uni): each its own single round
+    uni = ucnts.select(
+        F.col("tok").alias("w2"),
+        (F.col("c") + F.lit(1.0)).alias("_c1f"),
+        F.round(F.lit(1e6) * F.log(F.lit(nv) / (F.col("c") + F.lit(1.0))))
+        .cast("long")
+        .alias("_s_uni"),
+        F.round(
+            F.lit(1e6) * F.log(F.lit(nv) / (F.lit(one_m_lam) * (F.col("c") + F.lit(1.0))))
+        )
+        .cast("long")
+        .alias("_s_fb"),
+    )
+    s_unk = int(math.floor(1e6 * math.log(nv) + 0.5))
+    s_unk_fb = int(math.floor(1e6 * math.log(nv / one_m_lam) + 0.5))
+
+    # --- bigram side: counts of (w1, w2) and history totals c(w1) ---
+    pairs_t = (
+        _arr(tdf)
+        .filter(F.size("_a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(_a)), i ->"
+                    " struct(element_at(_a, i - 1) AS w1, element_at(_a, i) AS w2))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.w1", "_p.w2")
+    )
+    bcnts = pairs_t.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    hcnts = bcnts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # s_bi = -ln(lam * c2/c1 + (1-lam) * p_uni(w2)); p_uni(w2) = _c1f / nv
+    bi = (
+        bcnts.join(hcnts, "w1")
+        .join(uni.select("w2", "_c1f"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.lit(-1e6)
+                * F.log(
+                    F.lit(lam) * (F.col("c2") / F.col("c1"))
+                    + F.lit(one_m_lam) * (F.col("_c1f") / F.lit(nv))
+                )
+            )
+            .cast("long")
+            .alias("_s_bi"),
+        )
+    )
+    uni_score = uni.select("w2", "_s_uni", "_s_fb")
+    # seen-history membership for the unseen-w1 backoff branch
+    hist = hcnts.select(F.col("w1"), F.lit(True).alias("_h"))
+    if max_model_broadcast and (v_kept * 2) <= max_model_broadcast:
+        uni_score = F.broadcast(uni_score)
+        hist = F.broadcast(hist)
+    # unique bigrams <= total training tokens (n_total), a scalar we already
+    # hold — a conservative gate that costs no extra job or recompute
+    if max_model_broadcast and n_total <= max_model_broadcast:
+        bi = F.broadcast(bi)
+
+    # --- scoring stream: first token as (w1 NULL), then each adjacent pair ---
+    arr = _arr(df)
+    first = arr.select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("w1"),
+        F.try_element_at("_a", F.lit(1)).alias("w2"),  # NULL for empty arrays
+    )
+    pairs = arr.filter(F.size("_a") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(_a)), i ->"
+                " struct(element_at(_a, i - 1) AS w1, element_at(_a, i) AS w2))"
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.w1", "_p.w2")
+    stream = first.unionByName(pairs)
+    scored = (
+        stream.join(bi, ["w1", "w2"], "left")
+        .join(uni_score, "w2", "left")
+        .join(hist, "w1", "left")
+        .select(
+            id_col,
+            "w2",
+            F.when(F.col("w2").isNull(), F.lit(None).cast("long"))
+            .when(  # doc-initial token: unigram
+                F.col("w1").isNull(), F.coalesce("_s_uni", F.lit(s_unk))
+            )
+            .when(F.col("_s_bi").isNotNull(), F.col("_s_bi"))
+            .when(  # seen history, unobserved bigram: (1-lam) * p_uni(w2)
+                F.col("_h"), F.coalesce("_s_fb", F.lit(s_unk_fb))
+            )
+            .otherwise(F.coalesce("_s_uni", F.lit(s_unk)))  # unseen history
+            .alias("_s"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("w2").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("_s"), F.lit(0)).cast("long").alias("nats_micro"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "nats_micro",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.lit(1000.0)
+                * F.exp((F.col("nats_micro") / F.lit(1e6)) / F.col("n_tokens"))
+            ).cast("long"),
+        ).alias("ppl_milli"),
+    )

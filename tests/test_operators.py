@@ -3093,3 +3093,113 @@ def test_perplexity_buckets_sampled_cutoffs_match_brute(spark):
         for r in perplexity_buckets(df, cutoff_sample_permille=400).collect()
     }
     assert again == got
+
+
+def _bigram_brute(score_texts, train_texts):
+    """Pure-Python mirror of bigram_perplexity (JM lambda = 3/4)."""
+    import math
+    import re
+    from collections import Counter
+
+    lam, oml = 0.75, 0.25
+
+    def fl(x):
+        return int(math.floor(x + 0.5))
+
+    def toks(t):
+        return re.findall("[a-z]+", (t or "").lower())
+
+    ucnt = Counter(x for t in train_texts for x in toks(t))
+    n = sum(ucnt.values())
+    v = len(ucnt)
+    nv = float(n + v + 1)
+    s_uni = {w: fl(1e6 * math.log(nv / (c + 1.0))) for w, c in ucnt.items()}
+    s_fb = {w: fl(1e6 * math.log(nv / (oml * (c + 1.0)))) for w, c in ucnt.items()}
+    s_unk = fl(1e6 * math.log(nv))
+    s_unk_fb = fl(1e6 * math.log(nv / oml))
+    bcnt, hcnt = Counter(), Counter()
+    for t in train_texts:
+        tt = toks(t)
+        for a, b in zip(tt, tt[1:]):
+            bcnt[(a, b)] += 1
+            hcnt[a] += 1
+    s_bi = {
+        (a, b): fl(-1e6 * math.log(lam * (c2 / hcnt[a]) + oml * ((ucnt[b] + 1.0) / nv)))
+        for (a, b), c2 in bcnt.items()
+    }
+    out = {}
+    for i, t in enumerate(score_texts):
+        tt = toks(t)
+        if not tt:
+            out[i] = (0, 0, None)
+            continue
+        nats = s_uni.get(tt[0], s_unk)
+        for a, b in zip(tt, tt[1:]):
+            if (a, b) in s_bi:
+                nats += s_bi[(a, b)]
+            elif a in hcnt:
+                nats += s_fb.get(b, s_unk_fb)
+            else:
+                nats += s_uni.get(b, s_unk)
+        out[i] = (len(tt), nats, fl(1000.0 * math.exp((nats / 1e6) / len(tt))))
+    return out
+
+
+def test_bigram_perplexity_exact_vs_brute(spark):
+    import random
+
+    from crawley_spark.operators.lmscore import bigram_perplexity
+
+    rng = random.Random(5)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "far"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 15)))
+        for _ in range(40)
+    ]
+    texts += ["", None, "solo"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nats_micro, r.ppl_milli)
+        for r in bigram_perplexity(df).collect()
+    }
+    assert got == _bigram_brute(texts, texts)
+
+
+def test_bigram_perplexity_is_order_sensitive(spark):
+    from crawley_spark.operators.lmscore import bigram_perplexity, lm_perplexity
+
+    # same unigram multiset, different order: the trained bigram "the cat"
+    # pattern makes doc 0 more predictable than the scrambled doc 1; the
+    # unigram model by construction cannot tell them apart
+    train = ["the cat the cat the cat the cat", "the cat runs"]
+    score = ["the cat the cat", "cat the cat the"]
+    tdf = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+    sdf = spark.createDataFrame(list(enumerate(score)), "doc_id long, text string")
+    big = {
+        r.doc_id: r.ppl_milli
+        for r in bigram_perplexity(sdf, train_df=tdf).collect()
+    }
+    uni = {
+        r.doc_id: r.ppl_milli for r in lm_perplexity(sdf, train_df=tdf).collect()
+    }
+    assert big[0] < big[1]
+    assert uni[0] == uni[1]
+
+
+def test_bigram_perplexity_train_score_split_backoffs(spark):
+    from crawley_spark.operators.lmscore import bigram_perplexity
+
+    # 'tail' appears in train only document-finally (no continuations) ->
+    # unigram backoff; 'novel' is OOV -> unk paths; observed pair 'a b' ->
+    # bigram path; 'b zz' unobserved pair with seen history -> fallback col
+    train = ["a b a b tail", "a b c tail"]
+    score = ["a b zz", "tail novel", "novel a b"]
+    tdf = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+    sdf = spark.createDataFrame(list(enumerate(score)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.nats_micro, r.ppl_milli)
+        for r in bigram_perplexity(sdf, train_df=tdf).collect()
+    }
+    assert got == _bigram_brute(score, train)
