@@ -3208,6 +3208,239 @@ def _bm25_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# bounded-memory corpus statistics (operators/sketch.py, closing r05): CMS
+# frequency estimation, HLL distinct counting, exact no-global-sort quantiles
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_SALT = 4, 512, "cms-v1"
+# two probe keys provably absent from the [a-z]+ token stream of any corpus
+# built from the synthetic word list (both sides carry them as literals)
+_CMS_ABSENT = ("zzabsentprobe", "qqneverseen")
+_HLL_P, _HLL_SALT = 8, "hll-v1"
+_QUANT_PROBS = [0, 100, 250, 500, 750, 900, 990, 1000]
+
+
+def _low60_sql(expr: str) -> str:
+    """DuckDB md5_number low-60 residue in canonical non-negative form
+    (md5_number is a SIGNED HUGEINT — see the stratified_sample oracle
+    note). Equals Spark's dedup.md5_low60 exactly."""
+    return (
+        f"(((md5_number({expr}) % 1152921504606846976)"
+        " + 1152921504606846976) % 1152921504606846976)"
+    )
+
+
+def _q_cms_freq(spark, sf_dir):
+    """Count–min sketch frequency estimation (sketch.count_min_sketch /
+    cms_lookup — Cormode & Muthukrishnan 2005): the sketch over the corpus
+    token stream is depth x width = 4 x 512 cells TOTAL regardless of
+    corpus size (the 100 TB point: the one shuffle is map-side combined
+    partial cells), then every vocabulary type plus two provably-absent
+    probes is point-queried. Output per probe: exact count, CMS estimate,
+    and the overestimate flag — the CMS guarantee est >= true is implied
+    by the data the hash compares. Width 512 < the corpus vocabulary, so
+    collisions (est > true) genuinely occur. HASH-EXACT: DuckDB rebuilds
+    every cell from md5_number and replays every min-over-rows lookup."""
+    from crawley_spark.operators.sketch import cms_lookup, count_min_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok")
+    )
+    sketch = count_min_sketch(
+        toks, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH, salt=_CMS_SALT
+    )
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    absent = spark.createDataFrame(
+        [(t, 0) for t in _CMS_ABSENT], "tok string, true_cnt long"
+    )
+    probes = truth.unionByName(absent)
+    est = cms_lookup(
+        sketch, probes, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH, salt=_CMS_SALT
+    )
+    return probes.join(est, "tok").select(
+        "tok",
+        "true_cnt",
+        F.col("est").cast("long").alias("est"),
+        (F.col("est") > F.col("true_cnt")).alias("over_est"),
+    )
+
+
+def _cms_freq_oracle() -> str:
+    """GENERATED from the same (depth, width, salt, absent-probe) knobs the
+    Spark query uses; DuckDB independently rebuilds the cell table from
+    token occurrences and replays the min-over-depth lookups."""
+    low60 = _low60_sql(f"'{_CMS_SALT}|' || CAST(t.r AS VARCHAR) || '|' || tok")
+    plow60 = _low60_sql(f"'{_CMS_SALT}|' || CAST(t.r AS VARCHAR) || '|' || p.tok")
+    absent = " UNION ALL ".join(f"SELECT '{t}', 0" for t in _CMS_ABSENT)
+    return f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    truth AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY tok
+    ),
+    probes AS (SELECT * FROM truth UNION ALL {absent}),
+    cells AS (
+        SELECT t.r AS row_i,
+               CAST({low60} % {_CMS_WIDTH} AS BIGINT) AS col,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, range({_CMS_DEPTH}) t(r)
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM probes p
+        CROSS JOIN range({_CMS_DEPTH}) t(r)
+        LEFT JOIN cells c
+          ON c.row_i = t.r AND c.col = CAST({plow60} % {_CMS_WIDTH} AS BIGINT)
+        GROUP BY p.tok
+    )
+    SELECT p.tok, p.true_cnt, CAST(e.est AS BIGINT) AS est,
+           e.est > p.true_cnt AS over_est
+    FROM probes p JOIN est e USING (tok)
+    """
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct counting (sketch.hll_registers / hll_estimate —
+    Flajolet et al. 2007): the 100 TB "how many distinct URLs" primitive —
+    2^p = 256 integer registers total, mergeable across corpora by
+    max(register). Keys are synthetic doc URLs emitted THREE times each
+    (the sketch must count each once); output is one row with the exact
+    register-table digest, the integer z_scaled core, the published
+    estimate (two documented float steps shared verbatim with the oracle),
+    the exact distinct count, and the error in ppm. HASH-EXACT: DuckDB
+    rebuilds every register from md5_number and replays the estimator."""
+    from crawley_spark.operators.sketch import hll_estimate, hll_registers
+
+    d = _docs(spark, sf_dir)
+    key = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    one = d.select(key.alias("key"))
+    keys = one.unionByName(one).unionByName(one)
+    regs = hll_registers(keys, "key", p=_HLL_P, salt=_HLL_SALT)
+    est = hll_estimate(regs, p=_HLL_P)
+    regs_md5 = regs.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "register"))),
+                    lambda x: F.concat(
+                        x["bucket"].cast("string"),
+                        F.lit(":"),
+                        x["register"].cast("string"),
+                    ),
+                ),
+                ",",
+            )
+        ).alias("regs_md5")
+    )
+    exact = keys.agg(F.count_distinct(F.col("key")).cast("long").alias("exact"))
+    return (
+        est.crossJoin(regs_md5)
+        .crossJoin(exact)
+        .select(
+            "m",
+            "n_zero",
+            "z_scaled",
+            "est",
+            "exact",
+            F.expr("(abs(est - exact) * 1000000) div exact").alias("abs_err_ppm"),
+            "regs_md5",
+        )
+    )
+
+
+def _hll_distinct_oracle() -> str:
+    """GENERATED from the same (p, salt) knobs; the estimator expression is
+    the literal string sketch.hll_est_sql(p) — one float parse tree on both
+    engines — while DuckDB rebuilds every register independently."""
+    from crawley_spark.operators.sketch import hll_est_sql
+
+    m = 1 << _HLL_P
+    w = 60 - _HLL_P
+    low60 = _low60_sql(f"'{_HLL_SALT}|' || key")
+    return f"""
+    WITH keys AS (
+        SELECT 'https://' || source || '.example/doc/'
+               || CAST(doc_id AS VARCHAR) AS key
+        FROM documents, range(3) t(r)
+    ),
+    h AS (SELECT CAST({low60} AS BIGINT) AS h FROM keys),
+    regs AS (
+        SELECT CAST(h % {m} AS BIGINT) AS bucket,
+               CAST(max(CASE WHEN h // {m} = 0 THEN {w + 1}
+                        ELSE {w + 1} - length(bin(h // {m})) END) AS INT)
+                   AS register
+        FROM h GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS present,
+               CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({w + 1} - register)), 0)
+                    AS BIGINT) AS zp,
+               md5(string_agg(bucket || ':' || register, ',' ORDER BY bucket))
+                   AS regs_md5
+        FROM regs
+    ),
+    base AS (
+        SELECT CAST({m} AS BIGINT) AS m,
+               CAST({m} - present AS BIGINT) AS n_zero,
+               CAST(({m} - present) * {1 << (w + 1)} + zp AS BIGINT) AS z_scaled,
+               regs_md5
+        FROM agg
+    ),
+    esti AS (SELECT *, {hll_est_sql(_HLL_P)} AS est FROM base),
+    ex AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS exact FROM keys)
+    SELECT m, n_zero, z_scaled, est, exact,
+           CAST((abs(est - exact) * 1000000) // exact AS BIGINT) AS abs_err_ppm,
+           regs_md5
+    FROM esti, ex
+    """
+
+
+def _q_length_quantiles(spark, sf_dir):
+    """Exact order-statistic quantiles with NO global sort
+    (sketch.exact_quantiles — the budget.py two-pass boundary-bucket
+    selection): the corpus length-distribution report (p0/p10/.../p100 of
+    document character length) computed with two map-side-combined scans
+    plus a window over only the boundary buckets — ``SinglePartition``
+    never appears (plan-test-pinned in tests/test_sketch.py). HASH-EXACT:
+    DuckDB recomputes each k-th smallest via ROW_NUMBER over a real sort."""
+    from crawley_spark.operators.sketch import exact_quantiles
+
+    d = _docs(spark, sf_dir).select(F.length("text").cast("long").alias("len"))
+    return exact_quantiles(d, "len", _QUANT_PROBS, max_buckets=256)
+
+
+def _length_quantiles_oracle() -> str:
+    """GENERATED from the same probs list; DuckDB recomputes every k-th
+    order statistic independently via a full ROW_NUMBER sort (ties are
+    value-ties: the value at sorted position k is deterministic even
+    though rank assignment among equal values is not)."""
+    probes = ", ".join(f"({q})" for q in sorted(set(_QUANT_PROBS)))
+    return f"""
+    WITH v AS (SELECT CAST(length(text) AS BIGINT) AS x FROM documents),
+    s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    p(p_milli) AS (VALUES {probes}),
+    k AS (
+        SELECT CAST(p_milli AS BIGINT) AS p_milli,
+               CAST((n - 1) * p_milli // 1000 + 1 AS BIGINT) AS k, n
+        FROM p, n
+    )
+    SELECT k.p_milli, k.k, k.n, s.x AS value
+    FROM k JOIN s ON s.rn = k.k
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -3288,6 +3521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": _q_anchor_texts,
         "vocab_topk": _q_vocab_topk,
         "vocab_summary": _q_vocab_summary,
+        "cms_freq": _q_cms_freq,
+        "hll_distinct": _q_hll_distinct,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -4901,4 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY 1, 2
         """,
+        "cms_freq": _cms_freq_oracle(),
+        "hll_distinct": _hll_distinct_oracle(),
+        "length_quantiles": _length_quantiles_oracle(),
     }

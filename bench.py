@@ -78,6 +78,9 @@ HEADLINE = [
     "hits_rank",
     "ppl_buckets",
     "bigram_lm",
+    "cms_freq",
+    "hll_distinct",
+    "length_quantiles",
 ]
 
 
