@@ -3441,6 +3441,172 @@ def _length_quantiles_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Boilerpipe-style main-content extraction (operators/boilerplate.py):
+# block segmentation + the published NumWordsRules decision tree
+# ---------------------------------------------------------------------------
+
+_BP_CHUNK = 25
+# planted boilerplate blocks, carried as literals on BOTH sides: a nav bar
+# (4 words / 3 anchor words, link density 3/4), a related-links block (same
+# density), and a short trailing notice whose fate the tree decides from
+# its neighbours
+_BP_NAV = (
+    '<div><a href="/m">home</a> <a href="/n">about</a>'
+    ' <a href="/o">contact</a> menu</div>'
+)
+_BP_REL = '<p><a href="/r">more related pages</a> here</p>'
+_BP_COPY = "<p>copyright two thousand</p>"
+
+
+def _boiler_pages(spark, sf_dir):
+    """Derived HTML corpus: nav + the doc's tokens in 25-word <p> chunks +
+    related-links + notice. The construction is mirrored verbatim in the
+    oracle, so the Spark side's REAL HTML parse (kernel block segmentation,
+    per-anchor word counts) is cross-checked against the known block
+    layout."""
+    d = _docs(spark, sf_dir)
+    tk = F.expr("filter(split(text, ' '), x -> x <> '')")
+    chunks_html = F.expr(
+        f"array_join(transform(sequence(0, (size(tk) - 1) div {_BP_CHUNK}), "
+        f"i -> concat('<p>', array_join(slice(tk, i*{_BP_CHUNK} + 1, {_BP_CHUNK}), ' '), "
+        "'</p>')), '')"
+    )
+    return d.select("doc_id", tk.alias("tk")).select(
+        "doc_id",
+        F.concat(
+            F.lit(_BP_NAV), chunks_html, F.lit(_BP_REL), F.lit(_BP_COPY)
+        ).alias("html"),
+    )
+
+
+def _q_boilerpipe_blocks(spark, sf_dir):
+    """Block-level boilerplate classification (boilerplate.text_blocks_df +
+    classify_blocks — Kohlschuetter et al. WSDM 2010 NumWordsRules tree,
+    exact integer cross-multiplied densities): every page of the derived
+    corpus is parsed by the real HTML kernel into text blocks, then each
+    block is labeled from (prev, curr, next) word/anchor counts. HASH-EXACT:
+    DuckDB rebuilds every block's text and counts from the mirrored
+    construction and replays the tree with lag/lead — one wrong block
+    boundary, word count, anchor attribution, or tree branch flips the
+    hash."""
+    from crawley_spark.operators.boilerplate import classify_blocks, text_blocks_df
+
+    pages = _boiler_pages(spark, sf_dir)
+    blocks = classify_blocks(text_blocks_df(pages, "doc_id", "html"), "doc_id")
+    return blocks.select(
+        "doc_id",
+        "block_idx",
+        F.md5("block_text").alias("block_md5"),
+        "n_words",
+        "n_anchor_words",
+        "is_content",
+    )
+
+
+def _bp_blocks_ctes() -> str:
+    """Shared oracle CTEs: rebuild the derived block layout (nav / 25-token
+    chunks / related / notice) and replay the published decision tree."""
+    return f"""
+    tk AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id, tk,
+               UNNEST(range((len(tk) - 1) // {_BP_CHUNK} + 1)) AS i
+        FROM tk
+    ),
+    paras AS (
+        SELECT doc_id, CAST(1 + i AS INT) AS block_idx,
+               array_to_string(
+                   list_slice(tk, i*{_BP_CHUNK} + 1, i*{_BP_CHUNK} + {_BP_CHUNK}),
+                   ' ') AS btext
+        FROM chunked
+    ),
+    blocks AS (
+        SELECT doc_id, 0 AS block_idx, 'home about contact menu' AS btext,
+               CAST(4 AS BIGINT) AS n_words, CAST(3 AS BIGINT) AS n_anchor_words
+        FROM tk
+        UNION ALL
+        SELECT doc_id, block_idx, btext,
+               CAST(len(string_split(btext, ' ')) AS BIGINT), CAST(0 AS BIGINT)
+        FROM paras
+        UNION ALL
+        SELECT doc_id, CAST((len(tk) - 1) // {_BP_CHUNK} + 2 AS INT),
+               'more related pages here', 4, 3
+        FROM tk
+        UNION ALL
+        SELECT doc_id, CAST((len(tk) - 1) // {_BP_CHUNK} + 3 AS INT),
+               'copyright two thousand', 3, 0
+        FROM tk
+    ),
+    feat AS (
+        SELECT *,
+               COALESCE(lag(n_words) OVER w, 0) AS pw,
+               COALESCE(lag(n_anchor_words) OVER w, 0) AS pa,
+               COALESCE(lead(n_words) OVER w, 0) AS nw
+        FROM blocks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)
+    ),
+    lab AS (
+        SELECT doc_id, block_idx, btext, n_words, n_anchor_words,
+               CASE WHEN n_anchor_words * 1000000 > n_words * 333333 THEN FALSE
+                    WHEN pa * 1000000 <= pw * 555556
+                        THEN (n_words > 16 OR nw > 15 OR pw > 4)
+                    ELSE (n_words > 40 OR nw > 17) END AS is_content
+        FROM feat
+    )
+    """
+
+
+def _boilerpipe_blocks_oracle() -> str:
+    return f"""
+    WITH {_bp_blocks_ctes()}
+    SELECT doc_id, block_idx, md5(btext) AS block_md5,
+           n_words, n_anchor_words, is_content
+    FROM lab
+    """
+
+
+def _q_main_content(spark, sf_dir):
+    """Main-content extraction end-to-end (boilerplate.extract_main_content):
+    content blocks re-joined in block order per page, with the block/word
+    funnel counts. Single-chunk pages genuinely come out EMPTY (their one
+    paragraph sits between two high-density blocks and is under the 40-word
+    bar) — the all-boilerplate path is data, not doc. HASH-EXACT: DuckDB
+    replays the tree and the ordered reassembly independently."""
+    from crawley_spark.operators.boilerplate import extract_main_content
+
+    pages = _boiler_pages(spark, sf_dir)
+    out = extract_main_content(pages, "doc_id", "html")
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_content_blocks",
+        "n_content_words",
+        F.md5("main_text").alias("main_md5"),
+    )
+
+
+def _main_content_oracle() -> str:
+    return f"""
+    WITH {_bp_blocks_ctes()}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_content_blocks,
+           CAST(COALESCE(sum(CASE WHEN is_content THEN n_words END), 0)
+                AS BIGINT) AS n_content_words,
+           md5(COALESCE(
+               string_agg(CASE WHEN is_content THEN btext END, ' '
+                          ORDER BY block_idx),
+               '')) AS main_md5
+    FROM lab
+    GROUP BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -3524,6 +3690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": _q_cms_freq,
         "hll_distinct": _q_hll_distinct,
         "length_quantiles": _q_length_quantiles,
+        "boilerpipe_blocks": _q_boilerpipe_blocks,
+        "main_content": _q_main_content,
     }
 
 
@@ -5140,4 +5308,6 @@ def oracle_sql() -> dict[str, str]:
         "cms_freq": _cms_freq_oracle(),
         "hll_distinct": _hll_distinct_oracle(),
         "length_quantiles": _length_quantiles_oracle(),
+        "boilerpipe_blocks": _boilerpipe_blocks_oracle(),
+        "main_content": _main_content_oracle(),
     }

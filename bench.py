@@ -81,6 +81,8 @@ HEADLINE = [
     "cms_freq",
     "hll_distinct",
     "length_quantiles",
+    "boilerpipe_blocks",
+    "main_content",
 ]
 
 
