@@ -3256,7 +3256,10 @@ def _q_cms_freq(spark, sf_dir):
     absent = spark.createDataFrame(
         [(t, 0) for t in _CMS_ABSENT], "tok string, true_cnt long"
     )
-    probes = truth.unionByName(absent)
+    # vocab-sized cut: probes feed BOTH the lookup cells and the final
+    # join — without it the token explode+count re-runs from the parquet
+    # scan per consumer (the nb_classifier redundant-scan lesson)
+    probes = truth.unionByName(absent).localCheckpoint(eager=False)
     est = cms_lookup(
         sketch, probes, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH, salt=_CMS_SALT
     )

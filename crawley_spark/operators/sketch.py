@@ -44,25 +44,45 @@ from .dedup import md5_low60
 LOW60_DEN = 1 << 60
 
 
+def _low60_of_hex(hex_col) -> "F.Column":
+    """dedup.md5_low60's conv arithmetic over an ALREADY-COMPUTED md5 hex
+    column. Inlining md5_low60 here would embed a separate ``md5()`` call
+    in each of its 8 conv terms; across depth cells that is 8 x depth md5
+    evaluations per row and a generated-code tree large enough to cost
+    whole seconds of first-run JIT (measured: cms_freq 8.0 s cold at
+    sf0.1 before this split, 1.9 s after). Hashing once into a column and
+    deriving the long from the hex keeps the value bit-identical."""
+
+    def byte(j):
+        return F.conv(F.substring(hex_col, 2 * j + 1, 2), 16, 10).cast("long")
+
+    h = F.lit(0).cast("long")
+    for j in range(7):
+        h = h + byte(j) * F.lit(1 << (8 * j)).cast("long")
+    return h + (byte(7) % 16) * F.lit(1 << 56).cast("long")
+
+
 def _cms_cells(df: DataFrame, key_col: str, depth: int, width: int, salt: str):
     """(row_i, col) cell coordinates for every input row, exploded map-side:
-    col_i = md5_low60('salt|i|' || key) % width."""
-    cells = F.array(
+    col_i = md5_low60('salt|i|' || key) % width. The depth md5 digests are
+    posexploded as a hex array FIRST and the conv arithmetic runs once on
+    the exploded column — inlining md5_low60 per cell put depth copies of
+    its 8-conv chain (each embedding its own md5 call) into one generated
+    method, and Janino compilation of that tree cost ~8 s of first-run
+    wall at ANY data size (measured; 1.9 s with this shape)."""
+    hexes = F.array(
         *[
-            F.struct(
-                F.lit(i).cast("int").alias("row_i"),
-                (
-                    md5_low60(
-                        F.concat(F.lit(f"{salt}|{i}|"), F.col(key_col).cast("string"))
-                    )
-                    % width
-                ).alias("col"),
-            )
+            F.md5(F.concat(F.lit(f"{salt}|{i}|"), F.col(key_col).cast("string")))
             for i in range(depth)
         ]
     )
-    return df.select(F.col(key_col), F.explode(cells).alias("c")).select(
-        key_col, F.col("c.row_i").alias("row_i"), F.col("c.col").alias("col")
+    return (
+        df.select(F.col(key_col), F.posexplode(hexes).alias("row_i", "_h"))
+        .select(
+            key_col,
+            F.col("row_i").cast("int").alias("row_i"),
+            (_low60_of_hex(F.col("_h")) % width).alias("col"),
+        )
     )
 
 
