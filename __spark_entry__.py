@@ -2662,6 +2662,211 @@ def _q_frontier_priority(spark, sf_dir):
     )
 
 
+_SCHED_CAP = 30
+_SCHED_BATCH = 150
+
+
+def _q_scheduler_pipeline(spark, sf_dir):
+    """Crawl-scheduler capstone — the full wave-selection funnel the
+    north-star loop runs between link extraction and the fetch join,
+    composed from the already-oracled operators: derived frontier (the
+    _urls table with Heritrix-style traps planted on doc_id residues,
+    deduplicated to a URL set — a frontier is a set) → crawler-trap gate
+    (traps.url_trap_signals) → authority prioritization
+    (linkgraph.prioritize_frontier consuming the same integer-exact host
+    PageRank as `host_rank`) → largest-remainder fetch-budget
+    apportionment over the selected batch's per-host counts
+    (budget.allocate_crawl_budget; budget = n_selected div 2 so it always
+    binds) → the quota-respecting wave cut (slot <= quota — the
+    politeness-consumption shape; exact because the global batch cut
+    orders by (rank desc, url) and rank is per-host constant, so each
+    host's batch slots form a prefix). One funnel row: stage counts,
+    budget, wave size, and md5s of the sorted batch and wave URL sets so
+    one wrongly scheduled URL flips the hash. HASH-EXACT: DuckDB replays
+    the trap signals (the crawl_traps oracle's INDEPENDENT window
+    algorithm), the PageRank rounds (generated CTEs), the slot windows,
+    the top-batch cut, and the Hamilton remainder ranking end to end."""
+    from crawley_spark.operators.budget import allocate_crawl_budget
+    from crawley_spark.operators.linkgraph import prioritize_frontier
+    from crawley_spark.operators.traps import url_trap_signals
+
+    u = _urls(spark, sf_dir)
+    did = F.col("doc_id")
+    turl = F.concat(
+        F.col("url"),
+        F.when(did % 13 == 0, F.lit(_TRAP_CAL)).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(_TRAP_DEEP)).otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.lit(_TRAP_PARAMS)).otherwise(F.lit("")),
+    )
+    frontier = u.select(turl.alias("url")).distinct().localCheckpoint(eager=False)
+    sig = url_trap_signals(frontier)
+    clean = (
+        sig.filter(~F.col("is_trap"))
+        .select("url", "host")
+        .localCheckpoint(eager=False)
+    )
+    ranks = _q_host_rank(spark, sf_dir).select("host", "rank")
+    batch = prioritize_frontier(
+        clean, ranks, batch_size=_SCHED_BATCH, per_host_cap=_SCHED_CAP
+    ).localCheckpoint(eager=False)
+    n_selected = batch.count()
+    counts = batch.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frontier")
+    )
+    quotas = allocate_crawl_budget(counts, budget=n_selected // 2).localCheckpoint(
+        eager=False
+    )
+    wave = batch.join(quotas.select("host", "quota"), "host").filter(
+        F.col("slot") <= F.col("quota")
+    )
+
+    def _urls_md5(alias):
+        return F.md5(F.array_join(F.array_sort(F.collect_list("url")), "|")).alias(
+            alias
+        )
+
+    return (
+        frontier.agg(F.count(F.lit(1)).cast("long").alias("n_frontier"))
+        .crossJoin(clean.agg(F.count(F.lit(1)).cast("long").alias("n_after_traps")))
+        .crossJoin(
+            batch.agg(
+                F.count(F.lit(1)).cast("long").alias("n_selected"),
+                F.countDistinct("host").cast("long").alias("n_hosts"),
+                _urls_md5("batch_md5"),
+            )
+        )
+        .crossJoin(quotas.agg(F.sum("quota").cast("long").alias("budget")))
+        .crossJoin(
+            wave.agg(
+                F.count(F.lit(1)).cast("long").alias("n_wave"),
+                _urls_md5("wave_md5"),
+            )
+        )
+    )
+
+
+def _scheduler_pipeline_oracle(iterations: int = 3) -> str:
+    """Full independent DuckDB replay of the scheduler funnel: trap-suffixed
+    distinct frontier (path/query rebuilt from the derivation parts), trap
+    signals via the window change-flag algorithm (NOT the operator's HOF
+    scan), the shared host-graph PageRank CTEs, per-host slot windows, the
+    (rank DESC, url) top-batch cut, Hamilton apportionment via ROW_NUMBER,
+    and the quota wave cut. Thresholds/knobs imported from the operator
+    modules and the query constants so the two sides cannot desynchronize
+    while every computation is still recomputed independently."""
+    from crawley_spark.operators.traps import (
+        MAX_PATH_SEGMENTS,
+        MAX_QUERY_PARAMS,
+        MAX_SEG_REPEATS,
+    )
+
+    cap, batch_size = _SCHED_CAP, _SCHED_BATCH
+    return (
+        _with_url(_URLS_SQL)
+        + f""", turls AS MATERIALIZED (
+            SELECT DISTINCT
+                url || CASE WHEN doc_id % 13 = 0 THEN '{_TRAP_CAL}' ELSE '' END
+                    || CASE WHEN doc_id % 17 = 0 THEN '{_TRAP_DEEP}' ELSE '' END
+                    || CASE WHEN doc_id % 19 = 0 THEN '{_TRAP_PARAMS}' ELSE '' END
+                    AS url,
+                host,
+                path || CASE WHEN doc_id % 13 = 0 THEN '{_TRAP_CAL}' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN '{_TRAP_DEEP}' ELSE '' END
+                    AS tpath,
+                CASE WHEN doc_id % 19 = 0 THEN '{_TRAP_PARAMS[1:]}' ELSE '' END
+                    AS query
+            FROM urls
+        ),
+        seglists AS (
+            SELECT url, host, query,
+                   list_filter(string_split(tpath, '/'), x -> x <> '') AS l
+            FROM turls
+        ),
+        segrows AS (
+            SELECT url, i, l[i] AS seg FROM (
+                SELECT url, l, unnest(range(1, len(l) + 1)) AS i FROM seglists
+            )
+        ),
+        marks AS (
+            SELECT url, i,
+                   CASE WHEN seg = lag(seg) OVER (PARTITION BY url ORDER BY i)
+                        THEN 0 ELSE 1 END AS brk
+            FROM segrows
+        ),
+        grps AS (
+            SELECT url, i, SUM(brk) OVER (PARTITION BY url ORDER BY i) AS g
+            FROM marks
+        ),
+        runs AS (
+            SELECT url, MAX(cnt) AS max_run FROM (
+                SELECT url, g, COUNT(*) AS cnt FROM grps GROUP BY url, g
+            ) GROUP BY url
+        ),
+        clean AS MATERIALIZED (
+            SELECT s.url, s.host
+            FROM seglists s LEFT JOIN runs r USING (url)
+            WHERE NOT (COALESCE(r.max_run, 0) > {MAX_SEG_REPEATS}
+                       OR len(s.l) > {MAX_PATH_SEGMENTS}
+                       OR (CASE WHEN s.query = '' THEN 0
+                                ELSE len(string_split(s.query, '&')) END)
+                          > {MAX_QUERY_PARAMS})
+        ),
+        {_host_graph_ctes(iterations)},
+        hostrank AS (
+            SELECT 'h' || CAST(node AS VARCHAR) || '.test' AS rhost, rank
+            FROM r{iterations}
+        ),
+        sel AS (
+            SELECT c.url, c.host, COALESCE(hr.rank, 0) AS rank,
+                   ROW_NUMBER() OVER (PARTITION BY c.host ORDER BY c.url) AS slot
+            FROM clean c LEFT JOIN hostrank hr ON hr.rhost = c.host
+        ),
+        batch AS MATERIALIZED (
+            SELECT * FROM sel WHERE slot <= {cap}
+            ORDER BY rank DESC, url LIMIT {batch_size}
+        ),
+        counts AS (SELECT host, COUNT(*) AS cnt FROM batch GROUP BY host),
+        tot AS (
+            SELECT SUM(cnt) AS total,
+                   (SELECT COUNT(*) FROM batch) // 2 AS budget
+            FROM counts
+        ),
+        calc AS (
+            SELECT host, cnt,
+                   (budget * cnt) // total AS base,
+                   (budget * cnt) % total AS rem
+            FROM counts, tot
+        ),
+        kk AS (SELECT (SELECT budget FROM tot) - SUM(base) AS k FROM calc),
+        ranked AS (
+            SELECT host, base,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rnk
+            FROM calc
+        ),
+        quota AS (
+            SELECT host,
+                   base + CASE WHEN rnk <= (SELECT k FROM kk) THEN 1 ELSE 0 END
+                       AS quota
+            FROM ranked
+        ),
+        wave AS MATERIALIZED (
+            SELECT b.url FROM batch b JOIN quota q USING (host)
+            WHERE b.slot <= q.quota
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM turls) AS n_frontier,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS n_after_traps,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM batch) AS n_selected,
+            (SELECT CAST(COUNT(DISTINCT host) AS BIGINT) FROM batch) AS n_hosts,
+            (SELECT md5(string_agg(url, '|' ORDER BY url)) FROM batch)
+                AS batch_md5,
+            (SELECT CAST(SUM(quota) AS BIGINT) FROM quota) AS budget,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM wave) AS n_wave,
+            (SELECT md5(string_agg(url, '|' ORDER BY url)) FROM wave) AS wave_md5
+    """
+    )
+
+
 def _semdedup_rounds(iterations: int) -> str:
     """Chained per-iteration CTEs replaying the documented integer k-means
     update (assign → argmin with (dist, cid) tie-break → element-wise
@@ -3682,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_rank": _q_hits_rank,
         "host_rank": _q_host_rank,
         "frontier_priority": _q_frontier_priority,
+        "scheduler_pipeline": _q_scheduler_pipeline,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -4744,6 +4950,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_oracle(),
         "host_rank": _host_rank_oracle(),
         "frontier_priority": _frontier_priority_oracle(),
+        "scheduler_pipeline": _scheduler_pipeline_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

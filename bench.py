@@ -78,6 +78,7 @@ HEADLINE = [
     "hits_rank",
     "ppl_buckets",
     "bigram_lm",
+    "scheduler_pipeline",
     "cms_freq",
     "hll_distinct",
     "length_quantiles",

@@ -91,3 +91,19 @@ def test_fineweb_pipeline_funnel(spark):
     assert row["n_after_lang"] < row["n_input"]  # the German plant is dropped
     assert row["n_docs_with_pii"] >= 0 and row["n_emails"] >= row["n_docs_with_pii"]
     assert len(row["final_md5"]) == 32
+
+
+def test_scheduler_pipeline_funnel(spark):
+    """Crawl-scheduler capstone (closing r05): trap gate drops the planted
+    traps, the per-host cap + global batch cut bind, Hamilton quotas tile
+    the budget exactly (n_wave == budget == sum quota), and the wave is a
+    strict subset of the batch (wave_md5 != batch_md5)."""
+    import __spark_entry__ as e
+
+    row = e.queries()["scheduler_pipeline"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_frontier"] > row["n_after_traps"]  # planted traps dropped
+    assert row["n_after_traps"] > row["n_selected"]  # batch cut binds
+    assert row["n_selected"] == 150 and row["n_hosts"] >= 2
+    assert row["budget"] == row["n_selected"] // 2 == row["n_wave"]
+    assert row["wave_md5"] != row["batch_md5"]
+    assert len(row["wave_md5"]) == 32 and len(row["batch_md5"]) == 32
