@@ -2867,6 +2867,118 @@ def _scheduler_pipeline_oracle(iterations: int = 3) -> str:
     )
 
 
+_CDX_SHARDS = 8
+
+
+def _q_cdx_index(spark, sf_dir):
+    """CDX index build (operators/cdx.py — the URL-index artifact Common
+    Crawl publishes next to its WARCs): derived capture records with
+    mixed-case paths, an unsorted mixed-case query on doc_id%5, a leading
+    'www.' on every host, and seven TLD groups (t0..t6) so the SURT keys
+    genuinely spread across the range shards. surt_key canonicalizes
+    (scheme/case/www/param-sort), the shard boundaries are EXACT per-mille
+    order statistics of the 7-byte big-endian SURT prefix via
+    sketch.exact_quantiles (two-pass bucketed selection — no global sort,
+    no sampled repartitionByRange, so the layout is bit-reproducible), and
+    shard assignment is a zero-shuffle projection over broadcast literal
+    boundaries. Output: per-shard n_records, min/max SURT, and an md5 of
+    the newline-joined sorted CDX lines. HASH-EXACT: DuckDB rebuilds every
+    SURT from the derivation parts (never parse_url), recomputes the
+    proxy polynomial, the ROW_NUMBER order statistics, the shard counts,
+    and every ordered line digest independently."""
+    from crawley_spark.operators.cdx import build_cdx_index
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(
+        F.lit("http://www."),
+        F.col("source"),
+        F.lit(".t"),
+        (did % 7).cast("string"),
+        F.lit("/Doc/"),
+        ids,
+        F.when(did % 5 == 0, F.lit("?B=2&a=1")).otherwise(F.lit("")),
+    )
+    recs = d.select(
+        url.alias("url"),
+        (F.lit(20260101000000) + did).cast("string").alias("ts"),
+        F.md5("text").alias("digest"),
+    )
+    idx = build_cdx_index(recs, n_shards=_CDX_SHARDS)
+    return idx.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.min("surt").alias("min_surt"),
+        F.max("surt").alias("max_surt"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("line")), "\n")).alias(
+            "lines_md5"
+        ),
+    )
+
+
+def _cdx_index_oracle() -> str:
+    """Independent DuckDB replay: SURT rebuilt from the derivation parts
+    (reversed host labels, lowercased path, sorted lowercased params — no
+    URL parser), the 7-byte proxy as the same generated ascii polynomial,
+    boundaries as real ROW_NUMBER order statistics at the identical
+    k = (n-1)·p div 1000 + 1 positions, shard = count of boundaries
+    strictly below (duplicate boundary values counted twice, exactly like
+    the operator's Σ [proxy > b] over the collected list), and the
+    per-shard ordered line digests via string_agg."""
+    from crawley_spark.operators.cdx import PROXY_BYTES
+
+    probs = sorted({i * 1000 // _CDX_SHARDS for i in range(1, _CDX_SHARDS)})
+    proxy_terms = " + ".join(
+        f"(CASE WHEN length(surt) >= {i} THEN ord(substr(surt, {i}, 1)) "
+        f"ELSE 0 END) * {256 ** (PROXY_BYTES - i)}"
+        for i in range(1, PROXY_BYTES + 1)
+    )
+    bnd_terms = "\n            UNION ALL ".join(
+        f"SELECT v FROM ranked WHERE rn = "
+        f"(SELECT (n - 1) * {p} // 1000 + 1 FROM cnt)"
+        for p in probs
+    )
+    return f"""
+        WITH recs AS MATERIALIZED (
+            SELECT 't' || CAST(doc_id % 7 AS VARCHAR) || ',' || source
+                       || ')/doc/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END
+                   AS surt,
+                   'http://www.' || source || '.t' || CAST(doc_id % 7 AS VARCHAR)
+                       || '/Doc/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 5 = 0 THEN '?B=2&a=1' ELSE '' END
+                   AS url,
+                   CAST(20260101000000 + doc_id AS VARCHAR) AS ts,
+                   md5(text) AS digest
+            FROM documents
+        ),
+        prox AS MATERIALIZED (
+            SELECT *, {proxy_terms} AS proxy FROM recs
+        ),
+        cnt AS (SELECT COUNT(*) AS n FROM prox),
+        ranked AS (
+            SELECT proxy AS v, ROW_NUMBER() OVER (ORDER BY proxy) AS rn
+            FROM prox
+        ),
+        bnd AS MATERIALIZED (
+            {bnd_terms}
+        ),
+        shards AS (
+            SELECT p.surt, p.url, p.ts, p.digest,
+                   p.surt || ' ' || p.ts || ' ' || p.url || ' ' || p.digest
+                       AS line,
+                   (SELECT COUNT(*) FROM bnd b WHERE p.proxy > b.v) AS shard
+            FROM prox p
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               MIN(surt) AS min_surt,
+               MAX(surt) AS max_surt,
+               md5(string_agg(line, chr(10) ORDER BY line)) AS lines_md5
+        FROM shards GROUP BY shard
+    """
+
+
 def _semdedup_rounds(iterations: int) -> str:
     """Chained per-iteration CTEs replaying the documented integer k-means
     update (assign → argmin with (dist, cid) tie-break → element-wise
@@ -3888,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "frontier_priority": _q_frontier_priority,
         "scheduler_pipeline": _q_scheduler_pipeline,
+        "cdx_index": _q_cdx_index,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -4951,6 +5064,7 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _host_rank_oracle(),
         "frontier_priority": _frontier_priority_oracle(),
         "scheduler_pipeline": _scheduler_pipeline_oracle(),
+        "cdx_index": _cdx_index_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

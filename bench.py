@@ -79,6 +79,7 @@ HEADLINE = [
     "ppl_buckets",
     "bigram_lm",
     "scheduler_pipeline",
+    "cdx_index",
     "cms_freq",
     "hll_distinct",
     "length_quantiles",
