@@ -2867,6 +2867,95 @@ def _scheduler_pipeline_oracle(iterations: int = 3) -> str:
     )
 
 
+def _q_cc_luhn(spark, sf_dir):
+    """Luhn-gated payment-card detection (pii.luhn_flags — the
+    checksum-validated counterpart of pii_mask's regexes, the standard
+    false-positive gate for card masking): planted valid Visa/Amex test
+    numbers on doc_id %31/%41, an invalid-checksum twin on %37. Outputs
+    per-doc candidate/valid counts, an md5 of the sorted valid matches,
+    and an md5 of the masked text (only VALID numbers masked — replacement
+    folds over the bytewise-sorted distinct valid set, so it is
+    order-independent). HASH-EXACT: DuckDB recomputes the RE2 candidate
+    extraction, restates the identical Luhn integer formula with
+    list_transform/list_sum/ord, and replays the literal-replace fold with
+    list_reduce."""
+    from crawley_spark.operators.pii import luhn_flags
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 31 == 0, F.lit(" pay 4111111111111111 now")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 37 == 0, F.lit(" ref 4111111111111112 x")).otherwise(F.lit("")),
+        F.when(did % 41 == 0, F.lit(" card 378282246310005 end")).otherwise(
+            F.lit("")
+        ),
+    )
+    out = luhn_flags(d.select("doc_id", t.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_cc_candidates",
+        "n_cc_valid",
+        "cc_valid_md5",
+        F.md5("cc_masked").alias("masked_md5"),
+    )
+
+
+def _cc_luhn_oracle() -> str:
+    """Independent DuckDB replay of cc_luhn: RE2 extraction of the same
+    (Java∩RE2-identical) candidate pattern, the Luhn sum restated over
+    range/list_transform/ord (vs the operator's sequence/aggregate/ascii —
+    same arithmetic, different engine), list_filter for validity, and the
+    masked text rebuilt with the identical sorted-distinct literal-replace
+    fold via list_reduce(list_prepend(text, ...)). array_to_string is NULL
+    on empty lists where Spark's array_join is '' (the pinned c4_lines
+    hazard) — hence the COALESCE."""
+    from crawley_spark.operators.pii import CC_CANDIDATE_RE, CC_TOKEN
+
+    luhn = (
+        "list_sum(list_transform(range(1, length(s) + 1), i -> "
+        "CASE WHEN (length(s) - i) % 2 = 1 "
+        "THEN CASE WHEN 2 * (ord(substr(s, i, 1)) - 48) > 9 "
+        "THEN 2 * (ord(substr(s, i, 1)) - 48) - 9 "
+        "ELSE 2 * (ord(substr(s, i, 1)) - 48) END "
+        "ELSE ord(substr(s, i, 1)) - 48 END))"
+    )
+    return f"""
+        WITH derived AS MATERIALIZED (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 31 = 0
+                           THEN ' pay 4111111111111111 now' ELSE '' END
+                   || CASE WHEN doc_id % 37 = 0
+                           THEN ' ref 4111111111111112 x' ELSE '' END
+                   || CASE WHEN doc_id % 41 = 0
+                           THEN ' card 378282246310005 end' ELSE '' END AS text
+            FROM documents
+        ),
+        cand AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '{CC_CANDIDATE_RE}') AS cs
+            FROM derived
+        ),
+        flag AS (
+            SELECT doc_id, text, cs,
+                   list_filter(cs, s -> {luhn} % 10 = 0) AS valid
+            FROM cand
+        )
+        SELECT doc_id,
+               CAST(len(cs) AS BIGINT) AS n_cc_candidates,
+               CAST(len(valid) AS BIGINT) AS n_cc_valid,
+               md5(COALESCE(array_to_string(list_sort(valid), '|'), ''))
+                   AS cc_valid_md5,
+               md5(list_reduce(
+                   list_prepend(text, list_sort(list_distinct(valid))),
+                   (acc, s) -> replace(acc, s, '{CC_TOKEN}'))) AS masked_md5
+        FROM flag
+    """
+
+
 _CDX_SHARDS = 8
 
 
@@ -4001,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_priority": _q_frontier_priority,
         "scheduler_pipeline": _q_scheduler_pipeline,
         "cdx_index": _q_cdx_index,
+        "cc_luhn": _q_cc_luhn,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5065,6 +5155,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_priority": _frontier_priority_oracle(),
         "scheduler_pipeline": _scheduler_pipeline_oracle(),
         "cdx_index": _cdx_index_oracle(),
+        "cc_luhn": _cc_luhn_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -80,6 +80,7 @@ HEADLINE = [
     "bigram_lm",
     "scheduler_pipeline",
     "cdx_index",
+    "cc_luhn",
     "cms_freq",
     "hll_distinct",
     "length_quantiles",

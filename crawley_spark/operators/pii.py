@@ -41,3 +41,74 @@ def pii_mask(df: DataFrame, text_col: str = "text") -> DataFrame:
         counts.append(F.regexp_count(masked, F.lit(pat)).alias(f"n_{name}"))
         masked = F.regexp_replace(masked, pat, token)
     return df.select(F.col("doc_id"), *counts, masked.alias("masked"))
+
+
+# Payment-card candidates: a bare run of 13-19 digits delimited by
+# non-word characters (\b in both Java and RE2: letter-adjacent or
+# longer runs never match, identically on both engines). Validity is the
+# published Luhn mod-10 checksum (public knowledge; ISO/IEC 7812) —
+# detector-style PII passes gate card masking on it to cut the false
+# positives a bare digit-run regex would produce.
+CC_CANDIDATE_RE = r"\b[0-9]{13,19}\b"
+CC_TOKEN = "<CC>"
+
+# Luhn as a pure Spark-SQL expression over a digit-string lambda var `s`:
+# digit i (1-based from the LEFT) is doubled when its position from the
+# right (length - i + 1) is even, i.e. (length(s) - i) % 2 = 1; doubled
+# values over 9 subtract 9; valid iff the sum is 0 mod 10. Everything is
+# integer arithmetic on ascii codes so a DuckDB oracle can restate the
+# identical formula with list_transform/list_sum/ord.
+_LUHN_D = "(ascii(substr(s, i, 1)) - 48)"
+LUHN_SUM_SQL = (
+    "aggregate(sequence(1, length(s)), 0, (acc, i) -> acc + "
+    "CASE WHEN (length(s) - i) % 2 = 1 "
+    f"THEN CASE WHEN 2 * {_LUHN_D} > 9 THEN 2 * {_LUHN_D} - 9 "
+    f"ELSE 2 * {_LUHN_D} END ELSE {_LUHN_D} END)"
+)
+
+
+def luhn_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc payment-card detection: candidate digit runs
+    (``CC_CANDIDATE_RE``), the subset passing the Luhn checksum, and
+    ``cc_masked`` = text with every VALID number literal-replaced by
+    ``<CC>`` (replacement folds over the bytewise-sorted distinct valid
+    set, so it is order-independent and partitioning-independent; invalid
+    candidates are deliberately left untouched — order numbers, IDs).
+
+    One zero-shuffle JVM scan: regexp_extract_all + a bounded aggregate
+    HOF per candidate (candidates per doc are few — HOF interpretation
+    cost is irrelevant here, unlike gopher_repetition's per-char scans).
+    Returns (doc_id, n_cc_candidates, n_cc_valid, cc_valid_md5,
+    cc_masked)."""
+    # the pattern goes through F.lit, never through a SQL string literal —
+    # Spark's parser unescapes backslashes in literals, which would mangle
+    # the \b word boundaries; LUHN_SUM_SQL itself is backslash-free
+    d = df.withColumn(
+        "_cands",
+        F.regexp_extract_all(F.col(text_col), F.lit(CC_CANDIDATE_RE), F.lit(0)),
+    )
+    d = d.withColumn(
+        "_cc",
+        F.expr(
+            "transform(_cands, s -> named_struct('s', s, 'ok', "
+            f"{LUHN_SUM_SQL} % 10 = 0))"
+        ),
+    )
+    valid = F.transform(
+        F.filter(F.col("_cc"), lambda c: c["ok"]), lambda c: c["s"]
+    )
+    d = d.withColumn("_valid", valid)
+    masked = F.aggregate(
+        F.array_sort(F.array_distinct(F.col("_valid"))),
+        F.col(text_col),
+        lambda acc, s: F.replace(acc, s, F.lit(CC_TOKEN)),
+    )
+    return d.select(
+        F.col("doc_id"),
+        F.size("_cands").cast("long").alias("n_cc_candidates"),
+        F.size("_valid").cast("long").alias("n_cc_valid"),
+        F.md5(F.array_join(F.array_sort(F.col("_valid")), "|")).alias(
+            "cc_valid_md5"
+        ),
+        masked.alias("cc_masked"),
+    )

@@ -3203,3 +3203,57 @@ def test_bigram_perplexity_train_score_split_backoffs(spark):
         for r in bigram_perplexity(sdf, train_df=tdf).collect()
     }
     assert got == _bigram_brute(score, train)
+
+
+def test_luhn_flags(spark):
+    """Luhn payment-card gate (pii.luhn_flags): valid test numbers masked,
+    invalid checksums and letter-adjacent/overlong digit runs untouched,
+    duplicate handling, and brute parity of the checksum vs a Python
+    mirror over random digit runs."""
+    from crawley_spark.operators.pii import CC_TOKEN, luhn_flags
+
+    rows = [
+        (0, "pay 4111111111111111 now and 378282246310005 too"),
+        (1, "bad 4111111111111112 run a1234567890123b 12345678901234567890123 p"),
+        (2, "dup 4111111111111111 4111111111111111 end"),
+        (3, "no digits here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in luhn_flags(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["n_cc_candidates"] == 2 and out[0]["n_cc_valid"] == 2
+    assert out[0]["cc_masked"] == f"pay {CC_TOKEN} now and {CC_TOKEN} too"
+    assert out[1]["n_cc_candidates"] == 1 and out[1]["n_cc_valid"] == 0
+    assert out[1]["cc_masked"] == rows[1][1]  # invalid left untouched
+    assert out[2]["n_cc_valid"] == 2 and out[2]["cc_masked"] == f"dup {CC_TOKEN} {CC_TOKEN} end"
+    assert out[3]["n_cc_candidates"] == 0
+
+    # brute checksum parity over seeded random 13-19 digit runs
+    import random
+
+    rng = random.Random(7)
+    nums = [
+        "".join(rng.choice("0123456789") for _ in range(rng.randint(13, 19)))
+        for _ in range(60)
+    ]
+
+    def luhn_ok(s):
+        tot = 0
+        for j, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if j % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    df = spark.createDataFrame(
+        [(i, f"x {n} y") for i, n in enumerate(nums)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_cc_valid"] for r in luhn_flags(df).collect()}
+    for i, n in enumerate(nums):
+        assert got[i] == (1 if luhn_ok(n) else 0), n
