@@ -2324,6 +2324,73 @@ FROM documents
 """
 
 
+def _q_warc_revisit(spark, sf_dir):
+    """Digest-deduplicated WARC export (sources/warc.export_warc_deduped —
+    the Common Crawl / Wayback identical-payload-digest practice, WARC 1.1
+    §6.7.2): a twin capture of every doc_id%4 doc (same text, '/copy'
+    url), exported with the first capture (bytewise-min url per digest) as
+    a full resource record and every other capture as an empty-block
+    revisit carrying WARC-Refers-To-Target-URI + WARC-Payload-Digest.
+    Read back through the distributed parser; one row per non-warcinfo
+    record. HASH-EXACT: DuckDB regroups by md5(text) (REAL payload bytes —
+    collision cross-check of the writer's digest), recomputes the min-url
+    canonical, and derives every record's type, size, digest header, and
+    payload md5 from the table."""
+    import tempfile
+
+    from crawley_spark.sources.warc import export_warc_deduped, read_warc
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.concat(F.lit("http://wrev.test/doc/"), F.col("doc_id")).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    twins = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(
+            F.lit("http://wrev.test/doc/"), F.col("doc_id"), F.lit("/copy")
+        ).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="crawley_warc_rev_")
+    export_warc_deduped(
+        base.unionByName(twins), out_dir,
+        default_content_type="text/plain; charset=utf-8", num_files=4,
+    ).collect()
+    got = read_warc(spark, out_dir + "/*").filter(F.col("rec_type") != "warcinfo")
+    return got.select(
+        "rec_type",
+        "url",
+        "n_bytes",
+        "refers_to",
+        "payload_digest",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+_WARC_REVISIT_ORACLE = """
+WITH frame AS MATERIALIZED (
+    SELECT 'http://wrev.test/doc/' || CAST(doc_id AS VARCHAR) AS url, text
+    FROM documents
+    UNION ALL
+    SELECT 'http://wrev.test/doc/' || CAST(doc_id AS VARCHAR) || '/copy', text
+    FROM documents WHERE doc_id % 4 = 0
+),
+grp AS (
+    SELECT url, text, md5(text) AS dg,
+           MIN(url) OVER (PARTITION BY md5(text)) AS canon
+    FROM frame
+)
+SELECT CASE WHEN url = canon THEN 'resource' ELSE 'revisit' END AS rec_type,
+       url,
+       CAST(CASE WHEN url = canon THEN octet_length(encode(text)) ELSE 0 END
+            AS BIGINT) AS n_bytes,
+       CASE WHEN url = canon THEN NULL ELSE canon END AS refers_to,
+       'md5:' || dg AS payload_digest,
+       CASE WHEN url = canon THEN md5(text) ELSE md5('') END AS payload_md5
+FROM grp
+"""
+
+
 def _q_wet_roundtrip(spark, sf_dir):
     """WET export/re-read (sources/warc.export_wet — Common Crawl's
     extracted-plain-text format: WARC containers of ``conversion``/
@@ -4081,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "bpe_tokens": _q_bpe_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
+        "warc_revisit": _q_warc_revisit,
         "wet_roundtrip": _q_wet_roundtrip,
         "inverted_index": _q_inverted_index,
         "normalize_text": _q_normalize_text,
@@ -5145,6 +5213,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_TOPK_ORACLE,
         "dsir_weights": _DSIR_WEIGHTS_ORACLE,
         "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
+        "warc_revisit": _WARC_REVISIT_ORACLE,
         "wet_roundtrip": _WET_ROUNDTRIP_ORACLE,
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "normalize_text": _normalize_oracle(),

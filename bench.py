@@ -81,6 +81,7 @@ HEADLINE = [
     "scheduler_pipeline",
     "cdx_index",
     "cc_luhn",
+    "warc_revisit",
     "cms_freq",
     "hll_distinct",
     "length_quantiles",

@@ -98,6 +98,7 @@ def write_warc(
     compress: bool = True,
     num_files: int | None = None,
     warcinfo: bool = True,
+    extra_header_cols: list | None = None,
 ) -> DataFrame:
     """Export a frame as WARC files, one per partition, returning a manifest
     DataFrame (path, n_records, n_payload_bytes).
@@ -119,6 +120,11 @@ def write_warc(
     Executors write to ``out_dir`` directly — local-mode semantics; on a
     real cluster point it at shared storage (the same contract as any
     Hadoop OutputFormat side-file sink).
+
+    ``extra_header_cols``: optional ``[(warc_header_name, column_name)]``
+    — per-record WARC headers sourced from string columns; null values
+    omit the header for that record (how revisit-specific headers ride
+    the shared writer).
     """
     if ts_col is not None:
         wdate = F.date_format(F.col(ts_col), _WARC_DATE_FMT)
@@ -131,12 +137,17 @@ def write_warc(
         if status_col
         else F.lit(200)
     )
+    extra = list(extra_header_cols or [])
     sel = df.select(
         F.col(url_col).alias("url"),
         F.col(payload_col).cast("binary").alias("payload"),
         wdate.alias("wdate"),
         ctype.alias("ctype"),
         status.alias("status"),
+        *[
+            F.col(col).cast("string").alias(f"_xh{i}")
+            for i, (_h, col) in enumerate(extra)
+        ],
     )
     if num_files is not None:
         sel = sel.repartition(num_files, F.col("url"))
@@ -162,11 +173,17 @@ def write_warc(
             wdates = batch.column("wdate").to_pylist()
             ctypes = batch.column("ctype").to_pylist()
             statuses = batch.column("status").to_pylist()
+            extras = [
+                (h, batch.column(f"_xh{i}").to_pylist())
+                for i, (h, _c) in enumerate(extra)
+            ]
             if fh is None and urls:
                 fh = open(path, "wb")
                 if warcinfo:
                     emit(_warcinfo_record(name))
-            for u, p, d, c, st in zip(urls, payloads, wdates, ctypes, statuses):
+            for row_i, (u, p, d, c, st) in enumerate(
+                zip(urls, payloads, wdates, ctypes, statuses)
+            ):
                 p = p or b""
                 if envelope:
                     block = (
@@ -182,6 +199,9 @@ def write_warc(
                     ("WARC-Target-URI", u),
                     ("Content-Type", rec_ctype),
                 ]
+                for h, vals in extras:
+                    if vals[row_i] is not None:
+                        headers.append((h, vals[row_i]))
                 emit(_build_record(record_type, headers, block))
                 n_records += 1
                 n_payload += len(p)
@@ -205,7 +225,7 @@ def write_warc(
 _READ_DDL = (
     "file string, rec_offset long, rec_type string, url string, warc_date string, "
     "content_type string, http_status int, http_content_type string, "
-    "payload binary, n_bytes long"
+    "payload binary, n_bytes long, refers_to string, payload_digest string"
 )
 _READ_ARROW_SCHEMA = pa.schema(
     [
@@ -219,6 +239,8 @@ _READ_ARROW_SCHEMA = pa.schema(
         ("http_content_type", pa.string()),
         ("payload", pa.binary()),
         ("n_bytes", pa.int64()),
+        ("refers_to", pa.string()),
+        ("payload_digest", pa.string()),
     ]
 )
 
@@ -297,6 +319,16 @@ def _parse_warc_stream(data: bytes, fname: str, http_parse: bool) -> Iterator[di
             "http_content_type": http_ctype,
             "payload": payload,
             "n_bytes": len(payload),
+            "refers_to": (
+                fields.get(b"warc-refers-to-target-uri", b"")
+                .strip(b"<>")
+                .decode("utf-8", "replace")
+                or None
+            ),
+            "payload_digest": (
+                fields.get(b"warc-payload-digest", b"").decode("ascii", "replace")
+                or None
+            ),
         }
 
 
@@ -380,3 +412,88 @@ def export_wet(
         compress=compress,
         num_files=num_files,
     )
+
+
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def export_warc_deduped(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    ts_col: str | None = None,
+    content_type_col: str | None = None,
+    default_content_type: str = "application/octet-stream",
+    compress: bool = True,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Digest-deduplicated WARC export — the Common Crawl / Wayback
+    practice (public WARC 1.1 spec §6.7.2): the FIRST capture of each
+    distinct payload is written as a full ``resource`` record; every other
+    capture becomes a ``revisit`` record with the identical-payload-digest
+    profile, an empty block, ``WARC-Refers-To-Target-URI`` pointing at the
+    canonical capture, and ``WARC-Payload-Digest`` carrying the digest.
+    "First" is deterministic: the bytewise-smallest URL per digest (wall
+    clocks are not reproducible; URL order is).
+
+    Scale shape: digests are computed map-side (md5 of the payload, JVM);
+    the canonical-capture choice is ONE hash exchange clustering rows by
+    digest (the same unavoidable content shuffle every exact-dedup carries
+    — c4_span_dedup's documented shape), after which originals and
+    revisits are written by the shared :func:`write_warc` (revisit blocks
+    are empty, so the revisit leg shuffles scalars only at write width).
+
+    Writes ``originals/`` and ``revisits/`` subdirectories (the two record
+    shapes get separate manifest rows; read them back together with
+    ``read_warc(spark, out_dir + "/*")``). Returns the union of the two
+    manifests."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(url_col).alias("url"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+        *([F.col(content_type_col).alias("_ct")] if content_type_col else []),
+    ).withColumn("digest", F.md5(F.col("payload")))
+    w = Window.partitionBy("digest").orderBy("url")
+    marked = base.withColumn("_canon", F.first("url").over(w)).localCheckpoint(
+        eager=False
+    )
+    kw = dict(
+        ts_col="_ts" if ts_col else None,
+        content_type_col="_ct" if content_type_col else None,
+        default_content_type=default_content_type,
+        compress=compress,
+        num_files=num_files,
+    )
+    # digest header carries an algorithm label (spec: labelled digest)
+    originals = marked.filter(F.col("url") == F.col("_canon")).withColumn(
+        "_dg", F.concat(F.lit("md5:"), "digest")
+    )
+    man_o = write_warc(
+        originals,
+        os.path.join(out_dir, "originals"),
+        record_type="resource",
+        extra_header_cols=[("WARC-Payload-Digest", "_dg")],
+        **kw,
+    )
+    revisits = (
+        marked.filter(F.col("url") != F.col("_canon"))
+        .withColumn("payload", F.lit(b""))
+        .withColumn("_dg", F.concat(F.lit("md5:"), "digest"))
+        .withColumn("_prof", F.lit(REVISIT_PROFILE))
+    )
+    man_r = write_warc(
+        revisits,
+        os.path.join(out_dir, "revisits"),
+        record_type="revisit",
+        extra_header_cols=[
+            ("WARC-Payload-Digest", "_dg"),
+            ("WARC-Refers-To-Target-URI", "_canon"),
+            ("WARC-Profile", "_prof"),
+        ],
+        **kw,
+    )
+    return man_o.unionByName(man_r)

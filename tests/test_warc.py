@@ -276,3 +276,61 @@ def test_wet_export_roundtrip(spark, tmp_path):
     a = sorted(glob.glob(os.path.join(out, "*")))
     b = sorted(glob.glob(os.path.join(out2, "*")))
     assert [open(x, "rb").read() for x in a] == [open(y, "rb").read() for y in b]
+
+
+def test_export_warc_deduped_revisits(spark, tmp_path):
+    """Digest dedup (export_warc_deduped): one resource per distinct
+    payload (bytewise-min url), every other capture an empty-block revisit
+    with the identical-payload-digest profile headers; re-read covers the
+    new refers_to/payload_digest parser columns; re-export is
+    deterministic (byte-identical files)."""
+    from crawley_spark.sources.warc import (
+        REVISIT_PROFILE,
+        export_warc_deduped,
+        read_warc,
+    )
+
+    rows = [
+        ("http://a.test/1", b"same"),
+        ("http://a.test/2", b"same"),
+        ("http://a.test/0", b"same"),
+        ("http://a.test/3", b"uniq"),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out1 = str(tmp_path / "w1")
+    export_warc_deduped(df, out1, num_files=2).collect()
+    got = {
+        r["url"]: r
+        for r in read_warc(spark, out1 + "/*")
+        .filter("rec_type != 'warcinfo'")
+        .collect()
+    }
+    assert len(got) == 4
+    assert got["http://a.test/0"]["rec_type"] == "resource"
+    assert got["http://a.test/0"]["refers_to"] is None
+    assert got["http://a.test/3"]["rec_type"] == "resource"
+    for u in ("http://a.test/1", "http://a.test/2"):
+        r = got[u]
+        assert r["rec_type"] == "revisit" and r["n_bytes"] == 0
+        assert r["refers_to"] == "http://a.test/0"
+        assert r["payload_digest"] == got["http://a.test/0"]["payload_digest"]
+        assert r["payload_digest"].startswith("md5:")
+    # profile header present in raw bytes of the revisit leg
+    import gzip as _gz
+    import pathlib
+
+    raw = b"".join(
+        _gz.decompress(p.read_bytes()[:0]) or _gz.open(p, "rb").read()
+        for p in sorted(pathlib.Path(out1, "revisits").glob("*.warc.gz"))
+    )
+    assert REVISIT_PROFILE.encode() in raw
+
+    # determinism: re-export byte-identical
+    out2 = str(tmp_path / "w2")
+    export_warc_deduped(df, out2, num_files=2).collect()
+    for sub in ("originals", "revisits"):
+        a = sorted(pathlib.Path(out1, sub).glob("*"))
+        b = sorted(pathlib.Path(out2, sub).glob("*"))
+        assert [p.name for p in a] == [p.name for p in b]
+        for pa_, pb_ in zip(a, b):
+            assert pa_.read_bytes() == pb_.read_bytes()
