@@ -3023,6 +3023,93 @@ def _cc_luhn_oracle() -> str:
     """
 
 
+_REDIR_MAX_HOPS = 4
+
+
+def _q_redirects(spark, sf_dir):
+    """Bounded redirect-chain resolution (operators/redirects.py — the
+    frontier post-processing the Go reference hides inside net/http's
+    10-hop client): derived fetch table where doc_id%7 in {1,2,3} 301s to
+    the next doc (chains up to 3 hops), %7==5 302s off-corpus (dangling),
+    and %97==0 301s to itself (loop — the max_hops path; the self-loop
+    rule wins the CASE so overlaps are deterministic). max_hops=4 > the
+    longest genuine chain, so every real chain resolves and ONLY loops
+    classify max_hops. HASH-EXACT: the oracle replays each hop as a
+    generated chained CTE (the pagerank pattern) and restates the
+    identical terminal classification (outgoing-edge ⇒ max_hops; known ⇒
+    ok; else dangling)."""
+    from crawley_spark.operators.redirects import resolve_redirects
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    u = F.concat(F.lit("http://r.test/p"), did.cast("string"))
+    nxt = F.concat(F.lit("http://r.test/p"), (did + 1).cast("string"))
+    ext = F.concat(F.lit("http://other.test/x"), did.cast("string"))
+    status = (
+        F.when(did % 97 == 0, 301)
+        .when((did % 7 >= 1) & (did % 7 <= 3), 301)
+        .when(did % 7 == 5, 302)
+        .otherwise(200)
+    )
+    loc = (
+        F.when(did % 97 == 0, u)
+        .when((did % 7 >= 1) & (did % 7 <= 3), nxt)
+        .when(did % 7 == 5, ext)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = d.select(u.alias("url"), status.alias("status"), loc.alias("location"))
+    return resolve_redirects(pages, max_hops=_REDIR_MAX_HOPS)
+
+
+def _redirects_oracle(max_hops: int = _REDIR_MAX_HOPS) -> str:
+    """Generated chained-CTE replay of resolve_redirects: s0 = every url
+    at itself, each hop LEFT JOINs the redirect edges and advances matched
+    cursors (unmatched rows are already at their fixed point — identical
+    to the operator's exit-early rule after the same number of steps), and
+    the final classification restates the operator's: outgoing edge ⇒
+    max_hops, fetched url ⇒ ok, else dangling."""
+    hops = []
+    for i in range(1, max_hops + 1):
+        hops.append(
+            f"""s{i} AS MATERIALIZED (
+            SELECT s.url, COALESCE(e.dst, s.cur) AS cur,
+                   s.n_hops + CASE WHEN e.src IS NULL THEN 0 ELSE 1 END AS n_hops
+            FROM s{i - 1} s LEFT JOIN edges e ON s.cur = e.src
+        )"""
+        )
+    chain = ",\n        ".join(hops)
+    return f"""
+        WITH pages AS MATERIALIZED (
+            SELECT 'http://r.test/p' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 97 = 0 THEN 301
+                        WHEN doc_id % 7 BETWEEN 1 AND 3 THEN 301
+                        WHEN doc_id % 7 = 5 THEN 302
+                        ELSE 200 END AS status,
+                   CASE WHEN doc_id % 97 = 0
+                            THEN 'http://r.test/p' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 7 BETWEEN 1 AND 3
+                            THEN 'http://r.test/p' || CAST(doc_id + 1 AS VARCHAR)
+                        WHEN doc_id % 7 = 5
+                            THEN 'http://other.test/x' || CAST(doc_id AS VARCHAR)
+                        ELSE NULL END AS location
+            FROM documents
+        ),
+        edges AS MATERIALIZED (
+            SELECT url AS src, location AS dst FROM pages
+            WHERE status BETWEEN 300 AND 399 AND location IS NOT NULL
+        ),
+        s0 AS (SELECT url, url AS cur, 0 AS n_hops FROM pages),
+        {chain}
+        SELECT s.url, s.cur AS final_url, CAST(s.n_hops AS BIGINT) AS n_hops,
+               CASE WHEN e.src IS NOT NULL THEN 'max_hops'
+                    WHEN p.url IS NOT NULL THEN 'ok'
+                    ELSE 'dangling' END AS terminal
+        FROM s{max_hops} s
+        LEFT JOIN (SELECT DISTINCT src FROM edges) e ON s.cur = e.src
+        LEFT JOIN (SELECT DISTINCT url FROM pages) p ON s.cur = p.url
+    """
+
+
 _CDX_SHARDS = 8
 
 
@@ -4159,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scheduler_pipeline": _q_scheduler_pipeline,
         "cdx_index": _q_cdx_index,
         "cc_luhn": _q_cc_luhn,
+        "redirects": _q_redirects,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5225,6 +5313,7 @@ def oracle_sql() -> dict[str, str]:
         "scheduler_pipeline": _scheduler_pipeline_oracle(),
         "cdx_index": _cdx_index_oracle(),
         "cc_luhn": _cc_luhn_oracle(),
+        "redirects": _redirects_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -82,6 +82,7 @@ HEADLINE = [
     "cdx_index",
     "cc_luhn",
     "warc_revisit",
+    "redirects",
     "cms_freq",
     "hll_distinct",
     "length_quantiles",
