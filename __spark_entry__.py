@@ -3110,6 +3110,84 @@ def _redirects_oracle(max_hops: int = _REDIR_MAX_HOPS) -> str:
     """
 
 
+_SNIFF_SIGS = [  # doc_id % 12 -> planted payload prefix (hex)
+    "89504E470D0A1A0A",  # 0 png
+    "FFD8FFE0",  # 1 jpeg
+    "474946383961",  # 2 gif89a
+    "255044462D312E37",  # 3 pdf
+    "1F8B08",  # 4 gzip
+    "504B0304",  # 5 zip
+    "424D",  # 6 bmp
+    "524946460A00000057415645",  # 7 riff/wave
+    "52494646FFFFFFFF41564920",  # 8 riff/avi
+    "0D0A09203C68746D6C3E",  # 9 whitespace + <html>
+    "3C21444F43545950",  # 10 <!DOCTYP
+    "",  # 11 raw text -> octet-stream (word char, not '<')
+]
+
+
+def _q_mime_sniff(spark, sf_dir):
+    """Magic-byte content-type sniffing (operators/sniff.py — the dispatch
+    step real crawlers run when servers lie about Content-Type): payloads
+    derive as a planted signature prefix (doc_id%12 over the published
+    magic numbers incl. both RIFF containers and the whitespace-then-'<'
+    HTML rule) followed by the doc's utf-8 text. The whole decision runs
+    on hex(first 64 bytes) — plain ASCII text, no binary-collation or
+    charset hazards — as a zero-shuffle projection. HASH-EXACT: the
+    DuckDB CASE is GENERATED from the same signature table
+    (sniff.sniff_case_sql, the lang_id oracle pattern) while DuckDB
+    rebuilds every payload and recomputes hex/regex independently."""
+    from crawley_spark.operators.sniff import sniff_mime
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    sig = None
+    for i, hx in enumerate(_SNIFF_SIGS):
+        branch = F.unhex(F.lit(hx)) if hx else F.lit(b"")
+        sig = (
+            F.when(did % 12 == i, branch)
+            if sig is None
+            else sig.when(did % 12 == i, branch)
+        )
+    payload = F.concat(sig, F.encode("text", "utf-8"))
+    out = sniff_mime(d.select("doc_id", payload.alias("payload")))
+    return out.select(
+        "doc_id",
+        "sniffed_mime",
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def _mime_sniff_oracle() -> str:
+    from crawley_spark.operators.sniff import SNIFF_HEAD_BYTES, sniff_case_sql
+
+    whens = " ".join(
+        f"WHEN doc_id % 12 = {i} THEN from_hex('{hx}')"
+        for i, hx in enumerate(_SNIFF_SIGS)
+        if hx
+    )
+    case = sniff_case_sql("h")
+    return f"""
+        WITH payloads AS MATERIALIZED (
+            SELECT doc_id,
+                   (CASE {whens} ELSE from_hex('') END) || encode(text)
+                       AS payload
+            FROM documents
+        ),
+        hexed AS (
+            -- DuckDB 1.0 has no BLOB substring: hex the payload and take
+            -- the prefix in the text domain (= Spark's hex(first N bytes))
+            SELECT doc_id, payload,
+                   substring(hex(payload), 1, {2 * SNIFF_HEAD_BYTES}) AS h
+            FROM payloads
+        )
+        SELECT doc_id,
+               {case} AS sniffed_mime,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        FROM hexed
+    """
+
+
 _CDX_SHARDS = 8
 
 
@@ -4247,6 +4325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _q_cdx_index,
         "cc_luhn": _q_cc_luhn,
         "redirects": _q_redirects,
+        "mime_sniff": _q_mime_sniff,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5314,6 +5393,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": _cdx_index_oracle(),
         "cc_luhn": _cc_luhn_oracle(),
         "redirects": _redirects_oracle(),
+        "mime_sniff": _mime_sniff_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -83,6 +83,7 @@ HEADLINE = [
     "cc_luhn",
     "warc_revisit",
     "redirects",
+    "mime_sniff",
     "cms_freq",
     "hll_distinct",
     "length_quantiles",

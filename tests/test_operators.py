@@ -3257,3 +3257,36 @@ def test_luhn_flags(spark):
     got = {r["doc_id"]: r["n_cc_valid"] for r in luhn_flags(df).collect()}
     for i, n in enumerate(nums):
         assert got[i] == (1 if luhn_ok(n) else 0), n
+
+
+def test_sniff_mime(spark):
+    """Magic-byte MIME sniffing (operators/sniff.py): every signature in
+    the table detects, RIFF dispatches on the byte-8 format tag, the HTML
+    rule skips leading ASCII whitespace only, and unknown bytes fall back
+    to octet-stream."""
+    from crawley_spark.operators.sniff import sniff_mime
+
+    fixtures = [
+        (0, bytes.fromhex("89504E470D0A1A0A") + b"x", "image/png"),
+        (1, bytes.fromhex("FFD8FFE1") + b"exif", "image/jpeg"),
+        (2, b"GIF87a" + b"\x01", "image/gif"),
+        (3, b"GIF89a", "image/gif"),
+        (4, b"%PDF-1.4", "application/pdf"),
+        (5, bytes.fromhex("1F8B08"), "application/gzip"),
+        (6, bytes.fromhex("504B0304"), "application/zip"),
+        (7, b"BMxxxx", "image/bmp"),
+        (8, b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (9, b"RIFF\xff\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        (10, b"RIFF\x00\x00\x00\x00JUNK", "application/octet-stream"),
+        (11, b"  \r\n\t<html>", "text/html"),
+        (12, b"<!DOCTYPE html>", "text/html"),
+        (13, b"hello <html>", "application/octet-stream"),  # ws-only skip
+        (14, b"", "application/octet-stream"),
+        (15, b"\x00\x01\x02", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in fixtures], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r["sniffed_mime"] for r in sniff_mime(df).collect()}
+    for i, _p, want in fixtures:
+        assert got[i] == want, (i, got[i], want)
