@@ -3188,6 +3188,89 @@ def _mime_sniff_oracle() -> str:
     """
 
 
+def _q_canonical_links(spark, sf_dir):
+    """rel=canonical extraction + alias grouping (operators/canonical.py,
+    RFC 6596 — the in-page dedup signal next to urlnorm's lossy string
+    transform): derived HTML plants a relative canonical with an HTML
+    entity in the query (+ a SECOND canonical tag that must lose — the
+    first-wins rule exercised on every %3==0 doc), a cross-host absolute
+    canonical under a case-insensitive multi-token rel ('Canonical
+    stylesheet') on %3==1, and no declaration (self-canonical) on %3==2.
+    The Spark side runs the REAL html.parser walk + the engine's clean_url
+    resolution; the oracle rebuilds every expected canonical from the
+    construction rules (decoded entity, resolved path) and recomputes the
+    group rollup independently — any parse, rel-token, entity, resolution,
+    or first-wins defect flips the hash."""
+    from crawley_spark.operators.canonical import canonical_groups, canonical_targets
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 5).cast("string"), F.lit(".canon.test"))
+    url = F.concat(F.lit("http://"), host, F.lit("/page/"), did.cast("string"))
+    html = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="/c/'),
+                (did % 50).cast("string"),
+                F.lit('?a=1&amp;b=2"><link rel="canonical" href="/WRONG">'),
+                F.lit("</head><body>x</body></html>"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit('<html><head><link rel="Canonical stylesheet" '),
+                F.lit('href="http://central.test/c/'),
+                (did % 20).cast("string"),
+                F.lit('"></head><body>y</body></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><head></head><body>z</body></html>"))
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    t = canonical_targets(pages)
+    g = canonical_groups(t)
+    return t.join(g, "canonical_url").select(
+        "url",
+        "canonical_url",
+        "had_tag",
+        "is_self",
+        "n_members",
+        "n_declared",
+        "first_member",
+    )
+
+
+_CANONICAL_ORACLE = """
+WITH t AS MATERIALIZED (
+    SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.canon.test/page/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.canon.test/c/' || CAST(doc_id % 50 AS VARCHAR)
+                   || '?a=1&b=2'
+               WHEN 1 THEN 'http://central.test/c/' || CAST(doc_id % 20 AS VARCHAR)
+               ELSE 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.canon.test/page/' || CAST(doc_id AS VARCHAR)
+           END AS canonical_url,
+           doc_id % 3 < 2 AS had_tag,
+           doc_id % 3 = 2 AS is_self
+    FROM documents
+),
+g AS (
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN had_tag THEN 1 ELSE 0 END) AS BIGINT) AS n_declared,
+           MIN(url) AS first_member
+    FROM t GROUP BY canonical_url
+)
+SELECT t.url, t.canonical_url, t.had_tag, t.is_self,
+       g.n_members, g.n_declared, g.first_member
+FROM t JOIN g USING (canonical_url)
+"""
+
+
 _CDX_SHARDS = 8
 
 
@@ -4326,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_luhn": _q_cc_luhn,
         "redirects": _q_redirects,
         "mime_sniff": _q_mime_sniff,
+        "canonical_links": _q_canonical_links,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5394,6 +5478,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_luhn": _cc_luhn_oracle(),
         "redirects": _redirects_oracle(),
         "mime_sniff": _mime_sniff_oracle(),
+        "canonical_links": _CANONICAL_ORACLE,
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

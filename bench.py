@@ -84,6 +84,7 @@ HEADLINE = [
     "warc_revisit",
     "redirects",
     "mime_sniff",
+    "canonical_links",
     "cms_freq",
     "hll_distinct",
     "length_quantiles",

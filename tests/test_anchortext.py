@@ -85,3 +85,40 @@ def test_plan_html_never_crosses_exchange(spark):
         if "Exchange" in line:
             assert "html" not in line, line
     assert "SinglePartition" not in plan
+
+
+def test_canonical_targets(spark):
+    """rel=canonical extraction (operators/canonical.py): first-wins,
+    case-insensitive token-list rel, entity decode, relative resolution,
+    missing/unresolvable declarations -> self-canonical, group rollup."""
+    from crawley_spark.operators.canonical import canonical_groups, canonical_targets
+
+    pages = [
+        # relative + entity + a second tag that must lose
+        ("http://a.test/p1",
+         '<head><link rel="canonical" href="/c?x=1&amp;y=2">'
+         '<link rel="canonical" href="/WRONG"></head>'),
+        # multi-token case-insensitive rel, absolute cross-host
+        ("http://a.test/p2",
+         '<head><link rel="Alternate CANONICAL" href="http://b.test/c"></head>'),
+        # rel token that merely CONTAINS the word must not match
+        ("http://a.test/p3", '<head><link rel="canonicalish" href="/no"></head>'),
+        # no declaration
+        ("http://a.test/p4", "<body>hi</body>"),
+        # link without href
+        ("http://a.test/p5", '<head><link rel="canonical"></head>'),
+        # same canonical as p1 (group of 2 + the declared count)
+        ("http://a.test/p6",
+         '<head><link rel="canonical" href="http://a.test/c?x=1&y=2"></head>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    t = {r["url"]: r for r in canonical_targets(df).collect()}
+    assert t["http://a.test/p1"]["canonical_url"] == "http://a.test/c?x=1&y=2"
+    assert t["http://a.test/p1"]["had_tag"] and not t["http://a.test/p1"]["is_self"]
+    assert t["http://a.test/p2"]["canonical_url"] == "http://b.test/c"
+    for u in ("http://a.test/p3", "http://a.test/p4", "http://a.test/p5"):
+        assert t[u]["canonical_url"] == u and not t[u]["had_tag"] and t[u]["is_self"]
+    g = {r["canonical_url"]: r for r in canonical_groups(canonical_targets(df)).collect()}
+    grp = g["http://a.test/c?x=1&y=2"]
+    assert grp["n_members"] == 2 and grp["n_declared"] == 2
+    assert grp["first_member"] == "http://a.test/p1"
