@@ -4331,6 +4331,67 @@ def _main_content_oracle() -> str:
     """
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (textstats.char_entropy — the
+    gibberish/filler heuristic of the published quality-signal sets):
+    derived corpus plants degenerate two-char repetition on %7==0 (must
+    flag low_entropy: per-char entropy = ln 2 ≈ 0.693 nats < the 1.5-nat
+    cut), a unicode tail ' é漢Б' on %7==1 (code-point counting parity
+    across engines), and the empty string on %7==2 (zero path, flagged).
+    Integer micro-nat surprisals per char TYPE (round(1e6·ln(n/c)), one
+    libm ln of one IEEE double — the lmscore float surface), exact BIGINT
+    doc sums, trunc-div per-char rate. HASH-EXACT: DuckDB re-explodes
+    every character (string_split(t, '')), recounts, and recomputes every
+    surprisal and the threshold flag independently."""
+    from crawley_spark.operators.textstats import char_entropy
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    t = (
+        F.when(did % 7 == 0, F.repeat(F.lit("ab"), (F.lit(50) + did % 40).cast("int")))
+        .when(did % 7 == 1, F.concat(F.col("text"), F.lit(" é漢Б")))
+        .when(did % 7 == 2, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    return char_entropy(d.select("doc_id", t.alias("text")))
+
+
+def _char_entropy_oracle() -> str:
+    from crawley_spark.operators.textstats import ENTROPY_SCALE, LOW_ENTROPY_MICRO
+
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN repeat('ab', CAST(50 + doc_id % 40 AS INT))
+                    WHEN doc_id % 7 = 1 THEN text || ' é漢Б'
+                    WHEN doc_id % 7 = 2 THEN ''
+                    ELSE text END AS t
+        FROM documents
+    ),
+    -- string_split('', '') is [''] in DuckDB: exclude empty docs (their
+    -- zero signals come from the LEFT JOIN below)
+    ch AS (SELECT doc_id, unnest(string_split(t, '')) AS c FROM base WHERE t <> ''),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+    n AS (SELECT doc_id, length(t) AS n FROM base),
+    agg AS (
+        SELECT cnt.doc_id,
+               count(*) AS types,
+               SUM(k * CAST(floor({ENTROPY_SCALE} * ln(CAST(n.n AS DOUBLE) / CAST(k AS DOUBLE)) + 0.5) AS BIGINT)) AS s
+        FROM cnt JOIN n USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CAST(n.n AS BIGINT) AS n_chars,
+           CAST(COALESCE(agg.types, 0) AS BIGINT) AS n_char_types,
+           CAST(COALESCE(agg.s, 0) AS BIGINT) AS ent_micro_sum,
+           CAST(CASE WHEN n.n > 0 THEN COALESCE(agg.s, 0) // n.n ELSE 0 END AS BIGINT)
+               AS ent_per_char_micro,
+           (CASE WHEN n.n > 0 THEN COALESCE(agg.s, 0) // n.n ELSE 0 END) < {LOW_ENTROPY_MICRO}
+               AS low_entropy
+    FROM n LEFT JOIN agg USING (doc_id)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -4410,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": _q_redirects,
         "mime_sniff": _q_mime_sniff,
         "canonical_links": _q_canonical_links,
+        "char_entropy": _q_char_entropy,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5479,6 +5541,7 @@ def oracle_sql() -> dict[str, str]:
         "redirects": _redirects_oracle(),
         "mime_sniff": _mime_sniff_oracle(),
         "canonical_links": _CANONICAL_ORACLE,
+        "char_entropy": _char_entropy_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -10,6 +10,8 @@ has a DuckDB-oracle-checkable equivalent in __spark_entry__.oracle_sql
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -681,4 +683,92 @@ def corpus_vocab_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .cast("long")
         .alias("ttr_micro"),
+    )
+
+
+# --- character-entropy quality signal -------------------------------------
+# Low character entropy flags gibberish / keyboard-mash / repeated-filler
+# pages that token-level rules miss (entropy heuristics appear in several
+# published pretraining-data pipelines, e.g. the Dolma / RedPajama quality
+# signal sets; public knowledge). No reference counterpart (s0rg/crawley
+# has no text-quality stage).
+ENTROPY_SCALE = 1_000_000
+# Default low-entropy cut: 1.5 nats/char (~2.16 bits). English prose runs
+# ~2.9-3.2 nats/char at the character level, so this only fires on
+# degenerate repetition; an integer micro-nat knob like the lmscore family.
+LOW_ENTROPY_MICRO = 1_500_000
+
+
+def char_entropy_py(text: str) -> tuple[int, int, int]:
+    """(n_chars, n_char_types, ent_micro_sum) for one document.
+
+    Shannon character entropy in the repo's integer-exact discipline:
+    every distinct character with count c in a doc of n code points gets
+    the surprisal ``round(1e6 * ln(n/c))`` (floor(x+0.5) — ln >= 0 here so
+    HALF_UP == round-half-away), computed ONCE per type, and the document
+    total is the exact BIGINT sum ``sum(c * s_type)`` — order-independent,
+    so partition order cannot perturb a hash-compared result. ``n/c`` is
+    one IEEE double division of exact integers and ``ln`` one libm call —
+    the lmscore float surface DuckDB reproduces bit-for-bit."""
+    n = len(text)
+    if n == 0:
+        return 0, 0, 0
+    counts: dict[str, int] = {}
+    for ch in text:
+        counts[ch] = counts.get(ch, 0) + 1
+    s = 0
+    for c in counts.values():
+        s += c * int(_math.floor(ENTROPY_SCALE * _math.log(n / c) + 0.5))
+    return n, len(counts), s
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_entropy_micro: int = LOW_ENTROPY_MICRO,
+) -> DataFrame:
+    """Per-document character-entropy quality signal: (id, n_chars,
+    n_char_types, ent_micro_sum, ent_per_char_micro, low_entropy).
+
+    ``ent_per_char_micro = ent_micro_sum div n_chars`` (trunc division of
+    non-negative BIGINTs, engine-identical); ``low_entropy`` fires strictly
+    below the integer micro-nat threshold. Empty/NULL docs are kept with
+    all-zero signals and flagged low-entropy.
+
+    Execution shape (100 TB): one Arrow-batched pass over a two-column
+    pruned scan, ZERO shuffle — the per-doc Counter kernel is the
+    gopher_repetition house pattern (HOF aggregates don't codegen; a
+    sorted-array SQL impl of the same per-char fold measured 15x slower
+    there). Narrow inputs are widened (widen_narrow_input) so a one-file
+    corpus still parallelizes; wide inputs pass through unshuffled."""
+    import pandas as pd
+
+    from .dedup import widen_narrow_input
+
+    schema = (
+        f"{id_col} long, n_chars long, n_char_types long, "
+        "ent_micro_sum long, ent_per_char_micro long"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = [char_entropy_py(t if t is not None else "") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_chars": pd.array([r[0] for r in rows], dtype="Int64"),
+                    "n_char_types": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "ent_micro_sum": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "ent_per_char_micro": pd.array(
+                        [r[2] // r[0] if r[0] else 0 for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    out = widen_narrow_input(df.select(id_col, text_col), [id_col, text_col]).mapInPandas(
+        run, schema
+    )
+    return out.withColumn(
+        "low_entropy", F.col("ent_per_char_micro") < F.lit(int(low_entropy_micro))
     )

@@ -3290,3 +3290,68 @@ def test_sniff_mime(spark):
     got = {r["doc_id"]: r["sniffed_mime"] for r in sniff_mime(df).collect()}
     for i, _p, want in fixtures:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_char_entropy_brute_parity(spark):
+    """Seeded random docs (incl. unicode, empty, single-char, two-char
+    repetition) vs an independent recomputation via collections.Counter
+    written against the declared formula; planted exact values: a
+    two-symbol 50/50 doc scores per-char entropy round(1e6*ln 2) = 693147
+    micro-nats (flagged low), a single-char doc scores 0, and a
+    4-distinct-char doc of 4 chars scores ln 4."""
+    import math
+    import random
+    from collections import Counter
+
+    from crawley_spark.operators.textstats import (
+        LOW_ENTROPY_MICRO,
+        char_entropy,
+    )
+
+    rng = random.Random(406)
+    alphabet = "abcdef é漢Б\n"
+    rows = [(0, "ab" * 37), (1, ""), (2, "xxxx"), (3, "wxyz"), (4, None)]
+    for i in range(5, 30):
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 200)))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in char_entropy(docs).collect()}
+    assert len(got) == len(rows)
+    for i, txt in rows:
+        t = txt or ""
+        n = len(t)
+        counts = Counter(t)
+        s = sum(
+            c * int(math.floor(1_000_000 * math.log(n / c) + 0.5))
+            for c in counts.values()
+        )
+        r = got[i]
+        assert r["n_chars"] == n
+        assert r["n_char_types"] == len(counts)
+        assert r["ent_micro_sum"] == s
+        assert r["ent_per_char_micro"] == (s // n if n else 0)
+        assert r["low_entropy"] == ((s // n if n else 0) < LOW_ENTROPY_MICRO)
+    # planted constants
+    assert got[0]["ent_per_char_micro"] == 693147 and got[0]["low_entropy"]
+    assert got[1]["ent_micro_sum"] == 0 and got[1]["low_entropy"]
+    assert got[2]["ent_micro_sum"] == 0 and got[2]["n_char_types"] == 1
+    assert got[3]["ent_per_char_micro"] == int(
+        math.floor(1_000_000 * math.log(4) + 0.5)
+    )
+    assert got[4]["n_chars"] == 0  # NULL text = empty
+
+
+def test_char_entropy_zero_shuffle_plan(spark, tmp_path):
+    """The per-doc signal pass is a pure Arrow projection: no Exchange in
+    the physical plan on an already-wide scan (widen_narrow_input
+    passthrough — the 100 TB case arrives as thousands of files)."""
+    from crawley_spark.operators.textstats import char_entropy
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = str(tmp_path / "wide")
+    spark.createDataFrame(
+        [(i, "some text " * (i % 5)) for i in range(4 * target)],
+        "doc_id long, text string",
+    ).repartition(target).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
