@@ -4392,6 +4392,91 @@ def _char_entropy_oracle() -> str:
     """
 
 
+# Per-script sample phrases for the script_detect derived corpus — shared
+# verbatim by the Spark derivation and the DuckDB oracle (the planted text
+# is data, not the classifier: both engines still count code points
+# independently via their own regex engines).
+_SCRIPT_SAMPLES = [
+    ("arabic", "مرحبا بالعالم هذا نص"),
+    ("cyrillic", "привет мир это текст"),
+    ("devanagari", "नमस्ते दुनिया यह पाठ है"),
+    ("greek", "γεια σου κοσμε αυτο"),
+    ("han", "这是一段中文测试文本"),
+    ("hangul", "안녕하세요 세계 텍스트"),
+    ("hebrew", "שלום עולם זה טקסט"),
+    ("kana", "これはテストのてきすとです"),
+    ("thai", "สวัสดีชาวโลกนี่คือข้อความ"),
+]
+
+
+def _q_script_detect(spark, sf_dir):
+    """Unicode-script profiling (operators/scriptid.py — the
+    pre-language-ID routing step of a multilingual pipeline): derived
+    corpus replaces text with a per-script sample phrase on doc_id%12
+    residues 1..9 (each must classify as its script), plants a
+    greek+latin exact tie on residue 10 (alphabetical tie-break → greek)
+    and a digits/punct-only doc on residue 11 ('und' with n_chars > 0);
+    residue 0 keeps the real English text (latin). Counts are per-script
+    code-point mass from patterns GENERATED from the same SCRIPT_RANGES
+    table; ppm is exact BIGINT division. HASH-EXACT: DuckDB rebuilds the
+    corpus and recounts every script with RE2 evaluating the identical
+    generated classes independently of Java regex."""
+    from crawley_spark.operators.scriptid import script_profile
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    t = F.col("text")
+    for i, (_s, phrase) in enumerate(_SCRIPT_SAMPLES):
+        t = F.when(did % 12 == i + 1, F.lit(phrase)).otherwise(t)
+    t = (
+        F.when(did % 12 == 10, F.lit("αβγ abc"))
+        .when(did % 12 == 11, F.lit("12345 --- !!! 678"))
+        .otherwise(t)
+    )
+    return script_profile(d.select("doc_id", t.alias("text")))
+
+
+def _script_detect_oracle() -> str:
+    from crawley_spark.operators.scriptid import PPM, SCRIPT_RANGES, script_count_sql
+
+    scripts = sorted(SCRIPT_RANGES)
+    whens = " ".join(
+        f"WHEN doc_id % 12 = {i + 1} THEN '{phrase}'"
+        for i, (_s, phrase) in enumerate(_SCRIPT_SAMPLES)
+    )
+    counts = ",\n               ".join(
+        f"CAST({script_count_sql(s, 't')} AS BIGINT) AS n_{s}" for s in scripts
+    )
+    best = "greatest(" + ", ".join(f"n_{s}" for s in scripts) + ")"
+    cases = "\n".join(
+        f"            WHEN n_{s} = {best} THEN '{s}'" for s in scripts
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CASE {whens}
+                    WHEN doc_id % 12 = 10 THEN 'αβγ abc'
+                    WHEN doc_id % 12 = 11 THEN '12345 --- !!! 678'
+                    ELSE text END AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               {counts}
+        FROM base
+    )
+    SELECT *,
+           CASE WHEN {best} = 0 THEN 'und'
+{cases}
+           ELSE 'und' END AS main_script,
+           {best} AS main_count,
+           CAST(CASE WHEN n_chars > 0 THEN ({best} * {PPM}) // n_chars
+                ELSE 0 END AS BIGINT) AS main_ppm
+    FROM scored
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -4472,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": _q_mime_sniff,
         "canonical_links": _q_canonical_links,
         "char_entropy": _q_char_entropy,
+        "script_detect": _q_script_detect,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5542,6 +5628,7 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": _mime_sniff_oracle(),
         "canonical_links": _CANONICAL_ORACLE,
         "char_entropy": _char_entropy_oracle(),
+        "script_detect": _script_detect_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -3355,3 +3355,61 @@ def test_char_entropy_zero_shuffle_plan(spark, tmp_path):
     docs = spark.read.parquet(p)
     plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_script_profile(spark):
+    """Fixture matrix over the SCRIPT_RANGES table: one doc per script
+    (must classify as that script), a greek+latin exact tie (alphabetical
+    tie-break → greek), digits/punct-only and empty and NULL docs ('und',
+    zero counts — NULL text ≡ empty doc), and a mixed han+kana doc where
+    kana mass wins. Counts cross-checked against a pure-Python code-point
+    mirror of the same ranges."""
+    from crawley_spark.operators.scriptid import SCRIPT_RANGES, script_profile
+
+    fixtures = [
+        (0, "hello world THE", "latin"),
+        (1, "привет мир как дела", "cyrillic"),
+        (2, "漢字のテキストです", "kana"),  # 7 kana > 2 han
+        (3, "مرحبا بالعالم", "arabic"),
+        (4, "", "und"),
+        (5, "12345 !!!", "und"),
+        (6, "한국어 텍스트", "hangul"),
+        (7, None, "und"),
+        (8, "αβγ abc", "greek"),  # 3-3 tie, alphabetical
+        (9, "नमस्ते दुनिया", "devanagari"),
+        (10, "שלום עולם", "hebrew"),
+        (11, "สวัสดีชาวโลก", "thai"),
+        (12, "这是中文文本测试", "han"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in fixtures], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+
+    def brute(txt, script):
+        return sum(
+            1
+            for ch in txt
+            if any(a <= ord(ch) <= b for a, b in SCRIPT_RANGES[script])
+        )
+
+    for i, txt, want in fixtures:
+        r = got[i]
+        assert r["main_script"] == want, (i, r)
+        t = txt or ""
+        assert r["n_chars"] == len(t)
+        for s in SCRIPT_RANGES:
+            assert r[f"n_{s}"] == brute(t, s), (i, s)
+        best = max(brute(t, s) for s in SCRIPT_RANGES)
+        assert r["main_count"] == best
+        assert r["main_ppm"] == (best * 1_000_000 // len(t) if t else 0)
+
+
+def test_script_profile_zero_shuffle_plan(spark):
+    """Pure JVM projection: no Exchange, no Python stage in the plan."""
+    from crawley_spark.operators.scriptid import script_profile
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
