@@ -4477,6 +4477,102 @@ def _script_detect_oracle() -> str:
     """
 
 
+def _q_soft404(spark, sf_dir):
+    """Soft-404 detection (operators/soft404.py — dead-link hygiene for
+    pages served 200 with error content, the published Bar-Yossef et al.
+    content-marker heuristic): derived corpus plants a three-marker short
+    error body on %13==0 (soft404), the same marker inside a long padded
+    doc on %13==1 (mention, not an error page → ok: the word-count gate
+    provably bites), and a transport 404 on %17==0 (hard404 outranks
+    content — the %221 overlap docs pin the precedence). Per-URL pass is
+    zero-shuffle; the host rollup is one map-side-combined shuffle with
+    exact-integer ppm. HASH-EXACT: the DuckDB marker terms are GENERATED
+    from the same table while DuckDB recounts occurrences, words, the
+    precedence CASE, and the rollup independently."""
+    from crawley_spark.operators.soft404 import host_soft404_stats, soft404_signals
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 19).cast("string"), F.lit(".s404.test"))
+    status = F.when(did % 17 == 0, F.lit(404)).otherwise(F.lit(200))
+    t = (
+        F.when(
+            did % 13 == 0,
+            F.lit(
+                "Error 404 - Page Not Found. The page you requested does not exist."
+            ),
+        )
+        .when(
+            did % 13 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" page not found "),
+                F.repeat(F.lit("filler "), 150),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    sig = soft404_signals(
+        d.select("doc_id", host.alias("host"), status.alias("status"), t.alias("text"))
+    ).drop("text")
+    roll = host_soft404_stats(sig)
+    return sig.join(roll, "host").select(
+        "doc_id",
+        "host",
+        "status",
+        "marker_hits",
+        "n_words",
+        "fetch_class",
+        "n_urls",
+        "n_soft404",
+        "soft404_ppm",
+    )
+
+
+def _soft404_oracle() -> str:
+    from crawley_spark.operators.soft404 import SOFT404_MAX_WORDS, soft404_marker_sql
+
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               'h' || CAST(doc_id % 19 AS VARCHAR) || '.s404.test' AS host,
+               CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+               CASE WHEN doc_id % 13 = 0
+                    THEN 'Error 404 - Page Not Found. The page you requested does not exist.'
+                    WHEN doc_id % 13 = 1
+                    THEN text || ' page not found ' || repeat('filler ', 150)
+                    ELSE text END AS t
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, host, status,
+               {soft404_marker_sql("lower(t)")} AS marker_hits,
+               CAST(len(list_filter(string_split(t, ' '), w -> w <> '')) AS BIGINT)
+                   AS n_words
+        FROM base
+    ),
+    cls AS (
+        SELECT *,
+               CASE WHEN status >= 400 THEN 'hard404'
+                    WHEN marker_hits > 0 AND n_words <= {SOFT404_MAX_WORDS}
+                    THEN 'soft404'
+                    ELSE 'ok' END AS fetch_class
+        FROM sig
+    ),
+    roll AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN fetch_class = 'soft404' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_soft404
+        FROM cls GROUP BY host
+    )
+    SELECT doc_id, cls.host, status, marker_hits, n_words, fetch_class,
+           n_urls, n_soft404,
+           CAST((n_soft404 * 1000000) // n_urls AS BIGINT) AS soft404_ppm
+    FROM cls JOIN roll ON cls.host = roll.host
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -4558,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_links": _q_canonical_links,
         "char_entropy": _q_char_entropy,
         "script_detect": _q_script_detect,
+        "soft404": _q_soft404,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5629,6 +5726,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_links": _CANONICAL_ORACLE,
         "char_entropy": _char_entropy_oracle(),
         "script_detect": _script_detect_oracle(),
+        "soft404": _soft404_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -3413,3 +3413,62 @@ def test_script_profile_zero_shuffle_plan(spark):
     plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_soft404_signals(spark):
+    """Fixture matrix over the marker table: short 200 error page →
+    soft404; long page merely mentioning a marker → ok (word gate);
+    transport 404 with error content → hard404 (status outranks content);
+    clean page / empty / NULL text → ok with zero hits; every marker
+    phrase fires individually; host rollup ppm is exact."""
+    from crawley_spark.operators.soft404 import (
+        SOFT404_MARKERS,
+        host_soft404_stats,
+        soft404_signals,
+    )
+
+    long_pad = "word " * 200
+    rows = [
+        (0, "a", 200, "Error 404 - Page Not Found. It does not exist."),
+        (1, "a", 200, "An essay about error pages. page not found " + long_pad),
+        (2, "a", 404, "404 Not Found"),
+        (3, "b", 200, "perfectly fine content here"),
+        (4, "b", 200, ""),
+        (5, "b", 200, None),
+    ]
+    want = ["soft404", "ok", "hard404", "ok", "ok", "ok"]
+    df = spark.createDataFrame(rows, "doc_id long, host string, status int, text string")
+    got = {r["doc_id"]: r.asDict() for r in soft404_signals(df).collect()}
+    for (i, _h, _s, _t), w in zip(rows, want):
+        assert got[i]["fetch_class"] == w, (i, got[i])
+    assert got[0]["marker_hits"] == 3  # error 404 + page not found + does not exist
+    assert got[1]["marker_hits"] == 1 and got[1]["n_words"] > 120
+    assert got[4]["marker_hits"] == 0 and got[4]["n_words"] == 0
+    assert got[5]["marker_hits"] == 0 and got[5]["n_words"] == 0
+    # each marker fires alone on a short page
+    solo = spark.createDataFrame(
+        [(i, "h", 200, f"x {m} y") for i, m in enumerate(SOFT404_MARKERS)],
+        "doc_id long, host string, status int, text string",
+    )
+    for r in soft404_signals(solo).collect():
+        assert r["fetch_class"] == "soft404" and r["marker_hits"] == 1, r
+    roll = {
+        r["host"]: r.asDict()
+        for r in host_soft404_stats(soft404_signals(df)).collect()
+    }
+    assert roll["a"]["n_urls"] == 3 and roll["a"]["n_soft404"] == 1
+    assert roll["a"]["soft404_ppm"] == 1_000_000 // 3
+    assert roll["b"]["n_soft404"] == 0 and roll["b"]["soft404_ppm"] == 0
+
+
+def test_soft404_zero_shuffle_plan(spark):
+    """The per-URL pass is a pure JVM projection: no Exchange, no Python
+    stage; only the host rollup may shuffle."""
+    from crawley_spark.operators.soft404 import soft404_signals
+
+    df = spark.createDataFrame(
+        [(1, "h", 200, "x")], "doc_id long, host string, status int, text string"
+    )
+    plan = soft404_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
