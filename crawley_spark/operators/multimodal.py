@@ -13,9 +13,11 @@ LZW decoder; FULL baseline AND progressive JPEG luminance decode via
 pure-Python Huffman + numpy IDCT; BMP via ``struct`` — no codec deps, runs
 everywhere) and probes for codec libraries at runtime on the executors for
 the rest, raising NotImplementedError where no decoder exists. The
-remaining stub surface is arithmetic-coded/differential JPEG pixel data
-without PIL and non-AVI / non-MJPEG-compressed video (VERDICT r02 "next"
-#3, r03 #7, r04 #6; GIF LZW + baseline-JPEG decode added r05,
+remaining stub surface is progressive/lossless-ARITHMETIC (SOF10/11) and
+differential/hierarchical JPEG pixel data without PIL and non-AVI /
+non-MJPEG-compressed video (VERDICT r02 "next" #3, r03 #7, r04 #6;
+GIF LZW + baseline-JPEG decode added r05; SEQUENTIAL ARITHMETIC JPEG
+(SOF9, T.81 Annex D QM coder, §K.4-conformance-pinned) added late r05,
 progressive/lossless-JPEG + MJPEG-AVI + 12-bit decode late r05).
 """
 
@@ -302,6 +304,362 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+# ITU T.81 Table D.3 — the QM-coder Qe values and probability estimation
+# state machine: (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS). Index
+# 113 is the appended non-adaptive ~0.5 bin used for AC sign decisions
+# (Annex F convention). Conformance of this table AND the coder flowcharts
+# is pinned by the spec's own §K.4 single-context 256-bit test sequence
+# (tests/test_operators.py::test_qm_coder_k4_conformance) — both the
+# encoder (in tests) and this decoder reproduce the published bytes.
+_QM_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0), (0x080B, 18, 4, 0),
+    (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0), (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0),
+    (0x0036, 30, 9, 0), (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1), (0x3F25, 36, 16, 0),
+    (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0), (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0),
+    (0x0CEF, 43, 21, 0), (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0), (0x01B1, 54, 28, 0),
+    (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0), (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0),
+    (0x0068, 62, 33, 0), (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0), (0x2EF1, 67, 40, 0),
+    (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0), (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0),
+    (0x1177, 73, 45, 0), (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0), (0x04DE, 50, 52, 0),
+    (0x040F, 50, 53, 0), (0x0363, 51, 54, 0), (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0),
+    (0x01F8, 54, 57, 0), (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0), (0x008F, 61, 32, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0), (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0),
+    (0x2FE8, 83, 69, 0), (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0), (0x119C, 74, 76, 0),
+    (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0), (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0),
+    (0x5832, 80, 81, 1), (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0), (0x2516, 86, 71, 0),
+    (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0), (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0),
+    (0x3824, 99, 93, 0), (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0), (0x3C3D, 104, 100, 0),
+    (0x375E, 99, 93, 0), (0x5231, 105, 102, 0), (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0),
+    (0x415E, 103, 99, 0), (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1), (0x5522, 112, 109, 0),
+    (0x59EB, 112, 111, 1),
+    (0x5A1D, 113, 113, 0),  # index 113: fixed ~0.5 bin (never adapts)
+]
+
+
+class _QMDecoder:
+    """ITU T.81 Annex D/F QM arithmetic decoder over one entropy-coded
+    segment. Contexts are mutable ``[state_index, mps]`` pairs. Reading
+    stops at any real marker (0xFF followed by non-0x00) and feeds zero
+    bytes from there on — the spec's marker-padding rule; the marker
+    position stays discoverable via :func:`_jpeg_skip_entropy` for
+    restart handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.bp = pos
+        self.end = len(data)
+        self.marker = False
+        self.c = 0
+        self.ct = 0
+        # INITDEC: load the first two entropy bytes into C-high
+        self._bytein()
+        self.c <<= 8
+        self._bytein()
+        self.c <<= 8
+        self.ct = 0
+        self.a = 0x10000
+
+    def _nextbyte(self) -> int:
+        if self.marker or self.bp >= self.end:
+            return 0
+        d = self.data
+        b = d[self.bp]
+        if b == 0xFF:
+            if self.bp + 1 < self.end and d[self.bp + 1] == 0x00:
+                self.bp += 2  # unstuff
+                return 0xFF
+            self.marker = True  # real marker: zero-pad from here (D.2.7)
+            return 0
+        self.bp += 1
+        return b
+
+    def _bytein(self):
+        self.c += self._nextbyte() << 8
+        self.ct = 8
+
+    def decode(self, ctx: list) -> int:
+        """DECODE(S) per Figure F.25 with MPS/LPS conditional exchange
+        and renormalization-driven probability estimation (D.2.4/D.2.5)."""
+        qe, nlps, nmps, sw = _QM_QE[ctx[0]]
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a >= 0x8000:
+                return ctx[1]
+            # MPS exchange path (renorm pending)
+            if self.a < qe:
+                d = 1 - ctx[1]
+                if sw:
+                    ctx[1] ^= 1
+                ctx[0] = nlps
+            else:
+                d = ctx[1]
+                ctx[0] = nmps
+        else:
+            # LPS exchange path
+            self.c -= self.a << 16
+            if self.a < qe:
+                d = ctx[1]
+                ctx[0] = nmps
+            else:
+                d = 1 - ctx[1]
+                if sw:
+                    ctx[1] ^= 1
+                ctx[0] = nlps
+            self.a = qe
+        # RENORMD (Figure F.32)
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a >= 0x8000:
+                break
+        return d
+
+
+def _qm_decode_dc(dec, stats, dc_context, ci, lo, hi):
+    """Decode one DC difference (T.81 F.2.4.1 / Figures F.19-F.24):
+    zero/sign/magnitude-category/magnitude-bits decisions over the
+    64-bin statistics area, updating the component's conditioning
+    category from the (L, U) bounds. Returns the signed diff."""
+    base = dc_context[ci]
+    if dec.decode(stats[base]) == 0:
+        dc_context[ci] = 0
+        return 0
+    sign = dec.decode(stats[base + 1])
+    st = base + 2 + sign
+    m = dec.decode(stats[st])
+    if m:
+        st = 20  # X1 bin (Table F.4)
+        while dec.decode(stats[st]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic JPEG DC magnitude")
+            st += 1
+    # conditioning category for the NEXT block (F.1.4.4.1.2)
+    if m < (1 << lo) >> 1:
+        dc_context[ci] = 0
+    elif m > (1 << hi) >> 1:
+        dc_context[ci] = 12 + 4 * sign
+    else:
+        dc_context[ci] = 4 + 4 * sign
+    v = m
+    st += 14  # M bins follow the X bins (Table F.4)
+    while m := m >> 1:
+        if dec.decode(stats[st]):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _qm_decode_ac_block(dec, stats, fixed_bin, kx, coef, q, want):
+    """Decode the 63 AC coefficients of one block (T.81 F.2.4.2): per-k
+    EOB/nonzero decision pairs at bins 3(k-1), sign via the fixed bin,
+    magnitude chains at the low/high X areas (189/217) split by Kx.
+    Writes dequantized values into ``coef`` (natural order) when ``want``."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats[st]):
+            return  # EOB
+        while dec.decode(stats[st + 1]) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("corrupt arithmetic JPEG AC run")
+        sign = dec.decode(fixed_bin)
+        st += 2
+        m = dec.decode(stats[st])
+        if m:
+            if dec.decode(stats[st]):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(stats[st]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic JPEG AC magnitude")
+                    st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(stats[st]):
+                v |= m
+        v += 1
+        if want:
+            coef[_ZIGZAG[k]] = (-v if sign else v) * q[k]
+        k += 1
+
+
+def _jpeg_decode_arith_luma(data: bytes) -> float:
+    """Decode the luminance plane of a SEQUENTIAL ARITHMETIC-coded JPEG
+    (SOF9, 8- or 12-bit) and return mean luma in [0, 1] — the QM coder of
+    ITU T.81 Annex D with the DC/AC decision procedures of Annex F,
+    replacing the Huffman entropy layer under the same dequant + IDCT
+    pipeline as the SOF0/1 path. DAC segments set the DC (L, U)
+    conditioning bounds and AC Kx per table (spec defaults 0/1/5). All
+    components are entropy-decoded (the adaptive stream cannot be
+    skipped) but only Y is dequantized/IDCT'd. Restart markers re-init
+    the coder AND every statistics area (F.1.4.1)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("payload is not a JPEG stream")
+    qt: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # table -> (L, U)
+    ac_cond: dict[int, int] = {}  # table -> Kx
+    width = height = 0
+    comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
+    off = 2
+    scan = None
+    precision = 8
+    while off + 4 <= len(data):
+        if data[off] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker stream at offset {off}")
+        marker = data[off + 1]
+        if marker == 0xFF:
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", data, off + 2)
+        body = data[off + 4 : off + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq:
+                    vals = list(struct.unpack_from(f">{64}H", body, p))
+                    p += 128
+                else:
+                    vals = list(body[p : p + 64])
+                    p += 64
+                qt[tq] = vals
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            for p in range(0, len(body) - 1, 2):
+                tc, tb, cs = body[p] >> 4, body[p] & 15, body[p + 1]
+                if tc == 0:
+                    lo, hi = cs & 15, cs >> 4
+                    if lo > hi:
+                        raise ValueError("invalid JPEG DAC DC conditioning (L > U)")
+                    dc_cond[tb] = (lo, hi)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("invalid JPEG DAC AC conditioning Kx")
+                    ac_cond[tb] = cs
+        elif marker in _SOF_MARKERS:
+            if marker != 0xC9:
+                raise NotImplementedError(
+                    f"JPEG frame type SOF{marker - 0xC0} in arithmetic decoder"
+                )
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
+            if precision not in (8, 12):
+                raise NotImplementedError(f"{precision}-bit JPEG needs a full codec")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            scan_start = off + 2 + seg_len
+            break
+        off += 2 + seg_len
+    if scan is None or not comps or not width or not height:
+        raise ValueError("no decodable JPEG scan found")
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    y_id = comps[0][0]
+    if by_id[y_id][0] != hmax or by_id[y_id][1] != vmax:
+        raise NotImplementedError("first JPEG component is not full-resolution")
+    sc = []
+    for cid, tables in scan:
+        h, v, tq = by_id[cid]
+        if cid == y_id and tq not in qt:
+            raise ValueError("JPEG scan references an undefined quant table")
+        sc.append((cid, h, v, qt.get(tq), tables >> 4, tables & 15))
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    level = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    c[0] /= np.sqrt(2.0)
+    yplane = np.zeros((mcuy * 8 * vmax, mcux * 8 * hmax), dtype=np.float64)
+    coef = np.zeros(64, dtype=np.float64)
+
+    def fresh_stats():
+        dc = {t: [[0, 0] for _ in range(64)] for _, _, _, _, t, _ in sc}
+        ac = {t: [[0, 0] for _ in range(256)] for _, _, _, _, _, t in sc}
+        return dc, ac, [113, 0]
+
+    dec = _QMDecoder(data, scan_start)
+    dc_stats, ac_stats, fixed_bin = fresh_stats()
+    dc_context = {cid: 0 for cid, *_ in sc}
+    pred = {cid: 0 for cid, *_ in sc}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # scan to the next marker INCLUDING RSTn (_jpeg_skip_entropy
+                # deliberately steps over restarts, so it can't be used here)
+                pos = dec.bp
+                while True:
+                    pos = data.find(0xFF, pos)
+                    if pos < 0 or pos + 1 >= len(data):
+                        raise ValueError("truncated JPEG entropy-coded segment")
+                    if data[pos + 1] != 0x00:
+                        break
+                    pos += 2
+                if not 0xD0 <= data[pos + 1] <= 0xD7:
+                    raise ValueError("expected JPEG restart marker")
+                dec = _QMDecoder(data, pos + 2)
+                dc_stats, ac_stats, fixed_bin = fresh_stats()
+                dc_context = {cid: 0 for cid, *_ in sc}
+                pred = {cid: 0 for cid, *_ in sc}
+            n_mcu += 1
+            for cid, h, v, q, td, ta in sc:
+                lo, hi = dc_cond.get(td, (0, 1))
+                kx = ac_cond.get(ta, 5)
+                for by in range(v):
+                    for bx in range(h):
+                        is_y = cid == y_id
+                        pred[cid] += _qm_decode_dc(
+                            dec, dc_stats[td], dc_context, cid, lo, hi
+                        )
+                        if is_y:
+                            coef[:] = 0.0
+                            coef[0] = pred[cid] * q[0]
+                        _qm_decode_ac_block(
+                            dec, ac_stats[ta], fixed_bin, kx, coef, q, is_y
+                        )
+                        if is_y:
+                            block = c.T @ coef.reshape(8, 8) @ c + level
+                            py, px = (my * v + by) * 8, (mx * h + bx) * 8
+                            yplane[py : py + 8, px : px + 8] = block
+    crop = np.clip(yplane[:height, :width], 0.0, maxval)
+    return float(crop.mean()) / maxval
+
+
 # BITMAPINFOHEADER biCompression values naming a motion-JPEG stream
 # (fourcc stored little-endian); "dmb1" is the QuickTime-flavoured alias.
 _MJPG_FOURCCS = frozenset(
@@ -509,10 +867,12 @@ def jpeg_decode_luma(data: bytes) -> float:
                 return _jpeg_decode_progressive_luma(data)
             if marker == 0xC3:
                 return _jpeg_decode_lossless_luma(data)
+            if marker == 0xC9:
+                return _jpeg_decode_arith_luma(data)
             if marker not in (0xC0, 0xC1):
                 raise NotImplementedError(
-                    f"JPEG frame type SOF{marker - 0xC0} (arithmetic/"
-                    "differential) needs a full codec (PIL)"
+                    f"JPEG frame type SOF{marker - 0xC0} (progressive/"
+                    "lossless-arithmetic/differential) needs a full codec (PIL)"
                 )
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
             if precision not in (8, 12):
@@ -1458,7 +1818,8 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     return [float(x) / 255.0 for x in img.getdata()]
                 if data[:2] == b"\xff\xd8":
                     # baseline + progressive frames decode luma fully;
-                    # arithmetic/differential keep header metadata, luma -1
+                    # progressive/lossless-arithmetic and differential
+                    # frames keep header metadata, luma -1
                     return jpeg_header_features(data)
             if kind == "audio":
                 return wav_features(data)  # stdlib, available on every executor
@@ -1466,9 +1827,10 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 return avi_features(data)  # stdlib struct chunk-walk
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
-                "install PIL (arithmetic/differential-JPEG pixels and other "
-                "exotic image formats) / ffmpeg (non-AVI video or "
-                "non-MJPEG codecs); PNG, GIF, BMP and baseline+progressive "
+                "install PIL (progressive/lossless-arithmetic and differential "
+                "JPEG pixels and other exotic image formats) / ffmpeg "
+                "(non-AVI video or non-MJPEG codecs); PNG, GIF, BMP and "
+                "baseline+progressive+lossless+sequential-arithmetic "
                 "JPEG decode fully, WAV audio and RIFF/AVI video "
                 "(uncompressed DIB or MJPEG frames) decode — all pure Python"
             )

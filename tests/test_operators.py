@@ -2221,9 +2221,13 @@ def test_media_jpeg_pixel_decode(spark):
     with pytest.raises(ValueError):
         jpeg_decode_luma(_mk_jpeg(31, 17, progressive=True, ncomp=1))
     assert jpeg_header_features(_mk_jpeg(31, 17, progressive=True, ncomp=1))[5] == -1.0
-    # arithmetic-coded sequential remains the declared codec stub
-    with pytest.raises(NotImplementedError):
+    # sequential arithmetic (SOF9) DECODES now (test_jpeg_arith_decode);
+    # a header-only SOF9 with no scan is the same no-scan data error,
+    # and progressive-arithmetic (SOF10) remains the declared stub
+    with pytest.raises(ValueError):
         jpeg_decode_luma(_mk_jpeg(31, 17, ncomp=1, sof=0xC9))
+    with pytest.raises(NotImplementedError):
+        jpeg_decode_luma(_mk_jpeg(31, 17, ncomp=1, sof=0xCA))
     # truncated scan is a data error the header path degrades to -1
     assert jpeg_header_features(jg[:-10])[5] == -1.0
     with pytest.raises(ValueError):
@@ -3472,3 +3476,392 @@ def test_soft404_zero_shuffle_plan(spark):
     plan = soft404_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+class _QMEncoder:
+    """ITU T.81 Annex D QM arithmetic ENCODER (test-side fixture builder,
+    the mirror of multimodal._QMDecoder): byte stuffing after 0xFF, carry
+    resolution over stacked 0xFF bytes, CLEARBITS+FINALWRITES flush with
+    final zero discard. Conformance pinned by the spec's §K.4 vector."""
+
+    def __init__(self):
+        from crawley_spark.operators.multimodal import _QM_QE
+
+        self.table = _QM_QE
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1
+        self.sc = 0
+        self.out = bytearray()
+
+    def _stacked(self, byte):
+        while self.sc:
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.sc -= 1
+
+    def _byteout(self):
+        t = self.c >> 19
+        if t > 0xFF:
+            assert self.buffer >= 0, "carry out of the first byte"
+            self.out.append(self.buffer + 1)
+            if self.buffer + 1 == 0xFF:
+                self.out.append(0x00)
+            self._stacked(0x00)  # carried-through 0xFFs become 0x00
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1
+        else:
+            if self.buffer >= 0:
+                self.out.append(self.buffer)
+                if self.buffer == 0xFF:
+                    self.out.append(0x00)
+            self._stacked(0xFF)
+            self.buffer = t
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def encode(self, ctx, d):
+        qe, nlps, nmps, sw = self.table[ctx[0]]
+        if d == ctx[1]:
+            self.a -= qe
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            ctx[0] = nmps
+        else:
+            self.a -= qe
+            if self.a >= qe:  # no exchange: LPS takes the upper interval
+                self.c += self.a
+                self.a = qe
+            if sw:
+                ctx[1] ^= 1
+            ctx[0] = nlps
+        while True:  # RENORME
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a >= 0x8000:
+                break
+
+    def flush(self):
+        t = (self.c + self.a - 1) & 0xFFFF0000  # CLEARBITS
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & (1 << 27):  # final carry
+            assert self.buffer >= 0
+            self.out.append(self.buffer + 1)
+            if self.buffer + 1 == 0xFF:
+                self.out.append(0x00)
+            self._stacked(0x00)
+        else:
+            if self.buffer >= 0:
+                self.out.append(self.buffer)
+                if self.buffer == 0xFF:
+                    self.out.append(0x00)
+            self._stacked(0xFF)
+        # Emit the final C bytes, discarding trailing ZERO bytes only
+        # (the decoder zero-pads at the marker); a final 0xFF keeps its
+        # stuffing — popping it would turn the data byte into a marker.
+        b19 = (self.c >> 19) & 0xFF
+        b11 = (self.c >> 11) & 0xFF
+        if b19 or b11:
+            self.out.append(b19)
+            if b19 == 0xFF:
+                self.out.append(0x00)
+            if b11:
+                self.out.append(b11)
+                if b11 == 0xFF:
+                    self.out.append(0x00)
+        return bytes(self.out)
+
+
+# T.81 §K.4: the spec's own 256-bit single-context test sequence for the
+# arithmetic coder and its published compressed form (entropy bytes; the
+# spec's listing appends the EOI marker, exercised in the decode test).
+_K4_INPUT = bytes.fromhex(
+    "00020051000000C00352872AAAAAAAAA82C02000FCD79EF674EAABF7697EE74C"
+)
+_K4_CODED = bytes.fromhex("655B5144F7969D517855BFFF00FC5184C7CEF93900287D46708ECBC0F6")
+
+
+def test_qm_coder_k4_conformance():
+    """The spec's own test vector pins the Qe table and both coder
+    directions: encoding the 256 K.4 bits with one adaptive context must
+    produce the published bytes, and decoding the published bytes (with
+    the EOI marker appended, exercising zero-fed marker padding) must
+    reproduce the bits. A 200-case seeded roundtrip fuzz (multi-context)
+    covers the paths K.4 misses."""
+    import random
+
+    from crawley_spark.operators.multimodal import _QMDecoder
+
+    bits = [(_K4_INPUT[i // 8] >> (7 - i % 8)) & 1 for i in range(256)]
+    enc = _QMEncoder()
+    ctx = [0, 0]
+    for b in bits:
+        enc.encode(ctx, b)
+    assert enc.flush() == _K4_CODED
+    dec = _QMDecoder(_K4_CODED + b"\xff\xd9", 0)
+    ctx = [0, 0]
+    assert [dec.decode(ctx) for _ in range(256)] == bits
+
+    rng = random.Random(407)
+    for _ in range(200):
+        nbits = rng.randint(1, 300)
+        nctx = rng.choice([1, 2, 5])
+        seq = [(rng.randrange(nctx), rng.randint(0, 1)) for _ in range(nbits)]
+        enc = _QMEncoder()
+        ectx = [[0, 0] for _ in range(nctx)]
+        for s, b in seq:
+            enc.encode(ectx[s], b)
+        data = enc.flush() + b"\xff\xd9"
+        dec = _QMDecoder(data, 0)
+        dctx = [[0, 0] for _ in range(nctx)]
+        assert [dec.decode(dctx[s]) for s, _ in seq] == [b for _, b in seq]
+
+
+def _jpeg_encode_arith(planes, sampling, restart=0, precision=8, dac=True):
+    """Minimal SEQUENTIAL ARITHMETIC JPEG encoder (SOF9) for test
+    fixtures: the same all-ones-quant DCT coefficient derivation as
+    _jpeg_encode_baseline, entropy-coded with the T.81 Annex F DC/AC
+    decision procedures over the QM coder. ``dac=False`` omits the DAC
+    segment (spec-default conditioning L=0 U=1 Kx=5 must apply)."""
+    import struct
+
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    c[0] /= np.sqrt(2.0)
+    from crawley_spark.operators.multimodal import _ZIGZAG as zz
+
+    h_img, w_img = planes[0].shape
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux, mcuy = -(-w_img // (8 * hmax)), -(-h_img // (8 * vmax))
+
+    def blocks_of(plane, h, v):
+        ph, pw = mcuy * 8 * v, mcux * 8 * h
+        pad = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(v):
+                    for bx in range(h):
+                        py, px = (my * v + by) * 8, (mx * h + bx) * 8
+                        yield pad[py : py + 8, px : px + 8]
+
+    gens = [blocks_of(p, hh, vv) for p, (hh, vv) in zip(planes, sampling)]
+    mcus = []
+    for _ in range(mcux * mcuy):
+        mcu = []
+        for ci, (hh, vv) in enumerate(sampling):
+            for _ in range(hh * vv):
+                f = next(gens[ci]).astype(np.float64) - float(1 << (precision - 1))
+                F = c @ f @ c.T
+                q = np.rint(F).astype(int).reshape(64)
+                mcu.append((ci, [int(q[zz[k]]) for k in range(64)]))
+        mcus.append(mcu)
+
+    lo, hi, kx = 0, 1, 5  # conditioning (DAC-default values either way)
+
+    def fresh():
+        dc = [[[0, 0] for _ in range(64)] for _ in range(2)]
+        ac = [[[0, 0] for _ in range(256)] for _ in range(2)]
+        return _QMEncoder(), dc, ac, [113, 0]
+
+    enc, dc_stats, ac_stats, fixed = fresh()
+    dc_ctx = [0] * len(planes)
+    pred = [0] * len(planes)
+    chunks = []
+    n_mcu = 0
+    for mcu in mcus:
+        if restart and n_mcu and n_mcu % restart == 0:
+            chunks.append(enc.flush())
+            chunks.append(bytes([0xFF, 0xD0 + (n_mcu // restart - 1) % 8]))
+            enc, dc_stats, ac_stats, fixed = fresh()
+            dc_ctx = [0] * len(planes)
+            pred = [0] * len(planes)
+        n_mcu += 1
+        for ci, q in mcu:
+            ti = min(ci, 1)
+            stats = dc_stats[ti]
+            # --- DC (Annex F.1.4.1) ---
+            v = q[0] - pred[ci]
+            pred[ci] = q[0]
+            base = dc_ctx[ci]
+            if v == 0:
+                enc.encode(stats[base], 0)
+                dc_ctx[ci] = 0
+            else:
+                enc.encode(stats[base], 1)
+                sign = 0 if v > 0 else 1
+                enc.encode(stats[base + 1], sign)
+                v = abs(v)
+                st = base + 2 + sign
+                m = 0
+                if v - 1:
+                    enc.encode(stats[st], 1)
+                    m = 1
+                    v2 = v - 1
+                    st = 20
+                    while v2 := v2 >> 1:
+                        enc.encode(stats[st], 1)
+                        m <<= 1
+                        st += 1
+                enc.encode(stats[st], 0)
+                if m < (1 << lo) >> 1:
+                    dc_ctx[ci] = 0
+                elif m > (1 << hi) >> 1:
+                    dc_ctx[ci] = 12 + 4 * sign
+                else:
+                    dc_ctx[ci] = 4 + 4 * sign
+                st += 14
+                vm = v - 1
+                while m := m >> 1:
+                    enc.encode(stats[st], 1 if m & vm else 0)
+            # --- AC (Annex F.1.4.2) ---
+            stats = ac_stats[ti]
+            ke = 63
+            while ke >= 1 and q[ke] == 0:
+                ke -= 1
+            k = 1
+            while k <= ke:
+                st = 3 * (k - 1)
+                enc.encode(stats[st], 0)  # not EOB
+                while q[k] == 0:
+                    enc.encode(stats[st + 1], 0)
+                    st += 3
+                    k += 1
+                enc.encode(stats[st + 1], 1)
+                v = q[k]
+                sign = 0 if v > 0 else 1
+                enc.encode(fixed, sign)
+                v = abs(v)
+                st += 2
+                m = 0
+                if v - 1:
+                    enc.encode(stats[st], 1)
+                    m = 1
+                    v2 = v - 1
+                    if v2 := v2 >> 1:
+                        enc.encode(stats[st], 1)
+                        m <<= 1
+                        st = 189 if k <= kx else 217
+                        while v2 := v2 >> 1:
+                            enc.encode(stats[st], 1)
+                            m <<= 1
+                            st += 1
+                enc.encode(stats[st], 0)
+                st += 14
+                vm = v - 1
+                while m := m >> 1:
+                    enc.encode(stats[st], 1 if m & vm else 0)
+                k += 1
+            if k <= 63:
+                enc.encode(stats[3 * (k - 1)], 1)  # EOB
+    chunks.append(enc.flush())
+
+    buf = bytearray(b"\xff\xd8")
+    if precision == 12:
+        buf += b"\xff\xdb" + struct.pack(">HB", 131, 0x10) + struct.pack(">64H", *([1] * 64))
+    else:
+        buf += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", precision, h_img, w_img, len(planes))
+    for i, (hh, vv) in enumerate(sampling):
+        sof += bytes([i + 1, (hh << 4) | vv, 0])
+    buf += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
+    if dac:
+        body = bytes([0x00, (hi << 4) | lo, 0x01, (hi << 4) | lo, 0x10, kx, 0x11, kx])
+        buf += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        buf += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([len(planes)]) + b"".join(
+        bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(len(planes))
+    )
+    buf += b"\xff\xda" + struct.pack(">H", 5 + len(sos)) + sos + b"\x00\x3f\x00"
+    buf += b"".join(chunks) + b"\xff\xd9"
+    return bytes(buf)
+
+
+def test_jpeg_arith_decode():
+    """SOF9 sequential arithmetic decode: gradient and flat grayscale
+    planes must decode to EXACTLY the same mean luma as (a) the test-side
+    dequant+IDCT mirror and (b) the Huffman-baseline encoding of the SAME
+    coefficient blocks — two independent entropy layers, one answer.
+    Also: 4:2:0 color (chroma must be entropy-decoded to advance the
+    adaptive stream), a restart interval (per-segment coder + statistics
+    re-init), DAC-less default conditioning, and 12-bit precision."""
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import jpeg_decode_luma
+
+    rng = np.random.default_rng(408)
+    grad = (np.arange(24 * 17, dtype=np.int64).reshape(24, 17) * 7) % 256
+    noisy = rng.integers(0, 256, size=(16, 16))
+    for y in (grad, noisy):
+        want = _jpeg_expected_luma(y)
+        got = jpeg_decode_luma(_jpeg_encode_arith([y], [(1, 1)]))
+        assert got == want, (got, want)
+        huff = jpeg_decode_luma(_jpeg_encode_baseline([y], [(1, 1)]))
+        assert got == huff
+    # flat plane: all-EOB blocks
+    flat = np.full((8, 8), 200)
+    assert jpeg_decode_luma(_jpeg_encode_arith([flat], [(1, 1)])) == _jpeg_expected_luma(flat)
+    # 4:2:0 color: chroma blocks advance the arithmetic stream
+    y = (np.add.outer(np.arange(16), np.arange(16)) * 8) % 256
+    cb = np.full((8, 8), 90)
+    cr = rng.integers(0, 256, size=(8, 8))
+    got = jpeg_decode_luma(_jpeg_encode_arith([y, cb, cr], [(2, 2), (1, 1), (1, 1)]))
+    assert got == _jpeg_expected_luma(y)
+    # restart interval: full coder + stats re-init per segment
+    y = rng.integers(0, 256, size=(8, 40))  # 5 MCUs
+    got = jpeg_decode_luma(_jpeg_encode_arith([y], [(1, 1)], restart=2))
+    assert got == _jpeg_expected_luma(y)
+    # DAC segment omitted: spec-default conditioning must apply
+    got = jpeg_decode_luma(_jpeg_encode_arith([grad], [(1, 1)], dac=False))
+    assert got == _jpeg_expected_luma(grad)
+    # 12-bit extended precision
+    y12 = (np.arange(8 * 16, dtype=np.int64).reshape(8, 16) * 31) % 4096
+    got = jpeg_decode_luma(_jpeg_encode_arith([y12], [(1, 1)], precision=12))
+    assert got == _jpeg_expected_luma(y12, precision=12)
+
+
+def test_jpeg_arith_errors():
+    """Truncated/corrupt arithmetic streams raise ValueError (data error,
+    not NotImplementedError); progressive-arithmetic SOF10 stays a
+    declared NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from crawley_spark.operators.multimodal import jpeg_decode_luma
+
+    y = np.full((8, 8), 128)
+    data = bytearray(_jpeg_encode_arith([y], [(1, 1)]))
+    sof = data.find(b"\xff\xc9")
+    data[sof + 1] = 0xCA  # SOF10: progressive arithmetic
+    with pytest.raises(NotImplementedError):
+        jpeg_decode_luma(bytes(data))
+    # no SOS
+    trunc = _jpeg_encode_arith([y], [(1, 1)])
+    cut = trunc[: trunc.find(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_decode_luma(cut)
+    # bad DAC conditioning
+    bad = bytearray(_jpeg_encode_arith([y], [(1, 1)]))
+    dacpos = bad.find(b"\xff\xcc")
+    bad[dacpos + 5] = 0x01  # DC table 0: L=1 > U=0
+    bad[dacpos + 4] = 0x00
+    (ln,) = struct.unpack_from(">H", bad, dacpos + 2)
+    bad[dacpos + 5] = 0x10  # L=0 U=1 -> keep valid; instead corrupt Kx
+    bad[dacpos + 4 + 5] = 0x00  # AC table 0 Kx = 0 (invalid)
+    with pytest.raises(ValueError):
+        jpeg_decode_luma(bytes(bad))
