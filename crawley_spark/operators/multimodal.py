@@ -13,11 +13,12 @@ LZW decoder; FULL baseline AND progressive JPEG luminance decode via
 pure-Python Huffman + numpy IDCT; BMP via ``struct`` — no codec deps, runs
 everywhere) and probes for codec libraries at runtime on the executors for
 the rest, raising NotImplementedError where no decoder exists. The
-remaining stub surface is progressive/lossless-ARITHMETIC (SOF10/11) and
+remaining stub surface is lossless-ARITHMETIC (SOF11) and
 differential/hierarchical JPEG pixel data without PIL and non-AVI /
 non-MJPEG-compressed video (VERDICT r02 "next" #3, r03 #7, r04 #6;
-GIF LZW + baseline-JPEG decode added r05; SEQUENTIAL ARITHMETIC JPEG
-(SOF9, T.81 Annex D QM coder, §K.4-conformance-pinned) added late r05,
+GIF LZW + baseline-JPEG decode added r05; SEQUENTIAL + PROGRESSIVE
+ARITHMETIC JPEG (SOF9/SOF10, T.81 Annex D QM coder + Annex G decision
+procedures, §K.4-conformance-pinned) added late r05,
 progressive/lossless-JPEG + MJPEG-AVI + 12-bit decode late r05).
 """
 
@@ -869,10 +870,12 @@ def jpeg_decode_luma(data: bytes) -> float:
                 return _jpeg_decode_lossless_luma(data)
             if marker == 0xC9:
                 return _jpeg_decode_arith_luma(data)
+            if marker == 0xCA:
+                return _jpeg_decode_arith_progressive_luma(data)
             if marker not in (0xC0, 0xC1):
                 raise NotImplementedError(
-                    f"JPEG frame type SOF{marker - 0xC0} (progressive/"
-                    "lossless-arithmetic/differential) needs a full codec (PIL)"
+                    f"JPEG frame type SOF{marker - 0xC0} (lossless-"
+                    "arithmetic/differential) needs a full codec (PIL)"
                 )
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
             if precision not in (8, 12):
@@ -1259,6 +1262,303 @@ def _jpeg_decode_prog_scan(
                             k += 1
                         eobrun -= 1
     return _jpeg_skip_entropy(data, bits.pos)
+
+
+def _jpeg_decode_arith_prog_scan(
+    data, pos, scan, ss, se, ah, al,
+    by_id, y_id, ystore, y_bw, y_bh, mcux, mcuy, dc_cond, ac_cond,
+    restart_interval,
+):
+    """Decode one PROGRESSIVE ARITHMETIC scan (T.81 Annex G over the
+    Annex D QM coder; the decision structure follows the published
+    jdarith control flow): DC first = the sequential DC procedure on the
+    point-transformed values (stored << Al); DC refinement = one
+    fixed-bin decision per block; AC first = the sequential AC procedure
+    band-limited to [Ss, Se]; AC refinement = per-k EOB decisions gated
+    on the previous stage's end-of-block index, adaptive correction bins
+    for known-nonzero coefficients and newly-nonzero insertion with
+    fixed-bin signs. Restart markers re-init the coder and every
+    statistics area. Returns the offset of the next true marker."""
+    dec = _QMDecoder(data, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    def fresh_dc():
+        return (
+            {t: [[0, 0] for _ in range(64)] for _, t in
+             ((cid, tables >> 4) for cid, tables in scan)},
+            {cid: 0 for cid, _ in scan},
+            {cid: 0 for cid, _ in scan},
+        )
+
+    def restart_seek():
+        posn = dec.bp
+        while True:
+            posn = data.find(0xFF, posn)
+            if posn < 0 or posn + 1 >= len(data):
+                raise ValueError("truncated JPEG entropy-coded segment")
+            if data[posn + 1] != 0x00:
+                break
+            posn += 2
+        if not 0xD0 <= data[posn + 1] <= 0xD7:
+            raise ValueError("expected JPEG restart marker")
+        return _QMDecoder(data, posn + 2)
+
+    if ss == 0:
+        interleaved = len(scan) > 1
+        members = []
+        for cid, tables in scan:
+            h, v, _ = by_id[cid]
+            members.append((cid, h, v, tables >> 4))
+        dc_stats, dc_context, pred = fresh_dc()
+        fixed = [113, 0]
+
+        def dc_block(cid, td, row, col):
+            if ah == 0:
+                lo, hi = dc_cond.get(td, (0, 1))
+                pred[cid] += _qm_decode_dc(
+                    dec, dc_stats[td], dc_context, cid, lo, hi
+                )
+                if cid == y_id:
+                    ystore[row, col, 0] = pred[cid] << al
+            else:
+                if dec.decode(fixed) and cid == y_id:
+                    ystore[row, col, 0] |= p1
+
+        n_unit = 0
+        units = (
+            [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+            if interleaved
+            else [(row, col) for row in range(y_bh) for col in range(y_bw)]
+        )
+        for uy, ux in units:
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                dec = restart_seek()
+                dc_stats, dc_context, pred = fresh_dc()
+                fixed = [113, 0]
+            n_unit += 1
+            if interleaved:
+                for cid, h, v, td in members:
+                    for by in range(v):
+                        for bx in range(h):
+                            dc_block(cid, td, uy * v + by, ux * h + bx)
+            else:
+                cid, h, v, td = members[0]
+                if cid != y_id:  # unreachable (Y-less scans skipped upstream)
+                    raise ValueError("non-Y single-component DC scan not skipped")
+                dc_block(cid, td, uy, ux)
+    else:
+        cid, tables = scan[0]
+        ta = tables & 15
+        kx = ac_cond.get(ta, 5)
+        ac_stats = [[0, 0] for _ in range(256)]
+        fixed = [113, 0]
+        n_unit = 0
+        for row in range(y_bh):
+            for col in range(y_bw):
+                if restart_interval and n_unit and n_unit % restart_interval == 0:
+                    dec = restart_seek()
+                    ac_stats = [[0, 0] for _ in range(256)]
+                    fixed = [113, 0]
+                n_unit += 1
+                b = ystore[row, col]
+                if ah == 0:  # AC first scan (G.2.3 over F.2.4.2)
+                    k = ss
+                    while k <= se:
+                        st = 3 * (k - 1)
+                        if dec.decode(ac_stats[st]):
+                            break  # EOB
+                        while dec.decode(ac_stats[st + 1]) == 0:
+                            st += 3
+                            k += 1
+                            if k > se:
+                                raise ValueError("corrupt arithmetic JPEG AC run")
+                        sign = dec.decode(fixed)
+                        st += 2
+                        m = dec.decode(ac_stats[st])
+                        if m:
+                            if dec.decode(ac_stats[st]):
+                                m <<= 1
+                                st = 189 if k <= kx else 217
+                                while dec.decode(ac_stats[st]):
+                                    m <<= 1
+                                    if m == 0x8000:
+                                        raise ValueError(
+                                            "corrupt arithmetic JPEG AC magnitude"
+                                        )
+                                    st += 1
+                        v = m
+                        st += 14
+                        while m := m >> 1:
+                            if dec.decode(ac_stats[st]):
+                                v |= m
+                        v += 1
+                        b[k] = (-v if sign else v) << al
+                        k += 1
+                else:  # AC refinement scan (G.2.4)
+                    kex = se
+                    while kex >= 1 and b[kex] == 0:
+                        kex -= 1
+                    k = ss
+                    while k <= se:
+                        st = 3 * (k - 1)
+                        if k > kex:
+                            if dec.decode(ac_stats[st]):
+                                break  # EOB
+                        while True:
+                            c0 = int(b[k])
+                            if c0 != 0:
+                                if dec.decode(ac_stats[st + 2]):
+                                    b[k] = c0 + (p1 if c0 >= 0 else m1)
+                                break
+                            if dec.decode(ac_stats[st + 1]):
+                                b[k] = m1 if dec.decode(fixed) else p1
+                                break
+                            st += 3
+                            k += 1
+                            if k > se:
+                                raise ValueError(
+                                    "corrupt arithmetic JPEG AC refinement"
+                                )
+                        k += 1
+    return _jpeg_skip_entropy(data, dec.bp)
+
+
+def _jpeg_decode_arith_progressive_luma(data: bytes) -> float:
+    """Decode the luminance plane of a PROGRESSIVE ARITHMETIC JPEG (SOF10,
+    8- or 12-bit) and return mean luma in [0, 1] — the Annex G spectral
+    selection / successive approximation structure of the progressive
+    Huffman path with the QM coder of Annex D as the entropy layer
+    (per-scan decoder + statistics, DAC conditioning, restart re-init).
+    Chroma-only scans are skipped via marker search (each scan is a
+    self-contained entropy segment, so skipping one cannot desynchronize
+    another); chroma blocks inside interleaved DC scans are decoded and
+    discarded."""
+    import struct
+
+    import numpy as np
+
+    qt: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    width = height = 0
+    comps: list[tuple[int, int, int, int]] = []
+    by_id: dict[int, tuple[int, int, int]] = {}
+    restart_interval = 0
+    y_id = None
+    ystore = None
+    y_bw = y_bh = 0
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
+    precision = 8
+    off = 2
+    while off + 2 <= len(data):
+        if data[off] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker stream at offset {off}")
+        marker = data[off + 1]
+        if marker == 0xFF:
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        if marker == 0xD9:
+            break
+        if off + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack_from(">H", data, off + 2)
+        body = data[off + 4 : off + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq:
+                    qt[tq] = list(struct.unpack_from(f">{64}H", body, p))
+                    p += 128
+                else:
+                    qt[tq] = list(body[p : p + 64])
+                    p += 64
+        elif marker == 0xCC:  # DAC
+            for p in range(0, len(body) - 1, 2):
+                tc, tb, cs = body[p] >> 4, body[p] & 15, body[p + 1]
+                if tc == 0:
+                    lo, hi = cs & 15, cs >> 4
+                    if lo > hi:
+                        raise ValueError("invalid JPEG DAC DC conditioning (L > U)")
+                    dc_cond[tb] = (lo, hi)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("invalid JPEG DAC AC conditioning Kx")
+                    ac_cond[tb] = cs
+        elif marker == 0xCA:  # SOF10
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
+            if precision not in (8, 12):
+                raise NotImplementedError(f"{precision}-bit JPEG needs a full codec")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+            y_id = comps[0][0]
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            yh, yv = by_id[y_id][0], by_id[y_id][1]
+            xi = -(-(width * yh) // hmax)
+            yi = -(-(height * yv) // vmax)
+            y_bw = -(-xi // 8)
+            y_bh = -(-yi // 8)
+            ystore = np.zeros((mcuy * yv, mcux * yh, 64), dtype=np.int64)
+        elif marker in _SOF_MARKERS:
+            raise ValueError("unexpected second JPEG frame header")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body)
+        elif marker == 0xDA:  # SOS
+            if ystore is None:
+                raise ValueError("JPEG scan before frame header")
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            scan_start = off + 2 + seg_len
+            if ss > se or se > 63 or (ss == 0) != (se == 0):
+                raise ValueError("invalid JPEG spectral selection")
+            if ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            saw_scan = True
+            if all(cid != y_id for cid, _ in scan):
+                off = _jpeg_skip_entropy(data, scan_start)
+                continue
+            off = _jpeg_decode_arith_prog_scan(
+                data, scan_start, scan, ss, se, ah, al,
+                by_id, y_id, ystore, y_bw, y_bh, mcux, mcuy,
+                dc_cond, ac_cond, restart_interval,
+            )
+            continue
+        off += 2 + seg_len
+    if ystore is None or not saw_scan:
+        raise ValueError("no decodable JPEG scan found")
+    ytq = by_id[y_id][2]
+    if ytq not in qt:
+        raise ValueError("JPEG Y component references an undefined quant table")
+    q = np.asarray(qt[ytq], dtype=np.float64)
+    deq = ystore.astype(np.float64) * q
+    nat = np.zeros_like(deq)
+    nat[:, :, _ZIGZAG] = deq
+    bh, bw = deq.shape[0], deq.shape[1]
+    blocks = nat.reshape(bh, bw, 8, 8)
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    c[0] /= np.sqrt(2.0)
+    plane = np.einsum("ij,xyjk,kl->xiyl", c.T, blocks, c).reshape(bh * 8, bw * 8)
+    plane += float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
+    yh, yv = by_id[y_id][0], by_id[y_id][1]
+    xi = -(-width * yh // hmax)
+    yi = -(-height * yv // vmax)
+    crop = np.clip(plane[:yi, :xi], 0.0, maxval)
+    return float(crop.mean()) / maxval
 
 
 def _jpeg_decode_lossless_luma(data: bytes) -> float:
@@ -1818,8 +2118,8 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     return [float(x) / 255.0 for x in img.getdata()]
                 if data[:2] == b"\xff\xd8":
                     # baseline + progressive frames decode luma fully;
-                    # progressive/lossless-arithmetic and differential
-                    # frames keep header metadata, luma -1
+                    # lossless-arithmetic and differential frames keep
+                    # header metadata, luma -1
                     return jpeg_header_features(data)
             if kind == "audio":
                 return wav_features(data)  # stdlib, available on every executor
@@ -1827,11 +2127,11 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 return avi_features(data)  # stdlib struct chunk-walk
             raise NotImplementedError(
                 f"no codec available for kind={kind} in this environment; "
-                "install PIL (progressive/lossless-arithmetic and differential "
-                "JPEG pixels and other exotic image formats) / ffmpeg "
+                "install PIL (lossless-arithmetic and differential JPEG "
+                "pixels and other exotic image formats) / ffmpeg "
                 "(non-AVI video or non-MJPEG codecs); PNG, GIF, BMP and "
-                "baseline+progressive+lossless+sequential-arithmetic "
-                "JPEG decode fully, WAV audio and RIFF/AVI video "
+                "baseline+progressive JPEG — Huffman OR arithmetic — plus "
+                "lossless-Huffman JPEG decode fully, WAV audio and RIFF/AVI video "
                 "(uncompressed DIB or MJPEG frames) decode — all pure Python"
             )
 

@@ -2221,13 +2221,16 @@ def test_media_jpeg_pixel_decode(spark):
     with pytest.raises(ValueError):
         jpeg_decode_luma(_mk_jpeg(31, 17, progressive=True, ncomp=1))
     assert jpeg_header_features(_mk_jpeg(31, 17, progressive=True, ncomp=1))[5] == -1.0
-    # sequential arithmetic (SOF9) DECODES now (test_jpeg_arith_decode);
-    # a header-only SOF9 with no scan is the same no-scan data error,
-    # and progressive-arithmetic (SOF10) remains the declared stub
+    # sequential AND progressive arithmetic (SOF9/SOF10) DECODE now
+    # (test_jpeg_arith_decode / test_jpeg_arith_progressive_decode); a
+    # header-only frame with a baseline SOS is a data error on both, and
+    # lossless-arithmetic (SOF11) remains the declared stub
     with pytest.raises(ValueError):
         jpeg_decode_luma(_mk_jpeg(31, 17, ncomp=1, sof=0xC9))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg_decode_luma(_mk_jpeg(31, 17, ncomp=1, sof=0xCA))
+    with pytest.raises(NotImplementedError):
+        jpeg_decode_luma(_mk_jpeg(31, 17, ncomp=1, sof=0xCB))
     # truncated scan is a data error the header path degrades to -1
     assert jpeg_header_features(jg[:-10])[5] == -1.0
     with pytest.raises(ValueError):
@@ -3847,7 +3850,7 @@ def test_jpeg_arith_errors():
     y = np.full((8, 8), 128)
     data = bytearray(_jpeg_encode_arith([y], [(1, 1)]))
     sof = data.find(b"\xff\xc9")
-    data[sof + 1] = 0xCA  # SOF10: progressive arithmetic
+    data[sof + 1] = 0xCB  # SOF11: lossless arithmetic — the declared stub
     with pytest.raises(NotImplementedError):
         jpeg_decode_luma(bytes(data))
     # no SOS
@@ -3865,3 +3868,293 @@ def test_jpeg_arith_errors():
     bad[dacpos + 4 + 5] = 0x00  # AC table 0 Kx = 0 (invalid)
     with pytest.raises(ValueError):
         jpeg_decode_luma(bytes(bad))
+
+
+def _jpeg_encode_arith_progressive(planes, sampling, scans, restart=0, precision=8):
+    """Minimal PROGRESSIVE ARITHMETIC JPEG encoder (SOF10) for test
+    fixtures: the scan-script interface of _jpeg_encode_progressive with
+    the T.81 Annex G arithmetic decision procedures (jcarith control
+    flow) over the QM coder — per-scan coder + statistics, point
+    transform by Al (arithmetic shift for DC, shift-after-abs for AC),
+    EOB decisions gated on the previous-stage index in refinement scans,
+    restart flush + re-init. A complete scan script must decode
+    bit-identically to the baseline encoding of the same planes."""
+    import struct
+
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import _ZIGZAG as zz
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    c[0] /= np.sqrt(2.0)
+    h_img, w_img = planes[0].shape
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux, mcuy = -(-w_img // (8 * hmax)), -(-h_img // (8 * vmax))
+    grids, nidims = [], []
+    for p, (hh, vv) in zip(planes, sampling):
+        ph, pw = mcuy * 8 * vv, mcux * 8 * hh
+        pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        grid = [[None] * (mcux * hh) for _ in range(mcuy * vv)]
+        for gy in range(mcuy * vv):
+            for gx in range(mcux * hh):
+                f = pad[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8].astype(
+                    np.float64
+                ) - float(1 << (precision - 1))
+                q = np.rint(c @ f @ c.T).astype(int).reshape(64)
+                grid[gy][gx] = [int(q[zz[k]]) for k in range(64)]
+        grids.append(grid)
+        xi = -(-(w_img * hh) // hmax)
+        yi = -(-(h_img * vv) // vmax)
+        nidims.append((-(-yi // 8), -(-xi // 8)))
+
+    lo, hi, kx = 0, 1, 5
+
+    def enc_dc(enc, stats, dc_ctx, pred, ci, v):
+        """Sequential DC procedure on the point-transformed value."""
+        base = dc_ctx[ci]
+        d = v - pred[ci]
+        pred[ci] = v
+        if d == 0:
+            enc.encode(stats[base], 0)
+            dc_ctx[ci] = 0
+            return
+        enc.encode(stats[base], 1)
+        sign = 0 if d > 0 else 1
+        enc.encode(stats[base + 1], sign)
+        d = abs(d)
+        st = base + 2 + sign
+        m = 0
+        if d - 1:
+            enc.encode(stats[st], 1)
+            m = 1
+            v2 = d - 1
+            st = 20
+            while v2 := v2 >> 1:
+                enc.encode(stats[st], 1)
+                m <<= 1
+                st += 1
+        enc.encode(stats[st], 0)
+        if m < (1 << lo) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << hi) >> 1:
+            dc_ctx[ci] = 12 + 4 * sign
+        else:
+            dc_ctx[ci] = 4 + 4 * sign
+        st += 14
+        vm = d - 1
+        while m := m >> 1:
+            enc.encode(stats[st], 1 if m & vm else 0)
+
+    chunks = []
+
+    def walk_scan(sc):
+        comps, ss, se, ah, al = sc["comps"], sc["ss"], sc["se"], sc["ah"], sc["al"]
+        enc = _QMEncoder()
+        fixed = [113, 0]
+        if ss == 0:
+            dc_stats = {min(ci, 1): [[0, 0] for _ in range(64)] for ci in comps}
+            dc_ctx = {ci: 0 for ci in comps}
+            pred = {ci: 0 for ci in comps}
+            units = []
+            if len(comps) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        unit = []
+                        for ci in comps:
+                            hh, vv = sampling[ci]
+                            for by in range(vv):
+                                for bx in range(hh):
+                                    unit.append(
+                                        (ci, grids[ci][my * vv + by][mx * hh + bx])
+                                    )
+                        units.append(unit)
+            else:
+                ci = comps[0]
+                bh, bwid = nidims[ci]
+                units = [
+                    [(ci, grids[ci][gy][gx])] for gy in range(bh) for gx in range(bwid)
+                ]
+            n_unit = 0
+            for unit in units:
+                if restart and n_unit and n_unit % restart == 0:
+                    chunks.append(enc.flush())
+                    chunks.append(bytes([0xFF, 0xD0 + (n_unit // restart - 1) % 8]))
+                    enc = _QMEncoder()
+                    fixed = [113, 0]
+                    dc_stats = {min(ci, 1): [[0, 0] for _ in range(64)] for ci in comps}
+                    dc_ctx = {ci: 0 for ci in comps}
+                    pred = {ci: 0 for ci in comps}
+                n_unit += 1
+                for ci, q in unit:
+                    if ah == 0:
+                        enc_dc(enc, dc_stats[min(ci, 1)], dc_ctx, pred, ci, q[0] >> al)
+                    else:
+                        enc.encode(fixed, (q[0] >> al) & 1)
+            chunks.append(enc.flush())
+            return
+        ci = comps[0]
+        bh, bwid = nidims[ci]
+        ac_stats = [[0, 0] for _ in range(256)]
+        n_unit = 0
+        for gy in range(bh):
+            for gx in range(bwid):
+                if restart and n_unit and n_unit % restart == 0:
+                    chunks.append(enc.flush())
+                    chunks.append(bytes([0xFF, 0xD0 + (n_unit // restart - 1) % 8]))
+                    enc = _QMEncoder()
+                    fixed = [113, 0]
+                    ac_stats = [[0, 0] for _ in range(256)]
+                n_unit += 1
+                q = grids[ci][gy][gx]
+
+                def shifted(k, a):
+                    t = q[k]
+                    return (t >> a) if t >= 0 else -((-t) >> a)
+
+                if ah == 0:  # AC first (jcarith encode_mcu_AC_first)
+                    ke = se
+                    while ke >= ss and shifted(ke, al) == 0:
+                        ke -= 1
+                    k = ss
+                    while k <= ke:
+                        st = 3 * (k - 1)
+                        enc.encode(ac_stats[st], 0)
+                        while shifted(k, al) == 0:
+                            enc.encode(ac_stats[st + 1], 0)
+                            st += 3
+                            k += 1
+                        enc.encode(ac_stats[st + 1], 1)
+                        v = shifted(k, al)
+                        sign = 0 if v > 0 else 1
+                        enc.encode(fixed, sign)
+                        v = abs(v)
+                        st += 2
+                        m = 0
+                        if v - 1:
+                            enc.encode(ac_stats[st], 1)
+                            m = 1
+                            v2 = v - 1
+                            if v2 := v2 >> 1:
+                                enc.encode(ac_stats[st], 1)
+                                m <<= 1
+                                st = 189 if k <= kx else 217
+                                while v2 := v2 >> 1:
+                                    enc.encode(ac_stats[st], 1)
+                                    m <<= 1
+                                    st += 1
+                        enc.encode(ac_stats[st], 0)
+                        st += 14
+                        vm = v - 1
+                        while m := m >> 1:
+                            enc.encode(ac_stats[st], 1 if m & vm else 0)
+                        k += 1
+                    if k <= se:
+                        enc.encode(ac_stats[3 * (k - 1)], 1)  # EOB
+                else:  # AC refine (jcarith encode_mcu_AC_refine)
+                    ke = se
+                    while ke >= ss and shifted(ke, al) == 0:
+                        ke -= 1
+                    kex = ke
+                    while kex >= ss and abs(q[kex]) >> ah == 0:
+                        kex -= 1
+                    k = ss
+                    while k <= ke:
+                        st = 3 * (k - 1)
+                        if k > kex:
+                            enc.encode(ac_stats[st], 0)  # not EOB yet
+                        while True:
+                            t = abs(q[k]) >> al
+                            if t:
+                                if t >> 1:  # previously nonzero
+                                    enc.encode(ac_stats[st + 2], t & 1)
+                                else:  # newly nonzero
+                                    enc.encode(ac_stats[st + 1], 1)
+                                    enc.encode(fixed, 0 if q[k] >= 0 else 1)
+                                break
+                            enc.encode(ac_stats[st + 1], 0)
+                            st += 3
+                            k += 1
+                        k += 1
+                    if k <= se:
+                        enc.encode(ac_stats[3 * (k - 1)], 1)  # EOB
+        chunks.append(enc.flush())
+
+    buf = bytearray(b"\xff\xd8")
+    if precision == 12:
+        buf += b"\xff\xdb" + struct.pack(">HB", 131, 0x10) + struct.pack(">64H", *([1] * 64))
+    else:
+        buf += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", precision, h_img, w_img, len(planes))
+    for i, (hh, vv) in enumerate(sampling):
+        sof += bytes([i + 1, (hh << 4) | vv, 0])
+    buf += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00, (hi << 4) | lo, 0x01, (hi << 4) | lo, 0x10, kx, 0x11, kx])
+    buf += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        buf += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    for sc in scans:
+        chunks.clear()
+        walk_scan(sc)
+        sos = bytes([len(sc["comps"])]) + b"".join(
+            bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in sc["comps"]
+        )
+        buf += (
+            b"\xff\xda"
+            + struct.pack(">H", 5 + len(sos))
+            + sos
+            + bytes([sc["ss"], sc["se"], (sc["ah"] << 4) | sc["al"]])
+        )
+        buf += b"".join(chunks)
+    buf += b"\xff\xd9"
+    return bytes(buf)
+
+
+def test_jpeg_arith_progressive_decode():
+    """SOF10 progressive arithmetic decode: a full spectral-selection +
+    successive-approximation scan script (interleaved DC first with Al,
+    banded AC first scans with Al, DC refinement, AC refinements down to
+    Al=0) must decode to EXACTLY the same mean luma as the BASELINE
+    HUFFMAN encoding of the same planes — the coefficients survive every
+    stage bit-for-bit. Also: grayscale with restart intervals inside
+    DC and AC scans, and 12-bit precision."""
+    import numpy as np
+
+    from crawley_spark.operators.multimodal import jpeg_decode_luma
+
+    rng = np.random.default_rng(409)
+    full = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 6, "se": 63, "ah": 0, "al": 2},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+    y = rng.integers(0, 256, size=(16, 16))
+    cb = rng.integers(0, 256, size=(8, 8))
+    cr = np.full((8, 8), 77)
+    data = _jpeg_encode_arith_progressive(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], full
+    )
+    want = jpeg_decode_luma(_jpeg_encode_baseline([y], [(1, 1)]))
+    assert jpeg_decode_luma(data) == want
+    # grayscale with restarts in both DC and AC scans
+    y2 = rng.integers(0, 256, size=(8, 40))
+    gray = [
+        {"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+    data = _jpeg_encode_arith_progressive([y2], [(1, 1)], gray, restart=2)
+    assert jpeg_decode_luma(data) == jpeg_decode_luma(_jpeg_encode_baseline([y2], [(1, 1)]))
+    # 12-bit
+    y12 = (np.arange(8 * 16, dtype=np.int64).reshape(8, 16) * 131) % 4096
+    data = _jpeg_encode_arith_progressive([y12], [(1, 1)], gray, precision=12)
+    assert jpeg_decode_luma(data) == jpeg_decode_luma(
+        _jpeg_encode_baseline([y12], [(1, 1)], precision=12)
+    )
