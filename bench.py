@@ -90,6 +90,9 @@ HEADLINE = [
     "length_quantiles",
     "boilerpipe_blocks",
     "main_content",
+    "char_entropy",
+    "script_detect",
+    "soft404",
 ]
 
 
