@@ -4573,6 +4573,98 @@ def _soft404_oracle() -> str:
     """
 
 
+def _q_url_diversity(spark, sf_dir):
+    """Per-host URL-diversity trap signals (traps.host_url_stats — the
+    session-id/hash-bucket countermeasure of the published URL-templating
+    family, beside the structural Heritrix rules): hosts doc_id%7 in
+    {2, 5} emit md5-hex paths (distinct after digit-collapse ⇒
+    template_ppm ≈ 1e6, must flag), host %7==6 gets empty paths (one
+    empty template, zero entropy, no flag), the rest reuse a 4-word
+    pagination scheme that collapses to 4 templates (ppm ≈ 56k, no flag
+    — and their pooled char entropy of 2.79 nats sits NEXT TO the hex
+    hosts' 2.88, which is exactly why the flag is template-based and the
+    entropy columns are diagnostics). One map-side-combined (host, char)
+    shuffle bounded by the alphabet + one (host, template) distinct.
+    HASH-EXACT: DuckDB re-derives the paths (md5 on both engines),
+    replays the digit-collapse with the identical Java∩RE2 regex, and
+    recomputes counts, surprisals, and the flag independently."""
+    from crawley_spark.operators.traps import host_url_stats
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 7).cast("string"), F.lit(".ent.test"))
+    word = F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"), F.lit("delta"))
+    path = (
+        F.when(
+            (did % 7 == 2) | (did % 7 == 5),
+            F.concat(F.lit("/s/"), F.md5(F.concat(F.lit("ent"), did.cast("string")))),
+        )
+        .when(did % 7 == 6, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("/docs/"),
+                F.element_at(word, (did % 4 + 1).cast("int")),
+                F.lit("/page-"),
+                (did % 50).cast("string"),
+            )
+        )
+    )
+    return host_url_stats(d.select(host.alias("host"), path.alias("path")))
+
+
+def _url_diversity_oracle() -> str:
+    from crawley_spark.operators.traps import (
+        HIGH_TEMPLATE_PPM,
+        MIN_URLS_FOR_FLAG,
+    )
+
+    return f"""
+    WITH urls AS MATERIALIZED (
+        SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.ent.test' AS host,
+               CASE WHEN doc_id % 7 IN (2, 5)
+                    THEN '/s/' || md5('ent' || CAST(doc_id AS VARCHAR))
+                    WHEN doc_id % 7 = 6 THEN ''
+                    ELSE '/docs/' ||
+                         (['alpha', 'beta', 'gamma', 'delta'])[CAST(doc_id % 4 AS INT) + 1] ||
+                         '/page-' || CAST(doc_id % 50 AS VARCHAR)
+               END AS path
+        FROM documents
+    ),
+    tpl AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT regexp_replace(path, '[0-9]+', '0', 'g'))
+                    AS BIGINT) AS n_templates
+        FROM urls GROUP BY 1
+    ),
+    ch AS (
+        SELECT host, unnest(string_split(path, '')) AS ch
+        FROM urls WHERE path <> ''
+    ),
+    cnt AS (SELECT host, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    per AS (SELECT host, SUM(c) AS n, count(*) AS types FROM cnt GROUP BY 1),
+    scored AS (
+        SELECT cnt.host,
+               SUM(c * CAST(floor(1e6 * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) + 0.5) AS BIGINT)) AS s
+        FROM cnt JOIN per USING (host)
+        GROUP BY 1
+    )
+    SELECT t.host, t.n_urls, t.n_templates,
+           CAST((t.n_templates * 1000000) // t.n_urls AS BIGINT) AS template_ppm,
+           CAST(COALESCE(per.n, 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(per.types, 0) AS BIGINT) AS n_char_types,
+           CAST(COALESCE(scored.s, 0) AS BIGINT) AS ent_micro_sum,
+           CAST(CASE WHEN COALESCE(per.n, 0) > 0
+                     THEN COALESCE(scored.s, 0) // per.n ELSE 0 END AS BIGINT)
+               AS ent_per_char_micro,
+           ((t.n_templates * 1000000) // t.n_urls > {HIGH_TEMPLATE_PPM}
+            AND t.n_urls >= {MIN_URLS_FOR_FLAG}) AS high_template_diversity
+    FROM tpl t
+    LEFT JOIN per USING (host)
+    LEFT JOIN scored USING (host)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -4655,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "script_detect": _q_script_detect,
         "soft404": _q_soft404,
+        "url_diversity": _q_url_diversity,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5727,6 +5820,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _char_entropy_oracle(),
         "script_detect": _script_detect_oracle(),
         "soft404": _soft404_oracle(),
+        "url_diversity": _url_diversity_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -93,6 +93,7 @@ HEADLINE = [
     "char_entropy",
     "script_detect",
     "soft404",
+    "url_diversity",
 ]
 
 

@@ -109,3 +109,117 @@ def host_trap_stats(signals: DataFrame) -> DataFrame:
         )
         .withColumn("trap_ppm", F.expr("(n_traps * 1000000) div n_urls").cast("long"))
     )
+
+
+# --- host-level URL-diversity trap signals --------------------------------
+# Session-id / hash-bucket traps emit unbounded DISTINCT URLs from one
+# generator. The published countermeasure is URL templating: collapse
+# digit runs to a class token and count distinct templates per host — a
+# host whose URLs stay nearly all-distinct AFTER templating is generating
+# random identifiers (the session-id trap), while human URL spaces
+# (pagination, dated archives) collapse to a handful of templates. Pooled
+# path-character entropy (the textstats.char_entropy integer discipline)
+# is reported beside it as a diagnostic — random hex runs ~ln 16 = 2.77
+# nats/char — but the FLAG is template-based: character entropy alone
+# cannot separate word-paths-with-pagination from hex (measured 2.79 vs
+# 2.88 on the query corpus), templating separates them by >17x.
+HIGH_TEMPLATE_PPM = 500_000
+MIN_URLS_FOR_FLAG = 20
+
+
+def host_url_stats(
+    df,
+    path_col: str = "path",
+    host_col: str = "host",
+    high_template_ppm: int = HIGH_TEMPLATE_PPM,
+    min_urls: int = MIN_URLS_FOR_FLAG,
+):
+    """Per-host URL-diversity trap signals: (host, n_urls, n_templates,
+    template_ppm, n_chars, n_char_types, ent_micro_sum,
+    ent_per_char_micro, high_template_diversity).
+
+    ``n_templates`` counts distinct ``regexp_replace(path, '[0-9]+', '0')``
+    values (digit-run collapse — the Java∩RE2-identical construct, so the
+    oracle recomputes it byte-identically); ``template_ppm = n_templates *
+    1e6 div n_urls``; the flag fires above ``high_template_ppm`` on hosts
+    with at least ``min_urls`` URLs (a one-URL host is trivially
+    all-distinct). Entropy columns follow the integer micro-nat discipline
+    (``c * round(1e6 * ln(n/c))`` per distinct char, exact BIGINT sums,
+    trunc-div rate); empty/NULL paths contribute no characters.
+
+    Scale shape (100 TB): characters explode via a code-point-safe JVM
+    ``transform(sequence, substring)`` (NOT ``split(s, '')``, whose Java
+    empty-regex split separates surrogate pairs) into ONE
+    map-side-combined shuffle on (host, char) — partial aggregation
+    collapses each partition to at most |alphabet| rows per host, so the
+    exchange is bounded by vocabulary, not corpus size; templates take one
+    map-side-distinct (host, template) exchange; everything downstream is
+    JVM column arithmetic over tiny per-host tables (F.log — the lmscore
+    libm surface). No Python stage, no driver collect."""
+    p = F.col(path_col)
+    base = df.select(
+        F.col(host_col).alias("host"),
+        p.alias("path"),
+        F.regexp_replace(F.coalesce(p, F.lit("")), F.lit("[0-9]+"), F.lit("0")).alias(
+            "template"
+        ),
+    )
+    per_url = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("template").cast("long").alias("n_templates"),
+    )
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — empty/NULL
+    # paths must short-circuit to an empty array (explode then drops them)
+    chars = base.select(
+        "host",
+        F.explode(
+            F.expr(
+                "if(coalesce(char_length(path), 0) = 0, array(), "
+                "transform(sequence(1, char_length(path)), "
+                "i -> substring(path, i, 1)))"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("host", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_host = counts.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_char_types"),
+    )
+    scored = (
+        counts.join(per_host, "host")
+        .withColumn(
+            "s",
+            F.col("c")
+            * F.floor(
+                F.lit(1e6) * F.log(F.col("n_chars") / F.col("c")) + F.lit(0.5)
+            ).cast("long"),
+        )
+        .groupBy("host")
+        .agg(F.sum("s").cast("long").alias("ent_micro_sum"))
+    )
+    out = (
+        per_url.join(per_host, "host", "left")
+        .join(scored, "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            "n_templates",
+            F.expr("(n_templates * 1000000) div n_urls").cast("long").alias(
+                "template_ppm"
+            ),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("n_char_types", F.lit(0)).cast("long").alias("n_char_types"),
+            F.coalesce("ent_micro_sum", F.lit(0)).cast("long").alias("ent_micro_sum"),
+        )
+        .withColumn(
+            "ent_per_char_micro",
+            F.when(F.col("n_chars") > 0, F.expr("ent_micro_sum div n_chars"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return out.withColumn(
+        "high_template_diversity",
+        (F.col("template_ppm") > F.lit(int(high_template_ppm)))
+        & (F.col("n_urls") >= F.lit(int(min_urls))),
+    )

@@ -4158,3 +4158,62 @@ def test_jpeg_arith_progressive_decode():
     assert jpeg_decode_luma(data) == jpeg_decode_luma(
         _jpeg_encode_baseline([y12], [(1, 1)], precision=12)
     )
+
+
+def test_host_url_stats(spark):
+    """URL-diversity trap signals: a session-id host (distinct hex paths
+    surviving digit-collapse) flags; a pagination host collapses to few
+    templates and does not; a below-min_urls all-distinct host does not
+    flag (the one-URL guard); empty/NULL paths contribute one empty
+    template and zero entropy. Counts and entropy cross-checked against
+    an independent Python mirror (Counter + math.log over pooled path
+    chars, re.sub for templates)."""
+    import math
+    import re
+    from collections import Counter
+
+    from crawley_spark.operators.traps import host_url_stats
+
+    rows = (
+        [(f"trap.test", f"/s/{i:x}{'abc' if i % 2 else 'fe'}{i * 7919 % 104729:x}") for i in range(30)]
+        + [("pages.test", f"/docs/{w}/page-{i}") for i, w in enumerate(["a", "b", "c"] * 10)]
+        + [("tiny.test", "/x/1"), ("tiny.test", "/y/2")]
+        + [("empty.test", ""), ("empty.test", None), ("empty.test", "/real/3")]
+    )
+    df = spark.createDataFrame(rows, "host string, path string")
+    got = {r["host"]: r.asDict() for r in host_url_stats(df).collect()}
+
+    by_host: dict = {}
+    for h, p in rows:
+        by_host.setdefault(h, []).append(p)
+    for h, paths in by_host.items():
+        r = got[h]
+        assert r["n_urls"] == len(paths)
+        tpls = {re.sub(r"[0-9]+", "0", p or "") for p in paths}
+        assert r["n_templates"] == len(tpls), (h, tpls)
+        assert r["template_ppm"] == len(tpls) * 1_000_000 // len(paths)
+        pooled = Counter("".join(p for p in paths if p))
+        n = sum(pooled.values())
+        s = sum(
+            c * int(math.floor(1_000_000 * math.log(n / c) + 0.5))
+            for c in pooled.values()
+        )
+        assert r["n_chars"] == n and r["n_char_types"] == len(pooled)
+        assert r["ent_micro_sum"] == s
+        assert r["ent_per_char_micro"] == (s // n if n else 0)
+    assert got["trap.test"]["high_template_diversity"]
+    assert not got["pages.test"]["high_template_diversity"]
+    assert not got["tiny.test"]["high_template_diversity"]  # min_urls guard
+    assert not got["empty.test"]["high_template_diversity"]
+    assert got["empty.test"]["ent_micro_sum"] > 0  # the one real path counts
+
+
+def test_host_url_stats_plan(spark):
+    """All-JVM: no Python stage, no single-partition exchange; the char
+    and template aggregations are hash-partitioned by host."""
+    from crawley_spark.operators.traps import host_url_stats
+
+    df = spark.createDataFrame([("h", "/a/1")], "host string, path string")
+    plan = host_url_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert "SinglePartition" not in plan, plan
