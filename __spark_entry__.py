@@ -4665,6 +4665,85 @@ def _url_diversity_oracle() -> str:
     """
 
 
+def _q_crawl_delay(spark, sf_dir):
+    """Per-host robots Crawl-delay extraction (politeness.crawl_delays —
+    the de-facto directive the reference's parser drops, parsed with the
+    SAME line/token discipline and bug-compatible UA-substring group
+    matching): one robots body per host, constructed per doc_id%13 to
+    plant every rule — '*' group, named-group substring match, wrong-UA
+    group (inapplicable), last-directive-wins, invalid number, comment
+    after value, directive before any UA line (ignored), no-hyphen
+    'CrawlDelay' key variant, fractional seconds, negative (rejected),
+    empty body, no-directive body. The Spark side runs the REAL parser
+    kernel; the oracle rebuilds the expected delay from the construction
+    rules (the canonical_links pattern), so any parser defect — group
+    matching, comment strip, last-wins, validation, rounding — flips the
+    hash. effective_delay_ms applies the be-no-faster-than-asked
+    greatest() against a 1500 ms default."""
+    from crawley_spark.operators.politeness import crawl_delays
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), did.cast("string"), F.lit(".rb.test"))
+    cases = [
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x",
+        "User-agent: crawley\nCrawl-delay: 0.5",
+        "User-agent: otherbot\nCrawl-delay: 9",
+        "User-agent: *\nCrawl-delay: 1\nUser-agent: *\nCrawl-delay: 3",
+        "User-agent: *\nCrawl-delay: abc",
+        "User-agent: *\nCrawl-delay: 1.25 # be nice",
+        "Crawl-delay: 7",
+        "User-Agent: *\nCrawlDelay: 4",
+        "",
+        "User-agent: *\nDisallow: /private",
+        "User-agent: *\nCrawl-delay: -3",
+        "User-agent: crawley\nUser-agent: unrelated\nCrawl-delay: 8",
+        "User-agent: *\nCrawl-delay: 0",
+    ]
+    body = None
+    for i, c in enumerate(cases):
+        branch = F.lit(c)
+        body = (
+            F.when(did % 13 == i, branch) if body is None else body.when(did % 13 == i, branch)
+        )
+    robots = d.select(host.alias("host"), body.alias("robots_body"))
+    return crawl_delays(robots, ua="crawley/v1.0", default_delay_ms=1500).select(
+        "host", "crawl_delay_ms", "has_delay", "effective_delay_ms"
+    )
+
+
+def _crawl_delay_oracle() -> str:
+    # expected delay per residue, derived from the construction rules:
+    # (residue, delay_ms or None)
+    expected = [
+        (0, 2000),   # '*' group
+        (1, 500),    # named group, 'crawley' in 'crawley/v1.0'
+        (2, None),   # wrong UA
+        (3, 3000),   # last applicable wins
+        (4, None),   # invalid number
+        (5, 1250),   # comment stripped, fractional seconds
+        (6, None),   # directive before any UA line
+        (7, 4000),   # case-insensitive key, no-hyphen variant
+        (8, None),   # empty body
+        (9, None),   # no directive
+        (10, None),  # negative rejected
+        (11, None),  # second UA line deactivates the matched group
+        (12, 0),     # zero is a valid directive
+    ]
+    whens = " ".join(
+        f"WHEN doc_id % 13 = {r} THEN {v if v is not None else 'NULL'}"
+        for r, v in expected
+    )
+    return f"""
+    SELECT 'h' || CAST(doc_id AS VARCHAR) || '.rb.test' AS host,
+           CAST((CASE {whens} END) AS BIGINT) AS crawl_delay_ms,
+           (CASE {whens} END) IS NOT NULL AS has_delay,
+           CAST(greatest(1500, COALESCE((CASE {whens} END), 0)) AS BIGINT)
+               AS effective_delay_ms
+    FROM documents
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -4748,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": _q_script_detect,
         "soft404": _q_soft404,
         "url_diversity": _q_url_diversity,
+        "crawl_delay": _q_crawl_delay,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5821,6 +5901,7 @@ def oracle_sql() -> dict[str, str]:
         "script_detect": _script_detect_oracle(),
         "soft404": _soft404_oracle(),
         "url_diversity": _url_diversity_oracle(),
+        "crawl_delay": _crawl_delay_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

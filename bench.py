@@ -94,6 +94,7 @@ HEADLINE = [
     "script_detect",
     "soft404",
     "url_diversity",
+    "crawl_delay",
 ]
 
 

@@ -113,3 +113,48 @@ def robots_url(scheme: str, host: str) -> str:
     t.host = host
     t.path = ROBOTS_PATH
     return t.string()
+
+
+def crawl_delay_ms(ua: str, body: str):
+    """Crawl-delay directive value for the matched UA groups, in integer
+    milliseconds — or None when absent/inapplicable/invalid.
+
+    BEYOND-REFERENCE: the reference parser ignores the directive entirely
+    (robots/parser.go:74-107 recognizes only UA/Allow/Disallow/Sitemap);
+    production crawlers honor the de-facto standard (Bing/Yandex
+    semantics). This parser keeps the reference's exact line/token
+    discipline — '#' comment strip, 'key: value' split, empty values
+    dropped — and its bug-compatible UA-substring group matching
+    (``v == '*' or v in ua``, parser.go:85), extended with the
+    'crawl-delay'/'crawldelay' key. The LAST directive in an applicable
+    group wins (deterministic under the same last-writer convention the
+    reference applies to repeated groups); values are non-negative
+    decimal seconds, ``floor(x * 1000 + 0.5)`` milliseconds (one IEEE
+    parse + one multiply — engine-identical); directives before any UA
+    line or in non-matching groups are ignored."""
+    import math
+
+    active = False
+    out = None
+    for line in body.splitlines():
+        pos = line.find("#")
+        if pos >= 0:
+            line = line[:pos]
+        line = line.strip()
+        pos = line.find(":")
+        if pos == -1:
+            continue
+        key = line[:pos].strip().lower()
+        val = line[pos + 1 :].strip()
+        if not val:
+            continue
+        if key in ("useragent", "user-agent"):
+            active = val == "*" or val in ua
+        elif key in ("crawl-delay", "crawldelay") and active:
+            try:
+                x = float(val)
+            except ValueError:
+                continue
+            if x >= 0 and math.isfinite(x):
+                out = int(math.floor(x * 1000 + 0.5))
+    return out

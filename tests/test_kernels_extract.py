@@ -325,3 +325,64 @@ def test_robots_ua_substring_match():
     assert not txt.forbidden("/x")  # "bot" not in "SuperBot/1.0" (case-sensitive)
     txt2 = robotsx.from_text("superbot/1.0", "user-agent: bot\ndisallow: /x")
     assert txt2.forbidden("/x")
+
+
+def test_robots_crawl_delay_kernel():
+    """Crawl-delay extraction (beyond-reference; kernels.robotsx.
+    crawl_delay_ms): the reference's line/token discipline and
+    bug-compatible UA handling — substring group match, a second UA line
+    OVERWRITES the group state (parser.go resets `deny` per UA line, so
+    consecutive UA lines do NOT form a shared group) — extended with the
+    de-facto delay key: last applicable wins, comments stripped,
+    fractional seconds floor(x*1000+0.5), invalid/negative/non-finite
+    rejected, directives outside an applicable group ignored."""
+    from crawley_spark.kernels.robotsx import crawl_delay_ms
+
+    ua = "crawley/v1.0"
+    cases = [
+        ("User-agent: *\nCrawl-delay: 2\nDisallow: /x", 2000),
+        ("User-agent: crawley\nCrawl-delay: 0.5", 500),
+        ("User-agent: otherbot\nCrawl-delay: 9", None),
+        ("User-agent: *\nCrawl-delay: 1\nUser-agent: *\nCrawl-delay: 3", 3000),
+        ("User-agent: *\nCrawl-delay: abc", None),
+        ("User-agent: *\nCrawl-delay: 1.25 # be nice", 1250),
+        ("Crawl-delay: 7", None),
+        ("User-Agent: *\nCrawlDelay: 4", 4000),
+        ("", None),
+        ("User-agent: *\nDisallow: /private", None),
+        ("User-agent: *\nCrawl-delay: -3", None),
+        ("User-agent: crawley\nUser-agent: unrelated\nCrawl-delay: 8", None),
+        ("User-agent: *\nCrawl-delay: 0", 0),
+        ("User-agent: *\nCrawl-delay: inf", None),
+        ("User-agent: *\nCrawl-delay: nan", None),
+        ("User-agent: *\nCrawl-delay:", None),  # empty value dropped
+        ("User-agent: *\nCrawl-delay: 2\nCrawl-delay: oops", 2000),  # invalid later keeps prior
+        ("User-agent: *\r\nCrawl-delay: 6", 6000),  # CRLF splitlines
+    ]
+    for body, want in cases:
+        assert crawl_delay_ms(ua, body) == want, (body, want)
+
+
+def test_crawl_delays_operator(spark):
+    """The Spark operator over (host, robots_body): NULL bodies behave as
+    empty, effective_delay_ms = greatest(default, directive) — the
+    be-no-faster-than-asked rule, incl. a directive BELOW the default
+    staying at the default. Zero shuffle."""
+    from crawley_spark.operators.politeness import crawl_delays
+
+    df = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\nCrawl-delay: 2"),
+            ("b", "User-agent: *\nCrawl-delay: 0.2"),
+            ("c", None),
+        ],
+        "host string, robots_body string",
+    )
+    out = crawl_delays(df, ua="bot", default_delay_ms=1000)
+    got = {r["host"]: r.asDict() for r in out.collect()}
+    assert got["a"]["crawl_delay_ms"] == 2000 and got["a"]["effective_delay_ms"] == 2000
+    assert got["b"]["crawl_delay_ms"] == 200 and got["b"]["effective_delay_ms"] == 1000
+    assert got["c"]["crawl_delay_ms"] is None and not got["c"]["has_delay"]
+    assert got["c"]["effective_delay_ms"] == 1000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
