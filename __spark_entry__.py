@@ -4744,6 +4744,58 @@ def _crawl_delay_oracle() -> str:
     """
 
 
+def _q_dup_by_source(spark, sf_dir):
+    """Per-source exact-duplication report (dedup.duplication_by_source —
+    the domain-level mirror-farm table of RefinedWeb/FineWeb practice):
+    doc_id%11 in {0,1} collapses to 'mirror body <doc_id%3>' (three
+    corpus-wide fingerprints spanning every source — cross-source mirrors
+    MUST count), %11==2 gets a per-doc unique body (never a duplicate),
+    the rest keep the real text. Exchanges carry (md5, count) scalars;
+    the rollup is map-side-combined on source. HASH-EXACT: DuckDB
+    recomputes fingerprints, corpus-wide counts, and the per-source
+    rollup (incl. distinct duplicated groups and exact-integer ppm)
+    independently."""
+    from crawley_spark.operators.dedup import duplication_by_source
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    t = (
+        F.when(
+            did % 11 < 2,
+            F.concat(F.lit("mirror body "), (did % 3).cast("string")),
+        )
+        .when(did % 11 == 2, F.concat(F.lit("solo "), did.cast("string")))
+        .otherwise(F.col("text"))
+    )
+    return duplication_by_source(
+        d.select("doc_id", "source", t.alias("text"))
+    )
+
+
+_DUP_BY_SOURCE_ORACLE = """
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 11 < 2
+                    THEN 'mirror body ' || CAST(doc_id % 3 AS VARCHAR)
+                    WHEN doc_id % 11 = 2
+                    THEN 'solo ' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS t
+        FROM documents
+    ),
+    fp AS (SELECT doc_id, source, md5(t) AS fp FROM base),
+    cnt AS (SELECT fp, count(*) AS n_fp FROM fp GROUP BY 1)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(count(DISTINCT CASE WHEN n_fp > 1 THEN fp.fp END) AS BIGINT)
+               AS n_dup_groups,
+           CAST((sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+                AS BIGINT) AS dup_ppm
+    FROM fp JOIN cnt USING (fp)
+    GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -4828,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": _q_soft404,
         "url_diversity": _q_url_diversity,
         "crawl_delay": _q_crawl_delay,
+        "dup_by_source": _q_dup_by_source,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5902,6 +5955,7 @@ def oracle_sql() -> dict[str, str]:
         "soft404": _soft404_oracle(),
         "url_diversity": _url_diversity_oracle(),
         "crawl_delay": _crawl_delay_oracle(),
+        "dup_by_source": _DUP_BY_SOURCE_ORACLE,
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -95,6 +95,7 @@ HEADLINE = [
     "soft404",
     "url_diversity",
     "crawl_delay",
+    "dup_by_source",
 ]
 
 

@@ -809,3 +809,45 @@ def exact_substring_dedup(
     return joined.select(
         F.col(id_col).cast("long").alias(id_col), "_t", "drop_pos"
     ).mapInArrow(fn, out_schema)
+
+
+def duplication_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplication report: (source, n_docs, n_dup_docs,
+    n_dup_groups, dup_ppm) — the domain-level duplication-rate table
+    webtext pipeline reports publish (RefinedWeb/FineWeb practice: a
+    domain whose pages are mostly corpus-wide duplicates is a mirror farm
+    and gets cut wholesale, the source_quality consumption shape).
+
+    A doc is a duplicate when its md5(text) occurs more than once
+    CORPUS-WIDE (cross-source mirrors count — that is the point);
+    ``n_dup_groups`` counts the distinct duplicated fingerprints touching
+    the source; ``dup_ppm = n_dup_docs * 1e6 div n_docs`` (exact BIGINT).
+
+    Scale shape (100 TB): md5 computed map-side in the scan projection;
+    one map-side-combined count shuffle on the fingerprint; the join back
+    is fingerprint-co-partitioned (no re-shuffle of the count side); the
+    source rollup is one map-side-combined shuffle on source — every
+    exchange carries (hash, count) scalars, never text."""
+    fp = df.select(
+        F.col(id_col), F.col(source_col), F.md5(F.col(text_col)).alias("fp")
+    )
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    joined = fp.join(counts, "fp")
+    return (
+        joined.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.countDistinct(F.when(F.col("n_fp") > 1, F.col("fp")))
+            .cast("long")
+            .alias("n_dup_groups"),
+        )
+        .withColumn("dup_ppm", F.expr("(n_dup_docs * 1000000) div n_docs").cast("long"))
+    )

@@ -4217,3 +4217,24 @@ def test_host_url_stats_plan(spark):
     plan = host_url_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_duplication_by_source(spark):
+    """Per-source mirror-farm report: cross-source duplicates count (the
+    point of corpus-wide fingerprints), within-source triples count every
+    member, unique docs never count; exact-integer ppm; group counts are
+    distinct fingerprints touching the source."""
+    from crawley_spark.operators.dedup import duplication_by_source
+
+    rows = [
+        (1, "a", "shared-x"), (2, "b", "shared-x"),      # cross-source pair
+        (3, "a", "tri"), (4, "a", "tri"), (5, "a", "tri"),  # within-source triple
+        (6, "b", "only-one"), (7, "a", "unique-7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r.asDict() for r in duplication_by_source(df).collect()}
+    a, b = got["a"], got["b"]
+    assert a["n_docs"] == 5 and a["n_dup_docs"] == 4 and a["n_dup_groups"] == 2
+    assert a["dup_ppm"] == 4 * 1_000_000 // 5
+    assert b["n_docs"] == 2 and b["n_dup_docs"] == 1 and b["n_dup_groups"] == 1
+    assert b["dup_ppm"] == 500_000
