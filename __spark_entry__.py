@@ -4796,6 +4796,71 @@ _DUP_BY_SOURCE_ORACLE = """
 """
 
 
+def _q_lang_confidence(spark, sf_dir):
+    """Language-ID confidence margin (textstats.lang_id_confidence — the
+    gate real pipelines apply before trusting a lang label): derived
+    corpus plants an exact one-marker en/fr tie on %19==0 (' the '+' le '
+    → margin 0, NOT confident, alphabetical pred 'en' — precisely the
+    doc the deterministic tie-break would otherwise decide arbitrarily)
+    and an empty doc on %19==1 ('und', zero scores, not confident); the
+    rest keep real text. Zero-shuffle JVM projection over the same
+    generated marker counts as lang_id. HASH-EXACT: the oracle is
+    GENERATED from the same LANG_MARKERS table while DuckDB recomputes
+    every count, the descending sort, the margin, and the flag
+    independently."""
+    from crawley_spark.operators.textstats import lang_id_confidence
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    t = (
+        F.when(did % 19 == 0, F.lit("x the y le z"))
+        .when(did % 19 == 1, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    return lang_id_confidence(d.select("doc_id", t.alias("text")))
+
+
+def _lang_confidence_oracle() -> str:
+    from crawley_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"CAST({terms} AS BIGINT) AS score_{lang}")
+    arr = "list_sort([" + ", ".join(f"score_{lang}" for lang in langs) + "], 'DESC')"
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = "\n".join(
+        f"            WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               lower(CASE WHEN doc_id % 19 = 0 THEN 'x the y le z'
+                          WHEN doc_id % 19 = 1 THEN ''
+                          ELSE text END) AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, {", ".join(score_exprs)}
+        FROM base
+    ),
+    ranked AS (SELECT *, {arr} AS s FROM scored)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und'
+{cases}
+           ELSE 'und' END AS pred_lang,
+           CAST(s[1] AS BIGINT) AS best_score,
+           CAST(s[2] AS BIGINT) AS second_score,
+           CAST(s[1] - s[2] AS BIGINT) AS margin,
+           (s[1] > 0 AND s[1] > s[2]) AS is_confident
+    FROM ranked
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fetch_join": _q_fetch_join,
@@ -4881,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_diversity": _q_url_diversity,
         "crawl_delay": _q_crawl_delay,
         "dup_by_source": _q_dup_by_source,
+        "lang_confidence": _q_lang_confidence,
         "crawl_delta": _q_crawl_delta,
         "recrawl_priority": _q_recrawl_priority,
         "url_canonical": _q_url_canonical,
@@ -5956,6 +6022,7 @@ def oracle_sql() -> dict[str, str]:
         "url_diversity": _url_diversity_oracle(),
         "crawl_delay": _crawl_delay_oracle(),
         "dup_by_source": _DUP_BY_SOURCE_ORACLE,
+        "lang_confidence": _lang_confidence_oracle(),
         "crawl_delta": """
         WITH a AS (
             SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -96,6 +96,7 @@ HEADLINE = [
     "url_diversity",
     "crawl_delay",
     "dup_by_source",
+    "lang_confidence",
 ]
 
 

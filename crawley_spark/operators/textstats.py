@@ -772,3 +772,42 @@ def char_entropy(
     return out.withColumn(
         "low_entropy", F.col("ent_per_char_micro") < F.lit(int(low_entropy_micro))
     )
+
+
+def lang_id_confidence(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """lang_id plus the confidence gate real pipelines apply before
+    trusting the label (CLD/fastText practice: a prediction whose margin
+    over the runner-up is zero is a coin flip — route it to 'und'-style
+    handling instead): (doc_id, pred_lang, best_score, second_score,
+    margin, is_confident).
+
+    ``second_score`` is the runner-up marker count across the OTHER
+    languages (exact integers — sort the per-language score array
+    descending and take position 2), ``margin = best - second``, and
+    ``is_confident`` requires a nonzero best AND a strictly positive
+    margin — exactly the docs the deterministic alphabetical tie-break
+    would otherwise decide arbitrarily. Pure zero-shuffle JVM projection
+    over the same generated marker counts as :func:`lang_id`, so the
+    oracle mirrors it from the same table."""
+    t = F.lower(F.col(text_col))
+    langs = sorted(_LANG_MARKERS)
+    scored = df.select(
+        F.col("doc_id"),
+        *[lang_score(t, lang).alias(f"score_{lang}") for lang in langs],
+    )
+    arr = F.sort_array(
+        F.array(*[F.col(f"score_{lang}") for lang in langs]), asc=False
+    )
+    best = arr.getItem(0)
+    second = arr.getItem(1)
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        best.cast("long").alias("best_score"),
+        second.cast("long").alias("second_score"),
+        (best - second).cast("long").alias("margin"),
+        ((best > 0) & (best > second)).alias("is_confident"),
+    )

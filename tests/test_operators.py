@@ -4238,3 +4238,34 @@ def test_duplication_by_source(spark):
     assert a["dup_ppm"] == 4 * 1_000_000 // 5
     assert b["n_docs"] == 2 and b["n_dup_docs"] == 1 and b["n_dup_groups"] == 1
     assert b["dup_ppm"] == 500_000
+
+
+def test_lang_id_confidence(spark):
+    """Margin semantics: unambiguous German text is confident; an exact
+    en/fr one-marker tie has margin 0 and is NOT confident (the doc the
+    alphabetical tie-break decides arbitrarily); empty/markerless text is
+    'und' with zero scores; pred_lang always agrees with lang_id."""
+    from crawley_spark.operators.textstats import lang_id, lang_id_confidence
+
+    rows = [
+        (0, "das ist der text und die sache nicht wahr der und"),
+        (1, "x the y le z"),          # 1-1 en/fr tie
+        (2, ""),                       # und
+        (3, "zzz qqq www"),           # no markers -> und
+        (4, "the the the and of le"),  # en 5? vs fr 1 -> confident
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in lang_id_confidence(df).collect()}
+    base = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    for i, _t in rows:
+        assert got[i]["pred_lang"] == base[i], (i, got[i], base[i])
+        assert got[i]["margin"] == got[i]["best_score"] - got[i]["second_score"]
+    assert got[0]["is_confident"]
+    assert got[1]["best_score"] == 1 and got[1]["second_score"] == 1
+    assert got[1]["margin"] == 0 and not got[1]["is_confident"]
+    assert got[1]["pred_lang"] == "en"  # alphabetical tie-break
+    assert got[2]["pred_lang"] == "und" and not got[2]["is_confident"]
+    assert got[3]["pred_lang"] == "und" and not got[3]["is_confident"]
+    assert got[4]["is_confident"] and got[4]["pred_lang"] == "en"
+    plan = lang_id_confidence(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
